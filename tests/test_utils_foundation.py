@@ -129,11 +129,14 @@ class TestLoudness:
         assert np.all(v > 0) and np.all(v <= 1.0)
 
     def test_pitch_vs_freq_paths_agree(self):
-        f = 700.0
-        p = midi.frequency_to_midi_pitch(f)
-        vf = float(loudness.equal_loudness_volume_from_freq(f))
-        vp = float(loudness.equal_loudness_volume_from_pitch(p))
-        assert vf == pytest.approx(vp, rel=1e-5)
+        # exact agreement at table points; between points the two paths
+        # interpolate on different grids (freq-linear vs pitch-linear), so
+        # only loose agreement is expected (same as the reference)
+        for f, rel in [(800.0, 1e-9), (700.0, 0.05)]:
+            p = midi.frequency_to_midi_pitch(f)
+            vf = float(loudness.equal_loudness_volume_from_freq(f))
+            vp = float(loudness.equal_loudness_volume_from_pitch(p))
+            assert vf == pytest.approx(vp, rel=rel)
 
 
 class TestScales:
