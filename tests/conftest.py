@@ -2,12 +2,24 @@
 
 Multi-chip sharding paths are validated on a virtual CPU mesh (the real
 environment has one TPU chip); bench.py runs on the real chip instead.
-Must run before jax is imported anywhere.
+
+Note: this environment's sitecustomize imports jax at interpreter start (to
+register the axon TPU plugin), so env vars set here are too late for jax's
+config defaults — we must use jax.config.update directly.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# platform + virtual device count must still go through env for XLA flags
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+# XLA compiles are slow in this environment (~0.4s per tiny op); persist them
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -176,8 +176,9 @@ class TestWav:
         assert data.shape[1] == channels
         assert data.shape[0] > 1000
         assert np.max(np.abs(data)) <= 1.0
-        # fixtures are saw ramps: first samples increase monotonically
-        assert np.all(np.diff(data[:100, 0]) >= 0)
+        # fixtures are saw ramps: first samples increase (16-bit file carries
+        # ~3 LSB of dither noise, so allow small negative diffs)
+        assert np.all(np.diff(data[:100, 0]) >= -4.0 / 32768.0)
 
     def test_fixtures_encode_same_signal(self):
         d16, _ = wav.read_wav(f"{self.REF_FIXTURES}/saw_pcm_16_signed_stereo.wav")
