@@ -1,0 +1,129 @@
+"""Oscillator bank primitives — parallel over voices AND time.
+
+The reference advances each oscillator one sample at a time (`Phased::step`,
+include/audioelement.h:1450-1467; `SineOscillatorAlgo::step` complex rotation +
+renormalization, include/audioelement.h:2413-2451). On TPU we instead compute
+the full phase trajectory of a block in closed form:
+
+    phases = wrap(phase0 + cumsum(increments))        # parallel prefix, VPU
+    sine   = sin(pi * phases)                          # exact, no drift
+
+which is parallel over (voices, time) with no recurrence. The complex-rotation
+trick exists only to avoid a per-sample `sin` call on scalar CPUs; evaluating
+`sin` vectorized is both faster and more accurate here (no renormalization
+error), so we keep the reference's *angle convention* (units of rad/pi, period
+2 — include/sound.functions.h:57-62) but not its iteration scheme.
+
+Waveform functions follow include/sound.functions.h:86-138, and the anti-alias
+gain follows freqAliasingMultiplicator (include/audioelement.h:466-483).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def wrap_phase(phase):
+    """Normalize phase into [0, 2) (reference phaseToNormalForm, audioelement.h:417-428)."""
+    return jnp.mod(phase, 2.0)
+
+
+def phase_trajectory(phase0, increments, *, axis: int = -1):
+    """Integrate per-sample angle increments into per-sample phases.
+
+    Args:
+      phase0: starting phase(s), shape = increments.shape without `axis`.
+      increments: per-sample angle increments (rad/pi), any batch shape.
+      axis: the time axis of `increments`.
+
+    Returns:
+      (phases, final_phase): phases has the shape of `increments`; each phase
+      is the angle *after* stepping (matches the reference where `step()`
+      advances the angle before the sample is read). final_phase re-enters the
+      next block as phase0.
+    """
+    cum = jnp.cumsum(increments, axis=axis)
+    phase0 = jnp.asarray(phase0)
+    phases = wrap_phase(jnp.expand_dims(phase0, axis) + cum)
+    final = jnp.take(phases, jnp.array([-1]), axis=axis)
+    final = jnp.squeeze(final, axis=axis)
+    return phases, final
+
+
+def phase_trajectory_const(phase0, increment, n: int, *, dtype=jnp.float32):
+    """Phases for a constant frequency, avoiding cumsum error accumulation.
+
+    phase[t] = wrap(phase0 + (t+1) * increment). Shapes broadcast:
+    phase0/increment (...,) -> (..., n).
+    """
+    t = jnp.arange(1, n + 1, dtype=dtype)
+    ph = jnp.expand_dims(jnp.asarray(phase0, dtype), -1) + jnp.expand_dims(
+        jnp.asarray(increment, dtype), -1
+    ) * t
+    return wrap_phase(ph)
+
+
+def sine(phases):
+    """sin of a rad/pi phase."""
+    return jnp.sin(jnp.asarray(np.pi, phases.dtype) * phases)
+
+
+def cosine(phases):
+    return jnp.cos(jnp.asarray(np.pi, phases.dtype) * phases)
+
+
+def saw(phases):
+    """0..1 -> 0..1 then 1..2 -> -1..0 (reference sound.functions.h:127-138)."""
+    return jnp.where(phases <= 1.0, phases, phases - 2.0)
+
+
+def square(phases):
+    """+1 except (0.5, 1.5) -> -1 (reference sound.functions.h:86-95)."""
+    return jnp.where((phases > 0.5) & (phases < 1.5), -1.0, 1.0).astype(phases.dtype)
+
+
+def triangle(phases):
+    """0..0.5 -> 0..1, 0.5..1.5 -> 1..-1, 1.5..2 -> -1..0 (sound.functions.h:114-125)."""
+    return jnp.where(
+        phases < 0.5,
+        2.0 * phases,
+        jnp.where(phases < 1.5, 2.0 - 2.0 * phases, -4.0 + 2.0 * phases),
+    )
+
+
+def pulse(phases, pulse_width, high, low):
+    """`high` while phase < width else `low` (reference sound.functions.h:97-112)."""
+    return jnp.where(phases < pulse_width, high, low)
+
+
+def pulse_train_levels(pulse_width):
+    """DC-free (high, low) levels for a given width (PulseTrainAlgo_::setPulseWidth,
+    include/audioelement.h:1699-1718): high = (2-w)/2, low = high-1."""
+    w = jnp.clip(pulse_width, 0.0, 2.0)
+    high = 0.5 * (2.0 - w)
+    return high, high - 1.0
+
+
+def freq_aliasing_multiplicator(increment):
+    """Smooth gain fade approaching the aliasing limit.
+
+    reference include/audioelement.h:466-483: with halfSamplesPerPeriod =
+    1/|inc|, gain ramps 0 -> 1 as hspp goes 1 -> 4 (i.e. frequencies above
+    sr/8 start fading, silent beyond Nyquist).
+    """
+    inc = jnp.abs(jnp.asarray(increment))
+    hspp = jnp.where(inc == 0.0, jnp.inf, 1.0 / jnp.maximum(inc, 1e-30))
+    return jnp.clip((hspp - 1.0) / 3.0, 0.0, 1.0)
+
+
+def mixdown(signals, gains):
+    """Sum a voice bank into output channels on the MXU.
+
+    signals: (V, T) per-voice samples; gains: (V, C) per-voice channel gains.
+    Returns (T, C). This replaces the reference's serial
+    `buffer[i] += voice.imag(j)` accumulation (gen.crtp.h:350-378).
+    """
+    return jnp.einsum(
+        "vt,vc->tc", signals, gains, preferred_element_type=signals.dtype
+    )

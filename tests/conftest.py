@@ -19,6 +19,8 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# verification-grade precision for golden tests (the library defaults to f32)
+jax.config.update("jax_enable_x64", True)
 # XLA compiles are slow in this environment (~0.4s per tiny op); persist them
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
