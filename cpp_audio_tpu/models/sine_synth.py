@@ -9,31 +9,21 @@ with NoteOn setting volume = baseVolume * velocity (gen.crtp.h:425) and
 take effect when the element is loudness-compensated
 (LoudnessVolumeAdjusted, audioelement.h:1275-1316).
 
-TPU-native design: all voices render as one (V, T) tile per time block —
-phase in closed form, envelope in closed form, constant-power stereo mixdown
-as a matmul. Blocks are *independent* (no carried state: constant-frequency
-notes have analytic phase), so the block loop is `lax.map` and shards freely.
-
-Precision: within a block, phases are computed in the working dtype from a
-per-block origin computed in float64 (a (V,)-sized array per block — cheap
-even with TPU f64 emulation). This keeps phase error ~1e-5 rad over arbitrary
-render lengths, i.e. artifacts below -90 dB, without paying f64 on the hot
-(V, T) tile.
+This module is a thin mapping from NoteSchedules onto the shared voice-bank
+kernel (models/voicebank.py) — each note is one bank row.
 """
 
 from __future__ import annotations
 
-import functools
-from dataclasses import dataclass, replace
+from dataclasses import dataclass
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..core.voices import NoteSchedule
 from ..ops import envelopes, oscillators
 from ..utils import loudness
 from ..utils.convert import freq_to_angle_increment
+from . import voicebank
 
 # reference include/audioelement.h:1270 + sound.h:84 (sine base volume 1.0)
 REDUCE_UNADJUSTED_VOLUMES = 0.1
@@ -51,7 +41,7 @@ class SineSynthConfig:
     loudness_log_ratio: float = 0.8
     loudness_level: float = 30.0
     base_volume: float = SINE_BASE_VOLUME
-    block_size: int = 8192
+    block_size: int = 32768
     dtype: str = "float32"
 
     def __post_init__(self):
@@ -91,66 +81,34 @@ def _stereo_gains(pan: np.ndarray, n_channels: int) -> np.ndarray:
     return g
 
 
-@functools.partial(jax.jit, static_argnames=("block_size", "n_blocks", "dtype"))
-def _render_blocks(press, release, inc, phase0, volume, gains,
-                   attack, hold, decay, sustain, rel,
-                   attack_itp, decay_itp, release_itp,
-                   *, block_size: int, n_blocks: int, dtype: str):
-    """Render n_blocks consecutive blocks; returns (n_blocks, block_size, C)."""
-    wdt = jnp.dtype(dtype)
-    params = envelopes.AHDSR(
-        attack=attack[:, None], attack_itp=attack_itp[:, None], hold=hold[:, None],
-        decay=decay[:, None], decay_itp=decay_itp[:, None], release=rel[:, None],
-        release_itp=release_itp[:, None], sustain=sustain[:, None],
+def bank_from_schedule(schedule: NoteSchedule, config: SineSynthConfig) -> voicebank.VoiceBank:
+    V = schedule.n_rows
+    inc = freq_to_angle_increment(schedule.frequency, config.sample_rate)
+    aliasing = np.asarray(oscillators.freq_aliasing_multiplicator(inc), np.float64)
+    amp = _voice_volumes(config, schedule) * aliasing
+    gains = _stereo_gains(schedule.pan, config.n_channels)
+    a = config.ahdsr
+    vec = lambda x: np.broadcast_to(np.asarray(x, np.float64), (V,)).copy()
+    return voicebank.VoiceBank(
+        press=np.asarray(schedule.press, np.float64),
+        release=np.asarray(schedule.release, np.float64),
+        increment=np.asarray(inc, np.float64),
+        phase0=np.asarray(schedule.phase, np.float64),
+        amp=amp,
+        gains=gains,
+        attack=vec(a.attack), hold=vec(a.hold), decay=vec(a.decay),
+        release_len=vec(a.release), sustain=vec(a.sustain),
+        attack_itp=a.attack_itp, decay_itp=a.decay_itp, release_itp=a.release_itp,
     )
-    min_change = envelopes.min_change_duration_from_increment(inc)[:, None].astype(wdt)
-    aliasing = oscillators.freq_aliasing_multiplicator(inc).astype(wdt)
-    amp = (volume.astype(wdt) * aliasing)[:, None]
-    inc_w = inc.astype(wdt)
-    k = jnp.arange(1, block_size + 1, dtype=wdt)
-
-    def one_block(b):
-        t0 = (b * block_size).astype(jnp.float64)
-        # per-block phase origin in f64: (V,) only
-        origin = jnp.mod((t0 - press) * inc + phase0, 2.0).astype(wdt)
-        phases = oscillators.wrap_phase(origin[:, None] + k[None, :] * inc_w[:, None])
-        t = t0.astype(wdt) + k - 1.0
-        env = envelopes.ahdsr_envelope(
-            t[None, :], params, press.astype(wdt)[:, None],
-            release.astype(wdt)[:, None], min_change=min_change, dtype=wdt,
-        )
-        sig = amp * env * oscillators.sine(phases)
-        return oscillators.mixdown(sig, gains.astype(wdt))
-
-    return jax.lax.map(one_block, jnp.arange(n_blocks))
 
 
 def render_schedule(schedule: NoteSchedule, n_samples: int,
                     config: SineSynthConfig) -> np.ndarray:
     """Offline render of a note schedule -> float array (n_samples, n_channels)."""
-    V = schedule.n_rows
-    volume = _voice_volumes(config, schedule)
-    gains = _stereo_gains(schedule.pan, config.n_channels)
-    inc = freq_to_angle_increment(schedule.frequency, config.sample_rate)
-    a = config.ahdsr
-
-    def vec(x, dt=np.float64):
-        return np.broadcast_to(np.asarray(x, dt), (V,)).copy()
-
-    B = config.block_size
-    n_blocks = (n_samples + B - 1) // B
-    out = _render_blocks(
-        jnp.asarray(schedule.press), jnp.asarray(schedule.release),
-        jnp.asarray(inc), jnp.asarray(schedule.phase),
-        jnp.asarray(volume, dtype=config.dtype), jnp.asarray(gains, dtype=config.dtype),
-        jnp.asarray(vec(a.attack)), jnp.asarray(vec(a.hold)), jnp.asarray(vec(a.decay)),
-        jnp.asarray(vec(a.sustain)), jnp.asarray(vec(a.release)),
-        jnp.asarray(vec(a.attack_itp, np.int32)), jnp.asarray(vec(a.decay_itp, np.int32)),
-        jnp.asarray(vec(a.release_itp, np.int32)),
-        block_size=B, n_blocks=n_blocks, dtype=config.dtype,
+    bank = bank_from_schedule(schedule, config)
+    return voicebank.render_bank(
+        bank, n_samples, block_size=config.block_size, dtype=config.dtype
     )
-    out = np.asarray(out).reshape(n_blocks * B, -1)[:n_samples]
-    return out
 
 
 def render_to_wav(schedule: NoteSchedule, n_samples: int, config: SineSynthConfig,
