@@ -5,39 +5,39 @@ This is the flagship compute path: every enveloped sine partial in the system
 composition stacks) is one ROW of a (V, T) tile. Per time block the kernel is
 pure elementwise math + one MXU matmul for the mixdown:
 
-    phase  = wrap(origin[v,b] + k*inc[v])            # k = 0..B-1 in-block index
-    env    = closed-form AHDSR(tp0[v,b] + k, ...)    # see ops/envelopes.py
+    phase  = NCO(press, inc)[k]                      # exact uint32 fixed point
+    env    = closed-form AHDSR(t - press, ...)       # see ops/envelopes.py
     sig    = amp[v] * env * sin(pi*phase)
     out    = sig^T @ gains                           # (B,V)@(V,C) on the MXU
 
 Numerical design: all O(V*T) work is float32. Phase uses a fixed-point NCO
 (numerically controlled oscillator): uint32 phase where the full 2-unit
-(rad/pi) circle is 2**32 counts. uint32 multiply-add wraps exactly, the
-per-(voice, block) phase origins are computed in exact integer arithmetic on
-the host, so phase error is bounded by one block's increment quantization
-(~1e-5 rad, < -95 dB) at ANY render length and frequency — no f64 needed
-anywhere (TPUs have no native f64). Envelope time offsets tp0/tr0 are exact
-in f32 for renders < 2**24 samples (~6 min at 44.1 kHz); beyond that envelope
-*boundaries* may jitter by <= 1 sample (inaudible; phases are unaffected).
+(rad/pi) circle is 2**32 counts. Integer multiply-add wraps exactly (modular
+arithmetic), so phase error is bounded by the increment quantization within
+one block (~1e-5 rad, < -95 dB) at ANY render length and frequency — no f64
+anywhere (TPUs have no native f64). Envelope time offsets are int32 sample
+arithmetic, exact up to 2**31 samples (~13 h at 44.1 kHz).
 
-Envelope curves are STATIC python values when uniform across the bank (the
-usual case — a synth program fixes its curves), letting XLA fold the easing
-functions; per-voice curve arrays fall back to select-over-curves.
+Host -> device traffic is 4 small arrays per render (per-voice packed floats,
+per-voice ints, mix gains, curve codes); all per-block offsets are derived
+on device from the block index. Envelope curves are STATIC python values when
+uniform across the bank (a synth program fixes its curves), letting XLA fold
+the easing functions; per-voice curve arrays fall back to select-over-curves.
 """
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import envelopes, oscillators
+from ..ops import oscillators
 from ..utils.interp import Itp, ease, ease_select
 
 NEVER = float(2**62)
+_I32_FAR = np.int32(2**31 - 2**24)  # "never" clamp that survives int32 block offsets
 
 
 @dataclass
@@ -109,40 +109,60 @@ def _static_itp(codes):
     return None
 
 
-def voicebank_blocks_impl(origin_fix, tp0, tr0, inc_fix, amp, gains,
-                          A, H, D, R, S, skipped, top,
-                          a_codes, d_codes, r_codes,
-                          *, block_size: int, a_itp, d_itp, r_itp, out_dtype: str):
-    """Render all blocks. origin_fix: (V, n_blocks) uint32 NCO phase origins;
-    inc_fix: (V,) uint32 NCO increments; tp0/tr0: (V, n_blocks) envelope time
-    offsets. Returns (nb, B, C).
+# packed float field order
+_F_AMP, _F_A, _F_H, _F_D, _F_R, _F_S, _F_TOP, _F_SKIP = range(8)
+N_FIELDS = 8
+
+
+def voicebank_blocks_impl(fp, ip, up, gains, codes,
+                          *, block_size: int, n_blocks: int,
+                          a_itp, d_itp, r_itp, out_dtype: str):
+    """Render n_blocks blocks of block_size samples. Returns (nb, B, C).
+
+    fp:    (V, N_FIELDS) working-dtype packed per-voice floats
+    ip:    (V, 2) int32 [press, release] (clamped to +-_I32_FAR)
+    up:    (V, 2) uint32 [inc_fix, phase0_fix] NCO words
+    gains: (V, C) mix gains
+    codes: (V, 3) int32 easing codes (used when a/d/r_itp is None)
 
     Un-jitted so parallel/mesh.py can wrap it in shard_map (voice sharding).
     """
     wdt = jnp.dtype(out_dtype)
-    k = jnp.arange(block_size, dtype=wdt)
-    k_u = jnp.arange(block_size, dtype=jnp.uint32)
+    k = jnp.arange(block_size, dtype=wdt)[None, :]
+    k_u = jnp.arange(block_size, dtype=jnp.uint32)[None, :]
     nco_scale = jnp.asarray(2.0 ** -31, wdt)  # uint32 counts -> rad/pi units
 
+    press_i = ip[:, 0]
+    release_i = ip[:, 1]
+    inc_fix = up[:, 0][:, None]
+    phase0_fix = up[:, 1]
+
+    def col(i):
+        return fp[:, i][:, None]
+
+    ampE, Ae, He, De, Re, Se, topE, skipE = (
+        col(i) for i in (_F_AMP, _F_A, _F_H, _F_D, _F_R, _F_S, _F_TOP, _F_SKIP)
+    )
+    skippedE = skipE > 0.5
+    gains_w = gains.astype(wdt)
+
     def ease_a(x):
-        return ease(a_itp, x) if a_itp is not None else ease_select(a_codes[:, None], x)
+        return ease(a_itp, x) if a_itp is not None else ease_select(codes[:, 0:1], x)
 
     def ease_d(x):
-        return ease(d_itp, x) if d_itp is not None else ease_select(d_codes[:, None], x)
+        return ease(d_itp, x) if d_itp is not None else ease_select(codes[:, 1:2], x)
 
     def ease_r(x):
-        return ease(r_itp, x) if r_itp is not None else ease_select(r_codes[:, None], x)
+        return ease(r_itp, x) if r_itp is not None else ease_select(codes[:, 2:3], x)
 
-    Ae, He, De, Re, Se = (x[:, None] for x in (A, H, D, R, S))
-    topE = top[:, None]
-    skippedE = skipped[:, None]
-    ampE = amp[:, None]
-    incE = inc_fix[:, None]
-
-    def one_block(carry):
-        origin_b, tp0_b, tr0_b = carry
-        tp = tp0_b[:, None] + k[None, :]
-        trm = tr0_b[:, None] + k[None, :]  # t - release
+    def one_block(b):
+        b0_i = (b * block_size).astype(jnp.int32)
+        # int32 sample arithmetic (wraps only for the NEVER clamp, where the
+        # sign still keeps the voice inactive)
+        tp0 = (b0_i - press_i).astype(wdt)[:, None]
+        tr0 = (b0_i - release_i).astype(wdt)[:, None]
+        tp = tp0 + k
+        trm = tr0 + k  # t - release
         va = ease_a((tp + 1.0) / Ae)
         vd = 1.0 + (Se - 1.0) * ease_d((tp - Ae - He + 1.0) / jnp.maximum(De, 1.0))
         pressed = jnp.where(
@@ -154,72 +174,64 @@ def voicebank_blocks_impl(origin_fix, tp0, tr0, inc_fix, amp, gains,
             0.0,
             jnp.where(trm < 0, pressed, jnp.where(trm + 1.0 < Re, rel, 0.0)),
         )
-        # NCO: exact modular phase accumulation in uint32
-        ph_u = origin_b[:, None] + k_u[None, :] * incE
+        # exact NCO phase: ((b0 - press + 1) + k) * inc + phase0, all mod 2**32
+        b0_u = (b * block_size).astype(jnp.uint32)
+        base_u = (b0_u - press_i.astype(jnp.uint32) + jnp.uint32(1))[:, None]
+        ph_u = (base_u + k_u) * inc_fix + phase0_fix[:, None]
         phases = ph_u.astype(wdt) * nco_scale
         sig = ampE * env * oscillators.sine(phases)
-        return oscillators.mixdown(sig, gains)
+        return oscillators.mixdown(sig, gains_w)
 
-    return jax.lax.map(one_block, (origin_fix.T, tp0.T, tr0.T))
+    return jax.lax.map(one_block, jnp.arange(n_blocks))
 
 
 _voicebank_blocks = jax.jit(
     voicebank_blocks_impl,
-    static_argnames=("block_size", "a_itp", "d_itp", "r_itp", "out_dtype"),
+    static_argnames=("block_size", "n_blocks", "a_itp", "d_itp", "r_itp", "out_dtype"),
 )
 
 
 def prepare_bank_arrays(bank: VoiceBank, n_samples: int, block_size: int,
                         dtype: str = "float32"):
-    """Host-side f64 precompute shared by single-chip and sharded renderers.
+    """Host-side precompute shared by single-chip and sharded renderers.
 
-    Returns (array_args tuple for voicebank_blocks_impl, static kwargs dict,
-    n_blocks).
+    Returns (array_args tuple for voicebank_blocks_impl, static kwargs dict).
     """
-    V = bank.n_rows
-    nb = (n_samples + block_size - 1) // block_size
     A, H, D, R, S, release, skipped, top = _host_envelope_derived(bank)
 
-    # exact integer NCO setup: 2**32 counts per full circle (2 rad/pi units)
     TWO32 = 1 << 32
     inc_fix = np.round(bank.increment * (TWO32 / 2.0)).astype(np.int64) % TWO32
     phase0_fix = np.round(bank.phase0 * (TWO32 / 2.0)).astype(np.int64) % TWO32
-    press_i = bank.press.astype(np.int64)
-    b0_i = np.arange(nb, dtype=np.int64) * block_size
-    # phase of sample t is (t - press + 1) * inc + phase0, all mod 2**32, exact
-    origin_fix = (
-        (b0_i[None, :] - press_i[:, None] + 1) * inc_fix[:, None] + phase0_fix[:, None]
-    ) % TWO32
+    press_i = np.clip(bank.press, -_I32_FAR, _I32_FAR).astype(np.int64)
+    release_i = np.clip(release, -_I32_FAR, _I32_FAR).astype(np.int64)
 
-    b0 = b0_i.astype(np.float64)
-    tp0 = b0[None, :] - bank.press[:, None]
-    tr0 = b0[None, :] - release[:, None]
-    # clamp far-out offsets so f32 keeps sign + comparisons exact
-    LIM = 1e12
-    tp0 = np.clip(tp0, -LIM, LIM)
-    tr0 = np.clip(tr0, -LIM, LIM)
-
-    cast = lambda x: jnp.asarray(np.asarray(x, np.dtype(dtype)))
-    codes = lambda c: jnp.asarray(np.broadcast_to(np.asarray(c, np.int32), (V,)))
+    fp = np.stack(
+        [bank.amp, A, H, D, R, S, top, skipped.astype(np.float64)], axis=1
+    ).astype(np.dtype(dtype))
+    ip = np.stack([press_i, release_i], axis=1).astype(np.int32)
+    up = np.stack([inc_fix, phase0_fix], axis=1).astype(np.uint32)
+    codes3 = np.stack(
+        [np.broadcast_to(np.asarray(c, np.int32), (bank.n_rows,))
+         for c in (bank.attack_itp, bank.decay_itp, bank.release_itp)], axis=1
+    )
     args = (
-        jnp.asarray(origin_fix.astype(np.uint32)), cast(tp0), cast(tr0),
-        jnp.asarray(inc_fix.astype(np.uint32)), cast(bank.amp),
-        cast(bank.gains), cast(A), cast(H), cast(D), cast(R), cast(S),
-        jnp.asarray(skipped), cast(top),
-        codes(bank.attack_itp), codes(bank.decay_itp), codes(bank.release_itp),
+        jnp.asarray(fp), jnp.asarray(ip), jnp.asarray(up),
+        jnp.asarray(bank.gains, np.dtype(dtype)), jnp.asarray(codes3),
     )
     statics = dict(
         block_size=block_size,
+        n_blocks=(n_samples + block_size - 1) // block_size,
         a_itp=_static_itp(bank.attack_itp),
         d_itp=_static_itp(bank.decay_itp),
         r_itp=_static_itp(bank.release_itp),
     )
-    return args, statics, nb
+    return args, statics
 
 
 def render_bank(bank: VoiceBank, n_samples: int, *, block_size: int = 32768,
                 dtype: str = "float32") -> np.ndarray:
     """Offline render of a VoiceBank -> (n_samples, C) numpy array."""
-    args, statics, nb = prepare_bank_arrays(bank, n_samples, block_size, dtype)
+    args, statics = prepare_bank_arrays(bank, n_samples, block_size, dtype)
     out = _voicebank_blocks(*args, out_dtype=dtype, **statics)
+    nb = statics["n_blocks"]
     return np.asarray(out).reshape(nb * block_size, -1)[:n_samples]

@@ -50,8 +50,7 @@ def pad_voice_axis(schedule: NoteSchedule, multiple: int) -> NoteSchedule:
     )
 
 
-def make_sharded_renderer(mesh: Mesh, *, block_size: int, dtype: str,
-                          a_itp, d_itp, r_itp):
+def make_sharded_renderer(mesh: Mesh, *, dtype: str, **statics):
     """Jitted voice-bank renderer with the voice axis sharded over mesh axis 'v'.
 
     Takes the arrays produced by voicebank.prepare_bank_arrays; returns the
@@ -59,13 +58,10 @@ def make_sharded_renderer(mesh: Mesh, *, block_size: int, dtype: str,
     """
 
     def shard_fn(*args):
-        partial = voicebank.voicebank_blocks_impl(
-            *args, block_size=block_size, a_itp=a_itp, d_itp=d_itp, r_itp=r_itp,
-            out_dtype=dtype,
-        )
+        partial = voicebank.voicebank_blocks_impl(*args, out_dtype=dtype, **statics)
         return jax.lax.psum(partial, "v")
 
-    in_specs = tuple([P("v")] * 16)
+    in_specs = tuple([P("v")] * 5)
     fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=in_specs, out_specs=P())
     return jax.jit(fn)
 
@@ -76,12 +72,10 @@ def render_bank_sharded(bank: voicebank.VoiceBank, n_samples: int, *,
     """Multi-chip version of voicebank.render_bank."""
     if mesh is None:
         mesh = default_mesh()
-    args, statics, nb = voicebank.prepare_bank_arrays(bank, n_samples, block_size, dtype)
-    fn = make_sharded_renderer(
-        mesh, block_size=block_size, dtype=dtype,
-        a_itp=statics["a_itp"], d_itp=statics["d_itp"], r_itp=statics["r_itp"],
-    )
+    args, statics = voicebank.prepare_bank_arrays(bank, n_samples, block_size, dtype)
+    fn = make_sharded_renderer(mesh, dtype=dtype, **statics)
     out = fn(*args)
+    nb = statics["n_blocks"]
     return np.asarray(out).reshape(nb * block_size, -1)[:n_samples]
 
 
