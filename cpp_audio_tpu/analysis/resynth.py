@@ -1,0 +1,211 @@
+"""Offline analysis -> resynthesis pipeline (BASELINE config 4).
+
+Mirrors RtResynth's analysis flow (source/rt.resynth.lib.cpp:1624-1759) in
+offline form: the input is framed into sliding Gaussian windows (window
+0.1814 s, stride 0.09 s defaults, rt.resynth.lib.cpp:945-946), every window's
+sqmag spectrum and peaks are computed batched on the device (ops/stft.py),
+then the host pitch pipeline (analysis/pitch.py) tracks notes across frames
+and the tracked notes render through the control-rate voice bank
+(models/resynth_bank.py).
+
+Event timing matches the reference: analysis result r is available when the
+window ending at sample W + r*stride is full, and its NoteOn/Change/Off apply
+from that sample on (PeriodicFFT::feed/onFullBuffer,
+rt.resynth.lib.periodicfft.cpp:55-180).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..models import resynth_bank
+from ..ops import envelopes, stft
+from ..utils import wav as wavio
+from ..utils.interp import Itp
+from ..utils.midi import Midi
+from . import autotune as at
+from . import pitch as pp
+
+# reference reduceUnadjustedVolumes (include/audioelement.h:1270); analysis
+# volumes are divided by it when playing notes (rt.resynth.lib.cpp:322-324)
+REDUCE_UNADJUSTED_VOLUMES = 0.1
+
+
+@dataclass
+class ResynthConfig:
+    sample_rate: int = 44100
+    window_size_seconds: float = 0.1814
+    window_center_stride_seconds: float = 0.09
+    min_volume: float = 0.0001
+    nearby_distance_tones: float = 0.4
+    max_track_pitches: float = 1.0
+    pitch_shift_pre_autotune: float = 0.0
+    pitch_shift_post_autotune: float = 0.0
+    pitch_harmonize_pre_autotune: float = 0.0
+    pitch_harmonize_post_autotune: float = 0.0
+    stereo_spread: float = 1.0
+    analysis_volume: float = 1.0
+    pitch_method: pp.PitchReductionMethod = pp.PitchReductionMethod.PONDERATE_BY_VOLUME
+    volume_method: pp.VolumeReductionMethod = pp.VolumeReductionMethod.SUM_VOLUMES
+    # autotune
+    use_autotune: bool = False
+    autotune_max_pitch: float = 150.0
+    autotune_tolerance_pitches: float = 100.0
+    autotune_kwargs: dict = field(default_factory=dict)
+    # envelope (defaults rt.resynth.lib.cpp:957-961)
+    env_attack_seconds: float = 0.0
+    env_hold_seconds: float = 0.0
+    env_decay_seconds: float = 0.0
+    env_release_seconds: float = 0.0
+    env_sustain_level: float = 1.0
+    max_voices: int = 127
+    dtype: str = "float32"
+    seed: int = 0
+
+    @property
+    def window_size(self) -> int:
+        # even window size (getEvenWindowSizeFrames)
+        w = int(0.5 + self.window_size_seconds * self.sample_rate)
+        return w + (w % 2)
+
+    @property
+    def stride(self) -> int:
+        return max(1, int(0.5 + self.window_center_stride_seconds * self.sample_rate))
+
+
+@dataclass
+class AnalysisFrameResult:
+    """What the analysis produced at one stride (for observability/UI)."""
+
+    frame_idx: int
+    pitches: list
+    note_on: int = 0
+    note_change: int = 0
+    note_off: int = 0
+    dropped: int = 0
+
+
+def analyze(signal, config: ResynthConfig):
+    """signal (mono) -> per-frame [(freq, mag_db)] peak lists."""
+    window = stft.gaussian_window(config.window_size, sigmas=4.0)
+    sq = stft.stft_sqmag(np.asarray(signal, np.float64), window, config.stride)
+    fft_len = stft.fft_length_for(config.window_size)
+    is_peak, freq, mag = stft.extract_local_max_freqs_mags(sq, config.sample_rate, fft_len)
+    return stft.peaks_to_lists(is_peak, freq, mag)
+
+
+def track(peaks_per_frame, config: ResynthConfig):
+    """Run the pitch pipeline + tracking; returns (tracked_notes, frame_stats,
+    n_dropped_noteon)."""
+    midi = Midi()
+    autotune_fn = at.mk_autotune_function(
+        use_autotune=config.use_autotune, **config.autotune_kwargs
+    )
+    rng = np.random.default_rng(config.seed)
+
+    played: list[pp.PlayedNote] = []
+    voices: dict[int, resynth_bank.TrackedNote] = {}
+    next_noteid = 0
+    dropped_note_on = 0
+    stats = []
+
+    for frame_idx, freqmags in enumerate(peaks_per_frame):
+        pvs = pp.frequencies_to_pitches(midi, freqmags)
+        intervals = pp.aggregate_pitches(config.nearby_distance_tones, pvs)
+        reduced = pp.reduce_pitches(config.pitch_method, config.volume_method,
+                                    config.min_volume, intervals)
+        pp.shift_pitches(config.pitch_shift_pre_autotune, reduced)
+        reduced = pp.harmonize_pitches(config.pitch_harmonize_pre_autotune, reduced)
+        tuned = pp.autotune_pitches(config.autotune_max_pitch,
+                                    config.autotune_tolerance_pitches,
+                                    autotune_fn, reduced)
+        pp.shift_pitches(config.pitch_shift_post_autotune, tuned)
+        tuned = pp.harmonize_pitches(config.pitch_harmonize_post_autotune, tuned)
+        pitch_changes, continue_playing = pp.track_pitches(
+            config.max_track_pitches, tuned, played
+        )
+        order = pp.order_pitches_by_perceived_loudness(tuned)
+
+        st = AnalysisFrameResult(frame_idx, [(p.midipitch, p.volume) for p in tuned])
+
+        # note offs
+        for j, cont in enumerate(continue_playing):
+            if not cont:
+                voices[played[j].noteid].release_frame = frame_idx
+                st.note_off += 1
+
+        # note changes / ons, loudest first (synthesize_sounds,
+        # rt.resynth.lib.cpp:265-382)
+        active = sum(continue_playing)
+        for idx in order:
+            pv = tuned[idx]
+            new_freq = float(midi.midi_pitch_to_freq(pv.midipitch))
+            # reference: volume = gain * pv.volume / reduceUnadjustedVolumes
+            # (rt.resynth.lib.cpp:322-324), then NoteOn multiplies by
+            # baseVolume = reduceUnadjustedVolumes (gen.crtp.h:425) — the two
+            # cancel, so the rendered amplitude is gain * pv.volume.
+            volume = config.analysis_volume * pv.volume
+            pc = pitch_changes[idx]
+            if pc is not None:
+                note = played[pc]
+                voices[note.noteid].frames.append((frame_idx, new_freq, volume))
+                note.midi_pitch = pv.midipitch
+                note.cur_freq = new_freq
+                note.cur_velocity = volume
+                st.note_change += 1
+            else:
+                if volume <= 0:
+                    continue
+                if active >= config.max_voices:
+                    dropped_note_on += 1
+                    st.dropped += 1
+                    continue
+                next_noteid += 1
+                active += 1
+                pan = config.stereo_spread * rng.uniform(-1.0, 1.0)
+                voices[next_noteid] = resynth_bank.TrackedNote(
+                    frames=[(frame_idx, new_freq, volume)], pan=pan
+                )
+                played.append(pp.PlayedNote(frame_idx, next_noteid, pv.midipitch,
+                                            new_freq, volume))
+                st.note_on += 1
+
+        played = pp.remove_dead_notes(continue_playing, played)
+        pp.sort_by_current_pitch(played)
+        stats.append(st)
+
+    return list(voices.values()), stats, dropped_note_on
+
+
+def resynthesize(signal, config: ResynthConfig) -> np.ndarray:
+    """Full offline chain: mono signal -> stereo resynthesis."""
+    peaks = analyze(signal, config)
+    notes, _stats, _dropped = track(peaks, config)
+    n_frames = len(peaks)
+    sr = config.sample_rate
+    s2f = lambda s: int(0.5 + 1000.0 * s * sr / 1000.0)  # seconds -> frames
+    ahdsr = envelopes.AHDSR(
+        attack=int(0.5 + config.env_attack_seconds * sr), attack_itp=int(Itp.LINEAR),
+        hold=int(0.5 + config.env_hold_seconds * sr),
+        decay=int(0.5 + config.env_decay_seconds * sr), decay_itp=int(Itp.LINEAR),
+        release=int(0.5 + config.env_release_seconds * sr), release_itp=int(Itp.LINEAR),
+        sustain=config.env_sustain_level,
+    )
+    rcfg = resynth_bank.TrackedRenderConfig(
+        sample_rate=sr, stride=config.stride, start_sample=config.window_size,
+        ahdsr=ahdsr, dtype=config.dtype,
+    )
+    return resynth_bank.render_tracked(notes, n_frames, rcfg)
+
+
+def resynth_wav(in_path, out_path, config: ResynthConfig | None = None) -> np.ndarray:
+    """WAV -> analysis -> resynthesis -> WAV (the `resynth` app scheme)."""
+    data, sr = wavio.read_wav(in_path)
+    mono = data.mean(axis=1)
+    config = config or ResynthConfig()
+    config.sample_rate = sr
+    out = resynthesize(mono, config)
+    wavio.write_wav(out_path, out, sr)
+    return out

@@ -1,0 +1,133 @@
+"""Framed STFT + spectral peak extraction — batched over all frames at once.
+
+The reference's PeriodicFFT feeds one sample at a time into a sliding window
+and runs one FFT per stride on the analysis thread
+(source/rt.resynth.lib.periodicfft.cpp:14-181, windowing at :252-325).
+Offline on TPU there is no recurrence between frames: every window is sliced
+from the signal by its start index and ALL frames FFT together as one batched
+rfft — embarrassingly parallel.
+
+Window: half-Gaussian of `sigmas`=4 mirrored to a symmetric even-length
+window (half_gaussian_window usage at rt.resynth.lib.periodicfft.cpp:288-293),
+or rectangular.
+
+Peak extraction (`extractLocalMaxFreqsMags` / findFrequenciesSqMag from
+cpp.algorithms, called at source/rt.resynth.lib.cpp:1591-1596): local maxima
+of the squared-magnitude spectrum, refined with quadratic interpolation of the
+dB values (QIFFT) to sub-bin frequency accuracy.
+
+Normalization: the window is scaled so that a full-scale unit-amplitude sine
+at a bin center yields squared magnitude 1 (0 dB) — making `DbToMag(mag_db)`
+(rt.resynth.lib.algo.cpp:22-26) directly the sine's amplitude, which is what
+resynthesis plays back.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def half_gaussian_window(sigmas: float, half_size: int) -> np.ndarray:
+    """Right half of a Gaussian window covering `sigmas` standard deviations."""
+    i = np.arange(half_size, dtype=np.float64)
+    x = sigmas * (i + 0.5) / half_size
+    return np.exp(-0.5 * x * x)
+
+
+def gaussian_window(window_size: int, sigmas: float = 4.0) -> np.ndarray:
+    """Symmetric even-length Gaussian analysis window (reference default)."""
+    assert window_size % 2 == 0
+    half = half_gaussian_window(sigmas, window_size // 2)
+    return np.concatenate([half[::-1], half])
+
+
+def rectangular_window(window_size: int) -> np.ndarray:
+    return np.ones(window_size, dtype=np.float64)
+
+
+def fft_length_for(window_size: int, zero_padding_factor: int = 1) -> int:
+    """Smallest power of two >= window_size * zero_padding_factor."""
+    n = 1
+    target = window_size * zero_padding_factor
+    while n < target:
+        n *= 2
+    return n
+
+
+@functools.partial(jax.jit, static_argnames=("window_size", "stride", "fft_length"))
+def _stft_sqmag(signal, window, *, window_size: int, stride: int, fft_length: int):
+    n = signal.shape[0]
+    n_frames = max(0, (n - window_size) // stride + 1)
+    starts = jnp.arange(n_frames) * stride
+    idx = starts[:, None] + jnp.arange(window_size)[None, :]
+    frames = signal[idx] * window[None, :]
+    spec = jnp.fft.rfft(frames, n=fft_length)
+    # scale so a unit sine at a bin center gives sqmag 1
+    scale = 2.0 / jnp.sum(window)
+    return jnp.abs(spec) ** 2 * scale**2
+
+
+def stft_sqmag(signal, window, stride: int, zero_padding_factor: int = 1):
+    """(n_frames, n_bins) squared magnitudes. Frame f covers
+    [f*stride, f*stride + len(window))."""
+    signal = jnp.asarray(signal)
+    window = jnp.asarray(window, signal.dtype)
+    ws = int(window.shape[0])
+    return _stft_sqmag(
+        signal, window,
+        window_size=ws, stride=int(stride),
+        fft_length=fft_length_for(ws, zero_padding_factor),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("sample_rate", "fft_length"))
+def _peaks(sqmag, *, sample_rate: int, fft_length: int):
+    eps = 1e-30
+    db = 10.0 * jnp.log10(jnp.maximum(sqmag, eps))
+    prev = jnp.concatenate([jnp.full_like(db[..., :1], -600.0), db[..., :-1]], axis=-1)
+    nxt = jnp.concatenate([db[..., 1:], jnp.full_like(db[..., :1], -600.0)], axis=-1)
+    is_peak = (db > prev) & (db >= nxt) & (sqmag > eps)
+    # QIFFT: parabola through (prev, db, next) in dB
+    denom = prev - 2.0 * db + nxt
+    delta = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (prev - nxt) / denom, 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    bins = jnp.arange(db.shape[-1], dtype=db.dtype)
+    freq = (bins[None, :] + delta) * (sample_rate / fft_length)
+    mag_db = db - 0.25 * (prev - nxt) * delta
+    return is_peak, freq, mag_db
+
+
+def extract_local_max_freqs_mags(sqmag, sample_rate: int, fft_length: int,
+                                 min_db: float = -200.0):
+    """Batched spectral peak extraction.
+
+    Returns (is_peak, freq, mag_db) arrays shaped like sqmag; a host consumer
+    filters by the mask. Peaks at DC/Nyquist edges are suppressed by the
+    -600 dB sentinels.
+    """
+    is_peak, freq, mag_db = _peaks(
+        jnp.asarray(sqmag), sample_rate=sample_rate, fft_length=fft_length
+    )
+    is_peak = is_peak & (mag_db > min_db)
+    return is_peak, freq, mag_db
+
+
+def peaks_to_lists(is_peak, freq, mag_db) -> list[list[tuple[float, float]]]:
+    """Host conversion: per-frame sorted [(freq, mag_db), ...] lists."""
+    is_peak = np.asarray(is_peak)
+    freq = np.asarray(freq)
+    mag_db = np.asarray(mag_db)
+    out = []
+    for f in range(is_peak.shape[0]):
+        sel = is_peak[f]
+        out.append(list(zip(freq[f][sel].tolist(), mag_db[f][sel].tolist())))
+    return out
+
+
+def db_to_mag(db):
+    """DbToMag (rt.resynth.lib.algo.cpp:22-26)."""
+    return 10.0 ** (np.asarray(db) / 20.0)
