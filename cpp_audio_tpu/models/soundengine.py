@@ -1,0 +1,411 @@
+"""Procedural SoundEngine: Markov-driven ramp specs -> batched spec renderer.
+
+Reference: include/soundengine.h. A note triggers a Markov-chain walk whose
+node lambdas emit up to 30 "ramp specs" (soundengine.h:1035-1120) — frequency
+glides with volume and articulation — which the engine then plays through 3
+rotating enveloped ramps, one spec after another, with equal-gain crossfades
+(attack/release = xfade_len; playNextSpec, soundengine.h:776-803) and optional
+articulative silence between specs (orchestrate_algos, soundengine.h:744-774).
+
+TPU-native split:
+  HOST  — the Markov walk and spec scheduling (the reference also runs this
+          off the real-time path, at note setup: gen.voice.h:999-1034). Output
+          is a dense spec table with absolute start/release times.
+  DEVICE— all specs render in parallel as rows of a (specs, L) tile: the
+          LogRamp trajectory has a closed form (the
+          PROPORTIONAL_VALUE_DERIVATIVE stepping solves ds/dt = C*f(s), an
+          exponential in s — LogRamp, include/audioelement.h:2464-2572), the
+          phase is a cumsum, the equal-loudness volume is a table lookup, and
+          the per-spec xfade envelope is the standard closed form. Spec
+          segments scatter-add into the output timeline.
+
+Modes BIRDS / ROBOTS / SWEEP use this renderer; WIND (noise-driven filter
+textures) lives in models/wind.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import oscillators
+from ..utils import loudness
+from ..utils.convert import freq_to_angle_increment, ms_to_frames
+from ..utils.interp import ease_select
+from ..utils.markov import MarkovChain, MarkovMove
+from ..utils.midi import Midi
+from .voice_presets import FreqXfade, Mode, VoiceProgram
+
+INT_MAX_HALF = 2**30
+
+
+@dataclass
+class RampSpec:
+    from_inc: float
+    to_inc: float
+    duration: float      # samples (value-trajectory duration D)
+    start_sample: float  # s0 offset into the trajectory
+    itp: int
+    volume: float = 1.0
+    silence_follows: bool = True
+
+
+class _SpecBuilder:
+    """Mirrors SoundEngine::play + RampSpecs build (soundengine.h:497-562)."""
+
+    N_SPECS = 30
+
+    def __init__(self, engine):
+        self.e = engine
+        self.specs: list[RampSpec] = []
+        self.state_freq = 0.0
+        self.state_factor = 0.0
+
+    def next_slot(self) -> bool:
+        return len(self.specs) < self.N_SPECS
+
+    def play(self, length, freq1, freq2, freq_scatter):
+        e = self.e
+        length = length * 2.0 ** e.rng.uniform(e.min_exp, e.max_exp)
+        n_frames = float(ms_to_frames(length, e.sample_rate))
+        if n_frames <= 0:
+            return
+        if not self.next_slot():
+            return
+        current = self.specs[-1] if self.specs else None
+        if self.state_freq == freq1:
+            pass  # reuse previous scatter when base value repeats
+        else:
+            scatter = 1.0 + freq_scatter
+            self.state_factor = e.rng.uniform(1.0 / scatter, scatter)
+        self.state_freq = freq2
+        freq1 = freq1 * self.state_factor
+        freq2 = freq2 * self.state_factor
+
+        spec = RampSpec(
+            from_inc=freq_to_angle_increment(freq1, e.sample_rate),
+            to_inc=freq_to_angle_increment(freq2, e.sample_rate),
+            duration=n_frames, start_sample=0.0, itp=e.interpolation,
+            volume=1.0, silence_follows=True,
+        )
+        self.specs.append(spec)
+        if e.xfade_freq is FreqXfade.NO:
+            return
+        if current is not None:
+            from_inc = current.to_inc
+            to_inc = spec.from_inc
+            diff = from_inc - to_inc
+            if e.xfade_freq is FreqXfade.ALL or diff:
+                if self.next_slot():
+                    # move the new spec one later; insert a transition
+                    if from_inc == to_inc:
+                        from_inc *= 1.00001  # make the ramp non-trivial
+                    trans = RampSpec(
+                        from_inc=from_inc, to_inc=to_inc, duration=float(e.freq_xfade),
+                        start_sample=0.0, itp=e.freq_interpolation, volume=1.0,
+                        silence_follows=True,
+                    )
+                    self.specs.insert(len(self.specs) - 1, trans)
+                else:
+                    self.specs.pop()
+
+    def emit(self, from_f, to_f, n_frames, start_ratio, itp, volume, silence):
+        if not self.next_slot():
+            return
+        e = self.e
+        self.specs.append(RampSpec(
+            from_inc=freq_to_angle_increment(from_f, e.sample_rate),
+            to_inc=freq_to_angle_increment(to_f, e.sample_rate),
+            duration=n_frames, start_sample=start_ratio * n_frames, itp=itp,
+            volume=volume, silence_follows=silence,
+        ))
+
+
+class SoundEngineScheduler:
+    """Host-side SoundEngine state + markov graphs (soundengine.h:565-1003)."""
+
+    def __init__(self, program: VoiceProgram, sample_rate: int, base_freq: float,
+                 seed: int = 1):
+        p = program
+        self.program = p
+        self.sample_rate = sample_rate
+        self.base_freq = base_freq
+        self.rng = np.random.default_rng(seed)
+        self.midi = Midi()
+        ex = p.length_exponent
+        var = p.length_exponent_scatter
+        if p.mode is Mode.SWEEP:
+            self.min_exp = self.max_exp = ex
+        else:
+            self.min_exp = ex * (1.0 - var)
+            self.max_exp = ex * (1.0 + var)
+        self.length = p.length_ms
+        self.interpolation = p.interpolation
+        self.freq_interpolation = p.freq_interpolation
+        self.xfade_freq = p.xfade_freq
+        self.xfade_len = int(0.5 + p.xfade_seconds * sample_rate)
+        self.freq_xfade = int(0.5 + p.freq_transition_seconds * sample_rate)
+        self.pause_len = int(0.5 + p.articulative_pause_seconds * sample_rate)
+        self.phase_ratio1 = p.phase_ratio1
+        self.phase_ratio2 = p.phase_ratio2
+
+    def _rand01(self) -> float:
+        return float(self.rng.uniform(0.0, 1.0))
+
+    def build_specs(self) -> list[RampSpec]:
+        p = self.program
+        b = _SpecBuilder(self)
+        if p.mode is Mode.BIRDS:
+            mc = self._create_birds(b)
+        elif p.mode is Mode.ROBOTS:
+            mc = self._create_robot(b)
+        elif p.mode is Mode.SWEEP:
+            mc = self._create_sweep(b)
+        else:
+            raise ValueError("WIND mode renders via models/wind.py")
+        mc.initialize(p.start_node if p.mode is not Mode.SWEEP else 0)
+        for _ in range(p.pre_tries):
+            mc.step_normalized(self._rand01(), execute=False)
+        for _ in range(p.min_path_length):
+            mc.step_normalized(self._rand01(), execute=True)
+        for _ in range(p.additional_tries):
+            mc.step(self._rand01(), execute=True)
+        return b.specs
+
+    # --- markov graphs (soundengine.h:565-736) ---
+
+    def _create_birds(self, b: _SpecBuilder) -> MarkovChain:
+        mc = MarkovChain()
+        f = self.base_freq
+        sc = self.program.freq_scatter
+        n1 = mc.emplace(lambda m, me, o: None)
+
+        def node2(m, me, o):
+            if m is MarkovMove.ENTER_NODE:
+                b.play(self.length, f * 4, f * 3, sc)
+            else:
+                b.play(self.length, f * 2, f * 4, sc)
+
+        n2 = mc.emplace(node2)
+
+        def node3(m, me, o):
+            if m is MarkovMove.ENTER_NODE:
+                b.play(self.length, f * 4, f * 3, sc)
+
+        n3 = mc.emplace(node3)
+        mc.def_transition(n1, n2, 0.5)
+        mc.def_transition(n2, n1, 0.015)
+        mc.def_transition(n1, n3, 0.5)
+        mc.def_transition(n3, n1, 0.015)
+        mc.def_transition(n3, n2, 0.885)
+        return mc
+
+    def _rand_frames(self, scale: float = 1.0) -> float:
+        length = scale * self.length * 2.0 ** self.rng.uniform(self.min_exp, self.max_exp)
+        return float(ms_to_frames(length, self.sample_rate))
+
+    def _create_robot(self, b: _SpecBuilder) -> MarkovChain:
+        p = self.program
+        # initialize_robot randomization (soundengine.h:926-961)
+        scatter = 1.0 + p.freq_scatter
+        f1 = self.rng.uniform(self.base_freq / scatter, self.base_freq * scatter)
+        detune = 0.985
+        f2 = self.rng.uniform(f1 * detune, f1 / detune)
+        vol1 = vol2 = 1.0
+        har_att = min(max(p.harmonic_attenuation, 0.0), 0.99)
+        if not self.rng.integers(0, 2):
+            f1 = self.midi.transpose_frequency(f1, p.d1)
+            vol1 = har_att**p.d1
+        else:
+            f2 = self.midi.transpose_frequency(f2, p.d2)
+            vol2 = har_att**p.d2
+        itp = self.interpolation
+        pr1 = self.phase_ratio1
+        mc = MarkovChain()
+
+        def node0(m, me, o):
+            if m is MarkovMove.LEAVE_NODE:
+                n = self._rand_frames()
+                b.emit(f1, f1, n, pr1, itp, vol1, False)
+                b.emit(f2, f2, n, pr1, itp, vol2, True)
+
+        def node2(m, me, o):
+            if m is MarkovMove.ENTER_NODE:
+                n = self._rand_frames()
+                b.emit(f2, f2, n, pr1, itp, vol2, True)
+                b.emit(self.midi.transpose_frequency(f2, 2),
+                       self.midi.transpose_frequency(f2, 2), n, pr1, itp, vol2, True)
+                b.emit(self.midi.transpose_frequency(f2, 4),
+                       self.midi.transpose_frequency(f2, 4), n, pr1, itp, vol2, True)
+
+        def node3(m, me, o):
+            if m is MarkovMove.ENTER_NODE:
+                n = self._rand_frames(scale=2.0)
+                b.emit(f2, f1, n, pr1, itp, min(vol1, vol2), True)
+
+        i0 = mc.emplace(node0)
+        i1 = mc.emplace(lambda m, me, o: None)
+        i2 = mc.emplace(node2)
+        i3 = mc.emplace(node3)
+        mc.def_transition(i0, i1, 1.0)
+        mc.def_transition(i1, i2, 0.2)
+        mc.def_transition(i2, i1, 0.1)
+        mc.def_transition(i1, i3, 0.2)
+        mc.def_transition(i3, i1, 1.0)
+        return mc
+
+    def _create_sweep(self, b: _SpecBuilder) -> MarkovChain:
+        p = self.program
+        itp = self.interpolation
+        pr1 = self.phase_ratio1
+        mc = MarkovChain()
+
+        def node0(m, me, o):
+            if m is MarkovMove.LEAVE_NODE:
+                n = self._rand_frames()
+                b.emit(p.low_freq, p.high_freq, n, pr1, itp, 1.0, True)
+
+        i0 = mc.emplace(node0)
+        i1 = mc.emplace(lambda m, me, o: None)
+        mc.def_transition(i0, i1, 1.0)
+        return mc
+
+    def timeline(self, specs: list[RampSpec]) -> list[tuple[RampSpec, int, int]]:
+        """(spec, t_press, t_release) — sequential spec playback with
+        articulative pauses (orchestrate_algos, soundengine.h:744-803)."""
+        out = []
+        t = 0
+        for spec in specs:
+            dur = int(0.5 + spec.duration)
+            time_to_release = max(dur - self.xfade_len, 0)
+            release = t + time_to_release
+            out.append((spec, t, release))
+            t = release + (self.pause_len if spec.silence_follows else 0)
+        return out
+
+
+# ---- device renderer ----
+
+def _loudness_lut(low_index: int, log_ratio: float, level: float, sample_rate: int,
+                  n: int = 512):
+    """Equal-loudness volume as a dense lookup over log2(increment)."""
+    log2_inc = np.linspace(-18.0, 1.0, n)  # inc 4e-6 .. 2 (rad/pi)
+    freqs = (2.0**log2_inc) * 0.5 * sample_rate
+    vols = np.asarray(loudness.equal_loudness_volume_from_freq(
+        freqs, low_index=low_index, log_ratio=log_ratio, level=level))
+    return log2_inc[0], log2_inc[1] - log2_inc[0], vols.astype(np.float64)
+
+
+@functools.partial(jax.jit, static_argnames=("L", "T", "n_channels", "dtype"))
+def _render_specs(fp, itp_codes, gains, t0, lut, lut_lo, lut_step,
+                  *, L: int, T: int, n_channels: int, dtype: str):
+    """fp: (V, 10) packed [from, to, D, s0, vol, A, R, rl, active_len, amp]
+    Renders all specs on a local (V, L) grid and scatter-adds into (T, C)."""
+    wdt = jnp.dtype(dtype)
+    k = jnp.arange(L, dtype=wdt)[None, :]
+    frm, to, D, s0, vol, A, R, rl, act, amp = (fp[:, i][:, None] for i in range(10))
+
+    # trajectory: s(t) closed form of ds/dt = C*(from + g*(s+0.5))
+    g = (to - frm) / D
+    same = jnp.abs(to - frm) < 1e-12 * jnp.abs(frm)
+    lam = jnp.where(same, 0.0, jnp.log(jnp.maximum(to, 1e-30) / jnp.maximum(frm, 1e-30)) / D)
+    u0 = jnp.where(same, 0.0, frm / jnp.where(same, 1.0, g) + 0.5 + s0)
+    uD = jnp.where(same, 1.0, to / jnp.where(same, 1.0, g) + 0.5)
+    s = u0 * jnp.exp(lam * k) - (u0 - s0)
+    # first-leg end time; later legs ping-pong with period ~D
+    T1 = jnp.where(same, D, jnp.log(jnp.maximum(uD / jnp.maximum(u0, 1e-30), 1e-30))
+                   / jnp.where(same, 1.0, lam))
+    in_leg1 = k <= T1
+    # ping-pong progress after leg 1 (approximate: legs take D samples each)
+    k2 = (k - T1) / D
+    cyc = jnp.floor(k2)
+    fr2 = k2 - cyc
+    backward = jnp.mod(cyc, 2.0) < 0.5  # first post-leg is the backward leg
+    p_pp = jnp.where(backward, 1.0 - fr2, fr2)
+    progress = jnp.where(in_leg1, jnp.clip(s / D, 0.0, 1.0), jnp.clip(p_pp, 0.0, 1.0))
+    value = frm + (to - frm) * ease_select(itp_codes[:, None], progress)
+    inc = jnp.where(same, frm, value)
+
+    # phase: cumulative sum of increments (exact trajectory integral)
+    phase = oscillators.wrap_phase(jnp.cumsum(inc, axis=1))
+
+    # equal-loudness volume lookup on log2(inc)
+    idx = jnp.clip((jnp.log2(jnp.maximum(inc, 1e-9)) - lut_lo) / lut_step,
+                   0.0, lut.shape[0] - 1.001)
+    i0 = idx.astype(jnp.int32)
+    fracl = idx - i0
+    lvol = lut[i0] * (1.0 - fracl) + lut[i0 + 1] * fracl
+
+    # xfade envelope: linear attack A from k=0, linear release R at rl
+    env_a = jnp.clip((k + 1.0) / A, 0.0, 1.0)
+    top = jnp.clip(rl / A, 0.0, 1.0)
+    env = jnp.where(
+        k < rl, env_a,
+        top * (1.0 - jnp.clip((k - rl + 1.0) / R, 0.0, 1.0)),
+    )
+    active = k < act
+
+    sig = jnp.where(active, amp * vol * lvol * env
+                    * oscillators.freq_aliasing_multiplicator(inc)
+                    * oscillators.sine(phase), 0.0)
+    seg = jnp.einsum("vl,vc->vlc", sig, gains.astype(wdt))
+
+    out = jnp.zeros((T, n_channels), wdt)
+    tidx = jnp.clip(t0[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :], 0, T - 1)
+    return out.at[tidx].add(seg)
+
+
+def render_program(program: VoiceProgram, base_freq: float, n_samples: int,
+                   sample_rate: int = 44100, *, seed: int = 1, velocity: float = 1.0,
+                   pan: float | None = None, n_channels: int = 2,
+                   dtype: str = "float32") -> np.ndarray:
+    """Render one SoundEngine note (the `birds` app path) to (n_samples, C)."""
+    sched = SoundEngineScheduler(program, sample_rate, base_freq, seed=seed)
+    specs = sched.build_specs()
+    if not specs:
+        return np.zeros((n_samples, n_channels))
+    timeline = sched.timeline(specs)
+
+    sr = sample_rate
+    min_dt = sr / 1000.0
+    V = len(timeline)
+    rows = np.zeros((V, 10))
+    codes = np.zeros(V, np.int32)
+    t0 = np.zeros(V, np.int32)
+    for i, (spec, press, release) in enumerate(timeline):
+        D = spec.duration
+        min_change = 2.5 * 2.0 / max(min(spec.from_inc, spec.to_inc), 1e-9)
+        A = max(sched.xfade_len, min_dt, min_change, 1.0)
+        R = max(sched.xfade_len, min_dt, min_change, 1.0)
+        rl = max(release - press, 0)
+        act = rl + R
+        rows[i] = [spec.from_inc, spec.to_inc, max(D, 1.0), spec.start_sample,
+                   spec.volume, A, R, rl, act, velocity]
+        codes[i] = spec.itp
+        t0[i] = press
+    L = int(2 ** np.ceil(np.log2(max(rows[:, 8].max() + 1, 256))))
+
+    p = program
+    if pan is None:
+        pan = float(sched.rng.uniform(-1.0, 1.0))
+    th = 0.25 * np.pi * (pan + 1.0)
+    gains = np.tile(np.array([[np.cos(th), np.sin(th)]])[:, :n_channels], (V, 1))
+    if n_channels == 1:
+        gains = np.ones((V, 1))
+    gains *= p.sine_gain * p.gain
+
+    lut_lo, lut_step, lut = _loudness_lut(
+        p.loudness_ref_freq_index, p.loudness_compensation, p.loudness_level, sr
+    )
+    dt = np.dtype(dtype)
+    out = _render_specs(
+        jnp.asarray(rows, dt), jnp.asarray(codes), jnp.asarray(gains, dt),
+        jnp.asarray(t0), jnp.asarray(lut, dt), jnp.asarray(lut_lo, dt),
+        jnp.asarray(lut_step, dt),
+        L=L, T=n_samples, n_channels=n_channels, dtype=dtype,
+    )
+    return np.asarray(out)

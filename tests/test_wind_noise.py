@@ -1,0 +1,98 @@
+"""Noise tables and WIND mode tests."""
+
+import numpy as np
+import pytest
+
+from cpp_audio_tpu.models import wind
+from cpp_audio_tpu.models import voice_presets as vp
+from cpp_audio_tpu.ops import noise
+
+
+class TestNoiseTables:
+    def test_white_normalized(self):
+        w = noise.white_noise_table(10000)
+        assert np.max(np.abs(w)) == pytest.approx(1.0)
+        assert abs(np.mean(w)) < 0.05
+
+    def test_atom_is_plus_minus_one(self):
+        a = noise.atom_noise_table(1000)
+        assert set(np.unique(a)) == {-1.0, 1.0}
+
+    def test_pink_spectrum_slope(self):
+        sr = 44100
+        p = noise.pink_noise_table(1 << 17, sr)
+        spec = np.abs(np.fft.rfft(p)) ** 2
+        freqs = np.fft.rfftfreq(len(p), 1 / sr)
+        # average power in octave bands: pink noise has equal energy per
+        # octave, i.e. power density ~1/f
+        def band_power(f0):
+            sel = (freqs >= f0) & (freqs < 2 * f0)
+            return spec[sel].mean() * f0
+
+        p100, p800, p3200 = band_power(100), band_power(800), band_power(3200)
+        # f * PSD should be roughly flat across octaves (within ~4x)
+        assert 0.25 < p800 / p100 < 4.0
+        assert 0.25 < p3200 / p800 < 4.0
+
+    def test_grey_attenuates_sensitive_band(self):
+        sr = 44100
+        g = noise.grey_noise_table(1 << 16, sr)
+        p = noise.pink_noise_table(1 << 16, sr)
+        def band(x, f0, f1):
+            s = np.abs(np.fft.rfft(x)) ** 2
+            fr = np.fft.rfftfreq(len(x), 1 / sr)
+            return s[(fr >= f0) & (fr < f1)].mean()
+        # equal-loudness filter cuts the 2-5k sensitive band relative to lows
+        ratio_grey = band(g, 2000, 5000) / band(g, 50, 200)
+        ratio_pink = band(p, 2000, 5000) / band(p, 50, 200)
+        assert ratio_grey < ratio_pink * 0.2
+
+    def test_tables_cached(self):
+        t1 = noise.get_noise_tables(44100)
+        t2 = noise.get_noise_tables(44100)
+        assert t1 is t2
+        assert len(t1["white"]) == int(44100 / 0.05)
+
+
+class TestWind:
+    def test_medium_wind_renders(self):
+        p = vp.get_program(vp.Mode.WIND, "Medium wind in trees")
+        out = wind.render_program(p, 22050, seed=3, dtype="float64")
+        assert out.shape == (22050, 2)
+        assert np.all(np.isfinite(out))
+        assert np.max(np.abs(out)) > 1e-4
+
+    def test_sine_wind_is_tonal(self):
+        p = vp.get_program(vp.Mode.WIND, "Kettle whistle pure")
+        out = wind.render_program(p, 44100, seed=3, pan=0.0, dtype="float64")
+        mono = out.sum(axis=1)[22050:]
+        spec = np.abs(np.fft.rfft(mono * np.hanning(len(mono))))
+        freqs = np.fft.rfftfreq(len(mono), 1 / 44100)
+        peak_f = freqs[np.argmax(spec)]
+        # centers 7.5..7.7 octaves -> 10*2^7.5..10*2^7.7 = 1810..2080 Hz
+        assert 1500 < peak_f < 2500
+        # tonal: peak dominates the spectrum
+        assert spec.max() > 20 * np.median(spec)
+
+    def test_heavy_rain_order13(self):
+        p = vp.get_program(vp.Mode.WIND, "Heavy rain")
+        out = wind.render_program(p, 22050, seed=5, dtype="float64")
+        assert np.all(np.isfinite(out))
+        assert np.max(np.abs(out)) > 1e-5
+
+    def test_determinism(self):
+        p = vp.get_program(vp.Mode.WIND, "Steady wind")
+        o1 = wind.render_program(p, 8192, seed=9, pan=0.0, dtype="float64")
+        o2 = wind.render_program(p, 8192, seed=9, pan=0.0, dtype="float64")
+        np.testing.assert_array_equal(o1, o2)
+
+    def test_bandpass_program_is_bandlimited(self):
+        # Steady wind: BP center ~ octave 5.2-5.5 -> 370-450 Hz, width 1.3 oct
+        p = vp.get_program(vp.Mode.WIND, "Steady wind")
+        out = wind.render_program(p, 44100, seed=11, pan=0.0, dtype="float64")
+        mono = out.sum(axis=1)[10000:]
+        spec = np.abs(np.fft.rfft(mono)) ** 2
+        freqs = np.fft.rfftfreq(len(mono), 1 / 44100)
+        in_band = spec[(freqs > 100) & (freqs < 2000)].mean()
+        out_band = spec[(freqs > 8000) & (freqs < 16000)].mean()
+        assert in_band > 10 * out_band
