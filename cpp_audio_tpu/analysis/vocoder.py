@@ -1,0 +1,175 @@
+"""FFT vocoder (reference source/rt.resynth.lib.vocoder.cpp).
+
+Pipeline per stride S (defaults: 5 ms stride, 0.10 s modulator window, 5
+log-spaced bands 100..20000 Hz — rt.resynth.lib.cpp:987-992):
+  modulator: sliding-window sqmag spectrum -> per-band amplitude
+             sqrt(sum of sqmag over the band's bins) (FFTModulator,
+             vocoder.cpp:101-163)
+  carrier:   window of 2S samples, raw FFT -> scale each bin by its band's
+             modulator amplitude -> IFFT (FFTCarrier, vocoder.cpp:396-475)
+  output:    sample k of the new frame crossfades with sample k+S of the
+             previous frame using a sinusoidal equal-gain crossfade
+             (vocoder.cpp:500-541; stride forced odd by good_stride,
+             vocoder.cpp:84-93)
+
+Offline TPU form: all modulator windows and all carrier frames batch through
+one rfft each; band summation and bin scaling are (bins x bands) matmuls; the
+crossfade combine is vectorized over frames. No queues — the reference's
+ReadQueuedSampleSource half-duplex machinery exists to balance real-time
+latency (rt.resynth.lib.metaqueue.cpp:78-158) and has no offline counterpart.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import stft as stft_ops
+
+MODULATOR_MAX_FFT = 2**16
+CARRIER_MAX_FFT = 2**17
+MAX_BANDS = 50
+
+
+@dataclass(frozen=True)
+class VocoderParams:
+    """Defaults from rt.resynth.lib.cpp:986-999."""
+
+    sample_rate: int = 44100
+    env_follower_cutoff_ratio: float = 1.0 / 20.0
+    modulator_window_size_seconds: float = 0.10
+    stride_seconds: float = 0.005
+    count_bands: int = 5
+    min_freq: float = 100.0
+    max_freq: float = 20000.0
+    # output mix (voice/carrier/vocoder volumes, rt.resynth.lib.cpp:994-996)
+    volume_modulator: float = 0.0
+    volume_carrier: float = 0.0
+    volume_vocoded: float = 1.0
+
+    @property
+    def stride(self) -> int:
+        """good_stride: odd (vocoder.cpp:84-93)."""
+        s = max(1, int(0.5 + self.stride_seconds * self.sample_rate))
+        return s + 1 if s % 2 == 0 else s
+
+    @property
+    def modulator_window(self) -> int:
+        w = max(1, int(0.5 + self.sample_rate * self.modulator_window_size_seconds))
+        if w % 2 == 1:
+            w += 1
+        return min(MODULATOR_MAX_FFT, w)
+
+    def band_freqs(self) -> np.ndarray:
+        """count_bands+1 log-spaced edges (SetupParams::fill_freqs)."""
+        return np.exp(np.linspace(np.log(self.min_freq), np.log(self.max_freq),
+                                  self.count_bands + 1))
+
+
+def _band_matrix(freq_edges: np.ndarray, n_bins: int, bin_hz: float) -> np.ndarray:
+    """(n_bins, n_bands) indicator: bin b belongs to band i when its frequency
+    lies in (edge_i, edge_{i+1}] (FFTModulator binning, vocoder.cpp:134-158)."""
+    hz = np.arange(n_bins) * bin_hz
+    m = np.zeros((n_bins, len(freq_edges) - 1))
+    for i in range(len(freq_edges) - 1):
+        m[:, i] = (hz > freq_edges[i]) & (hz <= freq_edges[i + 1])
+    return m
+
+
+@functools.partial(jax.jit, static_argnames=("window", "stride", "fft_len"))
+def _modulator_band_amps(signal, band_mat, *, window: int, stride: int, fft_len: int):
+    """(n_frames, n_bands) band amplitudes from sliding rectangular windows.
+
+    The reference modulator uses SqMagFftOperation<Window::Gaussian>? No — the
+    vocoder's FFTModulator uses FrequenciesSqMag via its own PeriodicFFT with
+    the default operation; band amplitude = sqrt(sum sqmag in band).
+    """
+    n = signal.shape[0]
+    n_frames = max(0, (n - window) // stride + 1)
+    idx = (jnp.arange(n_frames) * stride)[:, None] + jnp.arange(window)[None, :]
+    frames = signal[idx]
+    spec = jnp.fft.rfft(frames, n=fft_len)
+    scale = 2.0 / window  # unit-amplitude sine in-band -> amplitude ~1
+    sq = jnp.abs(spec) ** 2 * scale**2
+    return jnp.sqrt(sq @ band_mat)
+
+
+@functools.partial(jax.jit, static_argnames=("stride", "fft_len"))
+def _carrier_vocode(carrier, band_amps, band_mat_full, *, stride: int, fft_len: int):
+    """Modulate carrier FFT frames by band amplitudes and overlap-crossfade.
+
+    Returns the vocoded signal of length n_frames*stride (frame r covers
+    output samples [r*stride, (r+1)*stride)).
+    """
+    window = 2 * stride
+    n = carrier.shape[0]
+    n_frames = max(0, (n - window) // stride + 1)
+    idx = (jnp.arange(n_frames) * stride)[:, None] + jnp.arange(window)[None, :]
+    frames = carrier[idx]
+    spec = jnp.fft.rfft(frames, n=fft_len)
+    # per-bin gain from that frame's band amplitudes (modulate_bands)
+    gains = band_amps @ band_mat_full.T  # (n_frames, n_bins)
+    sig = jnp.fft.irfft(spec * gains, n=fft_len)[:, :window]
+
+    # sinusoidal equal-gain crossfade of the first half of frame r with the
+    # second half of frame r-1 (vocoder.cpp:500-541)
+    k = jnp.arange(stride)
+    x = (k + 1.0) / stride
+    w_new = jnp.sin(0.5 * jnp.pi * x) ** 2
+    w_old = 1.0 - w_new
+    new_part = sig[:, :stride]
+    old_part = jnp.concatenate(
+        [jnp.zeros((1, stride), sig.dtype), sig[:-1, stride:]], axis=0
+    )
+    return (new_part * w_new[None, :] + old_part * w_old[None, :]).reshape(-1)
+
+
+def vocode(modulator, carrier, params: VocoderParams) -> np.ndarray:
+    """Offline vocoder: (modulator, carrier) mono arrays -> mono output.
+
+    Output sample t mixes volume_modulator*modulator + volume_carrier*carrier
+    + volume_vocoded*vocoded (Vocoder compute, vocoder.cpp:761-812).
+    """
+    sr = params.sample_rate
+    S = params.stride
+    W = params.modulator_window
+    n = min(len(modulator), len(carrier))
+    modulator = np.asarray(modulator, np.float64)[:n]
+    carrier = np.asarray(carrier, np.float64)[:n]
+
+    mod_fft = stft_ops.fft_length_for(W)
+    car_fft = stft_ops.fft_length_for(2 * S)
+    edges = params.band_freqs()
+    bm_mod = _band_matrix(edges, mod_fft // 2 + 1, sr / mod_fft)
+    bm_car = _band_matrix(edges, car_fft // 2 + 1, sr / car_fft)
+
+    amps = np.asarray(_modulator_band_amps(
+        jnp.asarray(modulator), jnp.asarray(bm_mod),
+        window=W, stride=S, fft_len=mod_fft,
+    ))
+
+    # align: the carrier frame covering output [r*S, (r+1)*S) uses the most
+    # recent modulator result available at its window end (2S + r*S): index
+    # r - offset with offset = ceil((W - 2S)/S)
+    n_car_frames = max(0, (n - 2 * S) // S + 1)
+    offset = max(0, -(-(W - 2 * S) // S))
+    rows = np.clip(np.arange(n_car_frames) - offset, 0, max(len(amps) - 1, 0))
+    if len(amps) == 0:
+        return np.zeros(0)
+    amps_aligned = amps[rows]
+
+    vocoded = np.asarray(_carrier_vocode(
+        jnp.asarray(carrier), jnp.asarray(amps_aligned), jnp.asarray(bm_car),
+        stride=S, fft_len=car_fft,
+    ))
+    # vocoded sample t corresponds to input sample t (frame r's new-half
+    # starts at carrier sample r*S)
+    out_len = len(vocoded)
+    out = (params.volume_vocoded * vocoded
+           + params.volume_modulator * modulator[:out_len]
+           + params.volume_carrier * carrier[:out_len])
+    return out
