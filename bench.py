@@ -1,14 +1,16 @@
-"""Benchmark: offline realtime factor of the voice-bank render on one chip.
+"""Benchmark: offline realtime factor of the full chain on one chip.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Workload (BASELINE.md): 60 s @ 44.1 kHz of
+  1. 64-voice polyphonic synth render (voice-bank kernel)
+  2. full analysis -> resynthesis chain on the mixdown (sliding Gaussian STFT,
+     peak extraction, pitch tracking, tracked-voice re-render)
+  3. FFT vocoder (synth as modulator, square carrier)
 
-Target (BASELINE.md): >= 1000x realtime for a 64-voice synth + full
-resynth/vocoder chain @ 44.1 kHz on one TPU v5e chip. The reference's implied
-baseline is 1x realtime on one CPU core, so vs_baseline is the same realtime
-factor (value / 1x).
-
-As the framework grows this bench covers the full chain; currently it renders
-the 64-voice polyphonic sine synth (BASELINE config 1/2 core path).
+Prints one JSON line {"metric", "value", "unit", "vs_baseline"}. The
+reference's implied baseline is 1x realtime on one CPU core, so vs_baseline
+equals the realtime factor. Timing covers device compute + the host pitch
+pipeline; the D2H debug-tunnel transfer of this test rig is excluded (real
+deployments write WAVs from locally-attached hosts).
 """
 
 import json
@@ -17,18 +19,12 @@ import time
 import numpy as np
 
 
-def main():
-    import jax
-
+def make_synth_workload(sr, n):
     from cpp_audio_tpu.core import events, voices
     from cpp_audio_tpu.models import sine_synth
     from cpp_audio_tpu.ops import envelopes
 
-    sr = 44100
-    seconds = 60.0
-    n = int(sr * seconds)
     rng = np.random.default_rng(42)
-
     notes = []
     for i in range(64):
         press = int(rng.uniform(0, n * 0.5))
@@ -45,29 +41,48 @@ def main():
         block_size=1 << 15,
         dtype="float32",
     )
+    return sch, cfg
 
-    # time the on-device render (the tunnel D2H in this test environment is
-    # an artifact — production hosts write WAVs from locally-attached hosts);
-    # host-side schedule prep is included via a fresh prepare each rep.
-    from cpp_audio_tpu.models import voicebank
 
+def main():
+    import jax
+
+    from cpp_audio_tpu.analysis import resynth, vocoder
+    from cpp_audio_tpu.models import sine_synth, voicebank
+
+    sr = 44100
+    seconds = 60.0
+    n = int(sr * seconds)
+
+    sch, cfg = make_synth_workload(sr, n)
     bank = sine_synth.bank_from_schedule(sch, cfg)
-    args, statics = voicebank.prepare_bank_arrays(bank, n, cfg.block_size, cfg.dtype)
-    out = voicebank._voicebank_blocks(*args, out_dtype=cfg.dtype, **statics)
-    out.block_until_ready()  # warmup/compile
-    assert bool(jax.numpy.isfinite(out).all())
+    rcfg = resynth.ResynthConfig(sample_rate=sr, analysis_volume=1.0, dtype="float32")
+    vparams = vocoder.VocoderParams(sample_rate=sr)
+    t_carrier = np.arange(n)
+    carrier = np.sign(np.sin(2 * np.pi * 110.0 * t_carrier / sr)).astype(np.float64)
 
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        args, _ = voicebank.prepare_bank_arrays(bank, n, cfg.block_size, cfg.dtype)
+    def run_once():
+        # 1. synth render (device)
+        args, statics = voicebank.prepare_bank_arrays(bank, n, cfg.block_size, cfg.dtype)
         out = voicebank._voicebank_blocks(*args, out_dtype=cfg.dtype, **statics)
         out.block_until_ready()
+        mono = np.asarray(out).reshape(-1, 2)[:n].sum(axis=1)
+        # 2. analysis -> resynthesis
+        resynth.resynthesize(mono, rcfg)
+        # 3. vocoder
+        vocoder.vocode(mono, carrier, vparams)
+
+    run_once()  # warmup/compile
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        run_once()
     dt = (time.perf_counter() - t0) / reps
 
     rtf = seconds / dt
     print(json.dumps({
-        "metric": "offline_realtime_factor_64voice_synth",
+        "metric": "offline_realtime_factor_64voice_synth_resynth_vocoder",
         "value": round(rtf, 1),
         "unit": "audio_sec/wall_sec/chip",
         "vs_baseline": round(rtf, 1),
