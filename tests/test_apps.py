@@ -1,0 +1,90 @@
+"""CLI apps + WIR tooling tests."""
+
+import numpy as np
+import pytest
+
+from cpp_audio_tpu.apps import birds as birds_app
+from cpp_audio_tpu.apps import tune as tune_app
+from cpp_audio_tpu.apps import wav_tools
+from cpp_audio_tpu.utils import wav as wavio
+from cpp_audio_tpu.utils import wir as wirio
+
+
+class TestWavTools:
+    def _mk(self, tmp_path, data, sr=44100):
+        p = tmp_path / "in.wav"
+        wavio.write_wav(p, data, sr, bits=64)
+        return p
+
+    def test_count_channels(self, tmp_path):
+        p = self._mk(tmp_path, np.zeros((100, 2)))
+        assert wav_tools.count_channels(p) == 2
+
+    def test_join_non_zeros(self, tmp_path):
+        d = np.zeros((50, 1))
+        d[10:20] = 0.3
+        p = self._mk(tmp_path, d)
+        out = wav_tools.join_non_zeros(p)
+        data, _ = wavio.read_wav(out)
+        assert data.shape[0] == 10
+
+    def test_mod_wav_smooths(self, tmp_path):
+        rng = np.random.default_rng(0)
+        d = rng.standard_normal((500, 1)) * 0.5
+        p = self._mk(tmp_path, d)
+        out = wav_tools.mod_wav(p)
+        sm, _ = wavio.read_wav(out)
+        assert np.std(np.diff(sm[:, 0])) < np.std(np.diff(d[:, 0]))
+
+    def test_self_convolve_normalized(self, tmp_path):
+        rng = np.random.default_rng(1)
+        d = rng.standard_normal((256, 1)) * 0.1
+        p = self._mk(tmp_path, d)
+        out = wav_tools.self_convolve_wav(p)
+        sc, _ = wavio.read_wav(out)
+        assert np.max(np.abs(sc)) == pytest.approx(1.0, abs=1e-5)
+
+    def test_wir_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(2)
+        ir = rng.standard_normal((300, 2)).astype(np.float32).astype(np.float64)
+        w = tmp_path / "impulse.wir"
+        wirio.write_wir(w, ir, 48000)
+        data, sr = wirio.read_wir(w)
+        assert sr == 48000
+        np.testing.assert_allclose(data, ir, atol=1e-7)
+        out = wav_tools.wir_2_wav(w)
+        back, sr2 = wavio.read_wav(out)
+        assert sr2 == 48000
+        np.testing.assert_allclose(back, ir, atol=1e-7)
+
+
+class TestBirdsApp:
+    def test_render_and_cli(self, tmp_path):
+        out_path = tmp_path / "b.wav"
+        rc = birds_app.main(["--mode", "birds", "--program", "0",
+                             "--seconds", "0.5", "--seed", "32", str(out_path)])
+        assert rc == 0
+        data, sr = wavio.read_wav(out_path)
+        assert sr == 44100 and data.shape[1] == 2
+
+    def test_list(self, capsys):
+        assert birds_app.main(["--list"]) == 0
+        out = capsys.readouterr().out
+        assert "Standard & Cute bird" in out
+        assert "R2D2" in out
+        assert "Heavy rain" in out
+
+
+class TestTuneApp:
+    def test_render_score_with_reference_presets(self, tmp_path):
+        out, sr = tune_app.render_score(
+            "do mi sol", synth_dir="/root/reference/synth", time_unit_ms=80.0
+        )
+        assert sr == 44100
+        assert np.max(np.abs(out)) > 1e-4
+
+    def test_cli(self, tmp_path):
+        out_path = tmp_path / "t.wav"
+        rc = tune_app.main(["do re", str(out_path), "--time-unit-ms", "60"])
+        assert rc == 0
+        assert out_path.exists()
