@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import oscillators
-from ..utils.interp import Itp, ease, ease_select
+from ..utils.interp import Itp, ease, ease_np, ease_select
 
 NEVER = float(2**62)
 _I32_FAR = np.int32(2**31 - 2**24)  # "never" clamp that survives int32 block offsets
@@ -85,10 +85,14 @@ def _host_envelope_derived(bank: VoiceBank):
 
     # value at the sample before release (the release 'top', audioelement.h:836-841)
     def host_ease(codes, x):
-        x = np.clip(x, 0.0, 1.0)
         if isinstance(codes, (int, np.integer)):
-            return np.asarray(ease(Itp(int(codes)), x))
-        return np.asarray(ease_select(codes, x))
+            return ease_np(Itp(int(codes)), x)
+        codes = np.asarray(codes)
+        out = np.empty(np.broadcast(codes, x).shape)
+        for k in np.unique(codes):
+            m = codes == k
+            out[m] = ease_np(Itp(int(k)), np.broadcast_to(x, out.shape)[m])
+        return out
 
     tp_rel = release - 1.0 - bank.press
     va = host_ease(bank.attack_itp, (tp_rel + 1.0) / A)

@@ -177,6 +177,60 @@ def ease_select(kind_codes, x):
     return jnp.select(conds, vals, default=x)
 
 
+def ease_np(kind: Itp, x):
+    """Host-side (pure numpy) easing — identical curves, no device dispatch.
+
+    Use this in host scheduling paths (prep code runs per render; eager jnp
+    calls there would each pay a device roundtrip on remote TPUs).
+    """
+    x = np.clip(np.asarray(x, np.float64), 0.0, 1.0)
+    k = Itp(kind)
+    if k in (Itp.LINEAR, Itp.PROPORTIONAL_VALUE_DERIVATIVE):
+        return x
+    if k == Itp.EASE_IN_QUAD:
+        return x * x
+    if k == Itp.EASE_OUT_QUAD:
+        return x * (2.0 - x)
+    if k == Itp.EASE_IN_CUBIC:
+        return x**3
+    if k == Itp.EASE_OUT_CUBIC:
+        return (x - 1.0) ** 3 + 1.0
+    if k == Itp.EASE_IN_QUART:
+        return x**4
+    if k == Itp.EASE_OUT_QUART:
+        return 1.0 - (x - 1.0) ** 4
+    if k == Itp.EASE_IN_QUINT:
+        return x**5
+    if k == Itp.EASE_OUT_QUINT:
+        return (x - 1.0) ** 5 + 1.0
+    if k == Itp.EASE_IN_SINE:
+        return 1.0 - np.cos(x * np.pi / 2)
+    if k == Itp.EASE_OUT_SINE:
+        return np.sin(x * np.pi / 2)
+    if k == Itp.EASE_IN_EXPO:
+        return np.where(x <= 0.0, 0.0, np.exp2(10.0 * (x - 1.0)))
+    if k == Itp.EASE_OUT_EXPO:
+        return np.where(x >= 1.0, 1.0, 1.0 - np.exp2(-10.0 * x))
+    if k == Itp.EASE_IN_CIRC:
+        return 1.0 - np.sqrt(np.maximum(0.0, 1.0 - x * x))
+    if k == Itp.EASE_OUT_CIRC:
+        return np.sqrt(np.maximum(0.0, 1.0 - (x - 1.0) ** 2))
+    # in-out pairs
+    pairs = {
+        Itp.EASE_INOUT_QUAD: (Itp.EASE_IN_QUAD, Itp.EASE_OUT_QUAD),
+        Itp.EASE_INOUT_CUBIC: (Itp.EASE_IN_CUBIC, Itp.EASE_OUT_CUBIC),
+        Itp.EASE_INOUT_QUART: (Itp.EASE_IN_QUART, Itp.EASE_OUT_QUART),
+        Itp.EASE_INOUT_QUINT: (Itp.EASE_IN_QUINT, Itp.EASE_OUT_QUINT),
+        Itp.EASE_INOUT_SINE: (Itp.EASE_IN_SINE, Itp.EASE_OUT_SINE),
+        Itp.EASE_INOUT_EXPO: (Itp.EASE_IN_EXPO, Itp.EASE_OUT_EXPO),
+        Itp.EASE_INOUT_CIRC: (Itp.EASE_IN_CIRC, Itp.EASE_OUT_CIRC),
+    }
+    fin, fout = pairs[k]
+    return np.where(
+        x < 0.5, 0.5 * ease_np(fin, 2.0 * x), 0.5 + 0.5 * ease_np(fout, 2.0 * x - 1.0)
+    )
+
+
 def interpolate(kind: Itp, t, from_, to_minus_from, duration):
     """Reference-compatible `itp::interpolate(kind, t, from, toMinusFrom, duration)`.
 

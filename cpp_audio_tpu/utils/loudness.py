@@ -88,39 +88,34 @@ def _closest_interp(grid: np.ndarray, value):
     """(index, ratio) pair matching reference `closest` (include/loudness.h:152-186).
 
     ratio is the weight of `index`, 1-ratio the weight of `index-1`. Clamps at
-    the table edges. Vectorized over `value` (numpy or jax arrays).
+    the table edges. Pure numpy (host-side; device kernels use dense LUTs of
+    these values instead — see models.soundengine._loudness_lut).
     """
-    import jax.numpy as jnp
-
-    value = jnp.asarray(value)
-    idx = jnp.clip(jnp.searchsorted(jnp.asarray(grid), value, side="right"), 1, N_FREQ - 1)
-    lo = jnp.asarray(grid)[idx - 1]
-    hi = jnp.asarray(grid)[idx]
-    ratio = jnp.where(
-        value <= lo, 1.0, jnp.where(value >= hi, 1.0, (value - lo) / (hi - lo))
+    value = np.asarray(value, np.float64)
+    idx = np.clip(np.searchsorted(grid, value, side="right"), 1, N_FREQ - 1)
+    lo = grid[idx - 1]
+    hi = grid[idx]
+    ratio = np.where(
+        value <= lo, 1.0, np.where(value >= hi, 1.0, (value - lo) / (hi - lo))
     )
     # when value <= lo we stand on the *lower* point with weight 1
-    idx = jnp.where(value <= lo, idx - 1, idx)
+    idx = np.where(value <= lo, idx - 1, idx)
     return idx, ratio
 
 
 def equal_loudness_volume_db(value, grid: np.ndarray, level_index: int):
     """Interpolated contour SPL (dB) at `value` (pitch or freq per `grid`)."""
-    import jax.numpy as jnp
-
-    elv = jnp.asarray(ELVS[level_index])
+    elv = ELVS[level_index]
     idx, ratio = _closest_interp(grid, value)
-    vlo = elv[jnp.maximum(idx - 1, 0)]
+    vlo = elv[np.maximum(idx - 1, 0)]
     vhi = elv[idx]
     return ratio * vhi + (1.0 - ratio) * vlo
 
 
 def db_to_amplitude(db, max_db, log_ratio):
     """reference include/loudness.h:247-255; values above max_db clamp to 1."""
-    import jax.numpy as jnp
-
-    db = jnp.asarray(db)
-    return jnp.where(db > max_db, 1.0, 10.0 ** (log_ratio * (db - max_db) / 20.0))
+    db = np.asarray(db, np.float64)
+    return np.where(db > max_db, 1.0, 10.0 ** (log_ratio * (db - max_db) / 20.0))
 
 
 def equal_loudness_volume_from_freq(freq, low_index: int = 0, log_ratio: float = 1.0,
