@@ -1,0 +1,93 @@
+"""Streaming polyphonic synth: the ImplCRTP event interface over the
+voice-bank kernel, for block-by-block (realtime-style) rendering.
+
+Reference: ImplCRTP::onEvent + compute (include/gen.crtp.h:195-629). Events
+arrive between blocks (the engine's oneshot boundary replaces the lock-free
+CAS handshake); each block renders the currently-active bank rows with the
+same closed-form kernel as the offline path, shifted so the block starts at
+the engine time. Voice stealing: a NoteOn beyond `n_voices` concurrently
+active notes is dropped and counted (onDroppedNote, gen.crtp.h:412-413).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+import numpy as np
+
+from ..core import voices as voices_mod
+from ..core.events import Event, EventType
+from ..ops import envelopes
+from . import sine_synth, voicebank
+
+
+@dataclass
+class _Active:
+    note_id: int
+    press: int
+    release: float
+    frequency: float
+    velocity: float
+    pan: float
+
+
+class StreamingSynth:
+    """Event-driven synth compute for core.engine.AudioEngine."""
+
+    def __init__(self, config: sine_synth.SineSynthConfig | None = None,
+                 n_voices: int = 32):
+        self.config = config or sine_synth.SineSynthConfig()
+        self.n_voices = n_voices
+        self._notes: dict[int, _Active] = {}
+        self._finished: list[_Active] = []  # releasing, kept until env done
+        self.dropped_note_on = 0
+
+    # --- event interface (reference onEvent) ---
+    def on_event(self, ev: Event) -> bool:
+        if ev.type is EventType.NOTE_ON:
+            if len(self._notes) >= self.n_voices:
+                self.dropped_note_on += 1
+                return False
+            self._notes[ev.note_id] = _Active(
+                ev.note_id, ev.time, voicebank.NEVER, ev.frequency, ev.velocity,
+                ev.pan,
+            )
+            return True
+        if ev.type is EventType.NOTE_OFF:
+            a = self._notes.pop(ev.note_id, None)
+            if a is None:
+                return False
+            a.release = ev.time
+            self._finished.append(a)
+            return True
+        # NOTE_CHANGE: retune in place (the streaming path re-presses;
+        # the tracked-note renderer models glides exactly)
+        a = self._notes.get(ev.note_id)
+        if a is None:
+            return False
+        a.frequency = ev.frequency
+        a.velocity = ev.velocity
+        return True
+
+    def _gc(self, t: int) -> None:
+        cfg = self.config
+        rel = max(float(np.max(np.asarray(cfg.ahdsr.release))), cfg.sample_rate / 1000)
+        self._finished = [a for a in self._finished if a.release + 4 * rel > t]
+
+    def compute(self, t0: int, n: int) -> np.ndarray | None:
+        self._gc(t0)
+        active = list(self._notes.values()) + self._finished
+        if not active:
+            return np.zeros((n, self.config.n_channels))
+        sched = voices_mod.schedule_from_notes(
+            [type("N", (), dict(press=a.press, release=a.release,
+                                frequency=a.frequency, velocity=a.velocity,
+                                pan=a.pan))() for a in active],
+            pad_to=8,
+        )
+        # shift so the kernel's block 0 covers [t0, t0+n)
+        sched.press -= t0
+        sched.release = np.where(sched.release < voices_mod.NEVER / 2,
+                                 sched.release - t0, sched.release)
+        bank = sine_synth.bank_from_schedule(sched, self.config)
+        return voicebank.render_bank(bank, n, block_size=n, dtype=self.config.dtype)
