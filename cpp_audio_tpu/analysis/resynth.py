@@ -96,9 +96,81 @@ def analyze(signal, config: ResynthConfig):
     return stft.peaks_to_lists(is_peak, freq, mag)
 
 
-def track(peaks_per_frame, config: ResynthConfig):
+def _allowed_pitch_array(config: ResynthConfig):
+    """Dense sorted allowed-pitch array for the native pipeline (None = off)."""
+    if not config.use_autotune:
+        return None
+    fn = at.mk_autotune_function(use_autotune=True, **config.autotune_kwargs)
+    # sample the transform over the full representable pitch range (FFT bins
+    # can land far below the audible range) and collect its fixed points
+    pts = sorted({round(float(fn(p)), 6) for p in np.arange(-80.0, 170.0, 0.25)
+                  if fn(p) is not None})
+    return np.asarray(pts)
+
+
+def track_native(peaks_per_frame, config: ResynthConfig):
+    """C++ fast path of `track` (native/pitchpipe.cpp). Same event semantics;
+    returns (tracked_notes, stats=None, n_dropped)."""
+    from .. import native as nat
+    from ..utils import loudness
+
+    li = loudness.phons_to_index(60.0)
+    pipe = nat.NativePitchPipe(
+        nearby_distance_tones=config.nearby_distance_tones,
+        min_volume=config.min_volume,
+        max_track_pitches=config.max_track_pitches,
+        shift_pre=config.pitch_shift_pre_autotune,
+        shift_post=config.pitch_shift_post_autotune,
+        harmonize_pre=config.pitch_harmonize_pre_autotune,
+        harmonize_post=config.pitch_harmonize_post_autotune,
+        autotune_max_pitch=config.autotune_max_pitch,
+        autotune_tolerance=config.autotune_tolerance_pitches,
+        pitch_method={pp.PitchReductionMethod.INTERVAL_CENTER: 0,
+                      pp.PitchReductionMethod.MAX_VOLUME: 1,
+                      pp.PitchReductionMethod.PONDERATE_BY_VOLUME: 2}[config.pitch_method],
+        volume_method={pp.VolumeReductionMethod.MAX_VOLUME: 0,
+                       pp.VolumeReductionMethod.SUM_VOLUMES: 1}[config.volume_method],
+        max_voices=config.max_voices,
+        analysis_volume=config.analysis_volume,
+        loud_pitches=loudness.PITCHES, loud_spl=loudness.ELVS[li],
+        allowed_pitches=_allowed_pitch_array(config),
+    )
+    rng = np.random.default_rng(config.seed)
+    voices: dict[int, resynth_bank.TrackedNote] = {}
+    for frame_idx, freqmags in enumerate(peaks_per_frame):
+        if freqmags:
+            fr = np.asarray([fm[0] for fm in freqmags])
+            mg = np.asarray([fm[1] for fm in freqmags])
+        else:
+            fr = np.zeros(0)
+            mg = np.zeros(0)
+        kinds, nids, freqs, vols = pipe.process_frame(fr, mg)
+        for k, nid, f, v in zip(kinds, nids, freqs, vols):
+            if k == 0:  # note on
+                pan = config.stereo_spread * rng.uniform(-1.0, 1.0)
+                voices[nid] = resynth_bank.TrackedNote(
+                    frames=[(frame_idx, f, v)], pan=pan)
+            elif k == 1:  # change
+                voices[nid].frames.append((frame_idx, f, v))
+            else:  # off
+                voices[nid].release_frame = frame_idx
+    return list(voices.values()), None, pipe.dropped
+
+
+def track(peaks_per_frame, config: ResynthConfig, *, prefer_native: bool = True):
     """Run the pitch pipeline + tracking; returns (tracked_notes, frame_stats,
-    n_dropped_noteon)."""
+    n_dropped_noteon). Uses the C++ pipeline when built (native/pitchpipe.cpp);
+    the pure-Python implementation below is the semantic reference."""
+    if prefer_native:
+        from .. import native as nat
+
+        if nat.available():
+            return track_native(peaks_per_frame, config)
+    return track_python(peaks_per_frame, config)
+
+
+def track_python(peaks_per_frame, config: ResynthConfig):
+    """Pure-python pitch pipeline + tracking (semantic reference)."""
     midi = Midi()
     autotune_fn = at.mk_autotune_function(
         use_autotune=config.use_autotune, **config.autotune_kwargs

@@ -18,9 +18,13 @@ Closed forms per control frame (f(t) = from * exp(lambda*t),
 lambda = ln(to/from)/stride):
   phase advance  Dphi(k) = (from/lambda) * expm1(lambda * k)
   volume         v(k)    = target + (v_boundary - target) * (1-alpha)^(k+1)
-so the whole (voices, stride) tile is elementwise — no per-sample recurrence.
-Frame-boundary phases and volumes are tiny (V, n_frames) recurrences computed
-exactly on the host in f64.
+so the whole tile is elementwise — no per-sample recurrence. Frame-boundary
+phases and volumes are tiny recurrences computed exactly on the host in f64.
+
+Layout: like the reference's fixed 127-voice pool (rt.resynth.lib.cpp:208),
+notes are packed into polyphony SLOTS. The kernel renders (n_slots, stride)
+per control frame — work is proportional to polyphony x time, not to the
+total number of tracked notes (which can be 10-100x larger).
 """
 
 from __future__ import annotations
@@ -34,9 +38,12 @@ import numpy as np
 
 from ..ops import envelopes, oscillators
 from ..utils.interp import Itp
-from ..ops.filters import alpha_from_angle_increment
 
 NEVER_FRAME = 10**9
+# packed per-(frame, slot) field order
+(_F_INC, _F_RATIO, _F_PHB, _F_VTGT, _F_VB, _F_ALPHA, _F_TP0, _F_TR0,
+ _F_TOP, _F_A, _F_H, _F_D, _F_SUS, _F_R, _F_GL, _F_GR) = range(16)
+N_FIELDS = 16
 
 
 @dataclass
@@ -60,6 +67,7 @@ class TrackedRenderConfig:
     start_sample: int = 0           # absolute sample of control frame 0
     ahdsr: envelopes.AHDSR = None   # type: ignore[assignment]
     n_channels: int = 2
+    n_slots: int = 128              # polyphony (reference: 127 voices)
     dtype: str = "float32"
 
     def __post_init__(self):
@@ -74,189 +82,173 @@ class TrackedRenderConfig:
             )
 
 
-def _build_tables(notes: list[TrackedNote], n_frames: int, config: TrackedRenderConfig,
-                  pad_to: int = 8):
-    """Dense (V, n_frames) from/to freq + volume-target tables + boundaries."""
-    V = max(pad_to, ((len(notes) + pad_to - 1) // pad_to) * pad_to)
+def _note_windows(notes, n_frames, config):
+    """Per-note effective frame window [f0, f1) incl. the release tail,
+    plus effective envelope params (reference floors: 1 ms + 2.5 periods)."""
+    sr = config.sample_rate
+    S = config.stride
+    a = config.ahdsr
+    min_dt = sr / 1000.0
+    sus_raw = float(np.asarray(a.sustain))
+    has_decay = sus_raw < 0.999999
+    sus = min(max(sus_raw, 0.0), 1.0) if has_decay else 1.0
+    wins = []
+    for note in notes:
+        f0 = note.frames[0][0]
+        init_inc = 2.0 * note.frames[0][1] / sr
+        min_change = 2.5 * 2.0 / max(abs(init_inc), 1e-9)
+        A = max(float(np.max(np.asarray(a.attack))), min_dt, min_change, 1.0)
+        H = max(float(np.max(np.asarray(a.hold))), 0.0)
+        D = max(float(np.max(np.asarray(a.decay))), min_dt, min_change, 1.0) if has_decay else 0.0
+        R = max(float(np.max(np.asarray(a.release))), min_dt, min_change, 1.0)
+        rel_f = min(note.release_frame, n_frames)
+        # active until release + R samples
+        f1 = min(n_frames, rel_f + int(np.ceil(R / S)) + 1)
+        wins.append((f0, f1, A, H, D, sus, R, rel_f))
+    return wins
+
+
+def _build_slot_tables(notes: list[TrackedNote], n_frames: int,
+                       config: TrackedRenderConfig):
+    """Pack notes into polyphony slots; emit (n_frames, n_slots, N_FIELDS)."""
+    P = config.n_slots
     S = config.stride
     sr = config.sample_rate
+    sus = float(np.asarray(config.ahdsr.sustain))
 
-    freq_to = np.ones((V, n_frames))
-    vol_tgt = np.zeros((V, n_frames))
-    press_f = np.full(V, NEVER_FRAME, dtype=np.int64)
-    release_f = np.full(V, NEVER_FRAME, dtype=np.int64)
-    pan = np.zeros(V)
+    table = np.zeros((n_frames, P, N_FIELDS))
+    table[:, :, _F_INC] = 1e-6
+    table[:, :, _F_A] = 1.0
+    table[:, :, _F_D] = 0.0
+    table[:, :, _F_SUS] = 1.0
+    table[:, :, _F_R] = 1.0
+    table[:, :, _F_TP0] = -1e9  # inactive: tp < 0 -> env 0
 
-    for v, note in enumerate(notes):
-        assert note.frames, "empty tracked note"
-        f0 = note.frames[0][0]
-        press_f[v] = f0
-        release_f[v] = note.release_frame
-        pan[v] = note.pan
-        cur_freq, cur_vol = note.frames[0][1], note.frames[0][2]
+    wins = _note_windows(notes, n_frames, config)
+    slot_free_at = np.zeros(P, dtype=np.int64)  # frame at which slot is free
+    order = np.argsort([w[0] for w in wins])
+    rng = np.random.default_rng(0)
+    FAR = 1e12
+
+    def env_pressed(tp, A, H, D, sus):
+        if tp < A:
+            return min(max((tp + 1.0) / A, 0.0), 1.0)
+        if tp < A + H:
+            return 1.0
+        if D and tp < A + H + D:
+            return 1.0 + (sus - 1.0) * min((tp - A - H + 1.0) / D, 1.0)
+        return sus
+
+    for ni in order:
+        note = notes[ni]
+        f0, f1, A, H, D, sus, R, rel_f = wins[ni]
+        if f0 >= n_frames or f1 <= f0:
+            continue
+        cand = np.nonzero(slot_free_at <= f0)[0]
+        if len(cand) == 0:
+            continue  # polyphony exceeded: drop (reference onDroppedNote)
+        slot = int(cand[0])
+        slot_free_at[slot] = f1
+
+        press = f0 * S
+        release = note.release_frame * S if note.release_frame < NEVER_FRAME else FAR
+        top = env_pressed(release - 1.0 - press, A, H, D, sus) if release < FAR else sus
+
+        th = 0.25 * np.pi * (note.pan + 1.0)
+        gl, gr = np.cos(th), np.sin(th)
+
+        # control trail across the note's frames
+        phase = rng.uniform(0.0, 2.0)  # DefaultStartPhase::Random
         i = 0
-        for c in range(f0, n_frames):
+        cur_f, cur_v = note.frames[0][1], note.frames[0][2]
+        prev_inc = 2.0 * cur_f / sr
+        vol_b = cur_v  # volume filter inits at target
+        for c in range(f0, f1):
             if i + 1 < len(note.frames) and note.frames[i + 1][0] <= c:
                 i += 1
-                cur_freq, cur_vol = note.frames[i][1], note.frames[i][2]
-            freq_to[v, c] = cur_freq
-            vol_tgt[v, c] = cur_vol
+                cur_f, cur_v = note.frames[i][1], note.frames[i][2]
+            inc_to = 2.0 * cur_f / sr
+            inc_from = prev_inc if c > f0 else inc_to
+            ratio = np.log(inc_to / inc_from) if inc_to != inc_from else 0.0
+            inc_eff = min(2.0 / S, abs(inc_to))
+            alpha = 1.0 - np.exp(-np.pi * inc_eff)
 
-    # glide endpoints: 'from' is the previous frame's target (the glide always
-    # completes within one stride); the first frame starts at its own target
-    freq_from = np.concatenate([freq_to[:, :1], freq_to[:, :-1]], axis=1)
-    first = np.arange(n_frames)[None, :] == press_f[:, None]
-    freq_from = np.where(first, freq_to, freq_from)
-    # before press: hold own target (inactive anyway, envelope = 0)
-    inactive = np.arange(n_frames)[None, :] < press_f[:, None]
-    freq_from = np.where(inactive, freq_to, freq_from)
+            row = table[c, slot]
+            row[_F_INC] = inc_from
+            row[_F_RATIO] = ratio
+            row[_F_PHB] = phase
+            row[_F_VTGT] = cur_v
+            row[_F_VB] = vol_b
+            row[_F_ALPHA] = alpha
+            row[_F_TP0] = c * S - press
+            row[_F_TR0] = max(c * S - release, -FAR)
+            row[_F_TOP] = top
+            row[_F_A] = A
+            row[_F_H] = H
+            row[_F_D] = D
+            row[_F_SUS] = sus
+            row[_F_R] = R
+            row[_F_GL] = gl
+            row[_F_GR] = gr
 
-    inc_from = 2.0 * freq_from / sr
-    inc_to = 2.0 * freq_to / sr
-    ratio = np.log(inc_to / inc_from)
-    lam = ratio / S  # exponential-in-pitch rate; 0 when from == to
-    # per-frame phase advance (rad/pi): (inc_from/lam)*expm1(lam*S), limit S*inc
-    with np.errstate(divide="ignore", invalid="ignore"):
-        dphi = np.where(np.abs(ratio) < 1e-12, S * inc_from,
-                        (inc_from / np.where(lam == 0, 1.0, lam)) * np.expm1(ratio))
-    # boundary phase: random start (DefaultStartPhase::Random) at press frame
-    rng = np.random.default_rng(0)
-    phase_at_press = rng.uniform(0.0, 2.0, V)
-    cum = np.cumsum(dphi, axis=1) - dphi  # phase advance accumulated before frame c
-    cum_at_press = np.take_along_axis(cum, np.minimum(press_f, n_frames - 1)[:, None], axis=1)
-    phase_b = np.mod(phase_at_press[:, None] + cum - cum_at_press, 2.0)
-
-    # volume boundary recurrence: alpha from capped increment
-    inc_eff = np.minimum(2.0 / S, np.abs(inc_to))
-    alpha = 1.0 - np.exp(-np.pi * inc_eff)
-    decay_s = (1.0 - alpha) ** S
-    vol_b = np.zeros((V, n_frames))
-    prev = np.zeros(V)
-    started = np.zeros(V, dtype=bool)
-    for c in range(n_frames):
-        is_press = press_f == c
-        prev = np.where(is_press, vol_tgt[:, c], prev)  # filter inits at target
-        started |= is_press
-        vol_b[:, c] = prev
-        prev = vol_tgt[:, c] + (prev - vol_tgt[:, c]) * decay_s[:, c]
-
-    th = 0.25 * np.pi * (pan + 1.0)
-    gains = np.stack([np.cos(th), np.sin(th)], axis=1)[:, : config.n_channels]
-    if config.n_channels == 1:
-        gains = np.ones((V, 1))
-
-    return dict(
-        inc_from=inc_from, lam_ratio=ratio, dphi=dphi, phase_b=phase_b,
-        vol_tgt=vol_tgt, vol_b=vol_b, alpha=alpha, gains=gains,
-        # press/release are relative to control frame 0 (the zero lead of
-        # start_sample samples is prepended after rendering)
-        press=press_f * S,
-        release=np.minimum(release_f, NEVER_FRAME) * S,
-        press_f=press_f,
-    )
+            # advance boundary state exactly (f64 host)
+            dphi = (inc_from / (ratio / S)) * np.expm1(ratio) if ratio else S * inc_from
+            phase = (phase + dphi) % 2.0
+            vol_b = cur_v + (vol_b - cur_v) * (1.0 - alpha) ** S
+            prev_inc = inc_to
+    return table
 
 
-@functools.partial(jax.jit, static_argnames=("stride", "n_frames", "dtype"))
-def _render_tracked(inc_from, lam_ratio, phase_b, vol_tgt, vol_b, alpha, gains,
-                    fp, ip, *, stride: int, n_frames: int, dtype: str):
+@functools.partial(jax.jit, static_argnames=("stride", "n_channels", "dtype"))
+def _render_slots(table, *, stride: int, n_channels: int, dtype: str):
+    """(n_frames, P, N_FIELDS) -> (n_frames, stride, C)."""
     wdt = jnp.dtype(dtype)
     S = stride
     k = jnp.arange(S, dtype=wdt)[None, :]
 
-    press_i = ip[:, 0]
-    release_i = ip[:, 1]
-    A, H, D, R, Sus, top, skipped = (fp[:, i][:, None] for i in range(7))
-    skipped_b = skipped > 0.5
+    def one_frame(tab):
+        tab = tab.astype(wdt)
+        col = lambda i: tab[:, i][:, None]
+        (incf, ratio, phb, vtgt, vb, alpha, tp0, tr0, top, A, H, D, sus, R) = (
+            col(i) for i in range(14))
+        gains = tab[:, _F_GL:_F_GR + 1]
 
-    def one_frame(c):
-        incf = inc_from[:, c][:, None]
-        ratio = lam_ratio[:, c][:, None]
         lam = ratio / S
-        # phase advance after k+1 samples of the glide
         small = jnp.abs(ratio) < 1e-7
         adv = jnp.where(
-            small,
-            incf * (k + 1.0),
+            small, incf * (k + 1.0),
             (incf / jnp.where(small, 1.0, lam)) * jnp.expm1(lam * (k + 1.0)),
         )
-        phases = oscillators.wrap_phase(phase_b[:, c][:, None] + adv)
-        # volume one-pole toward target
-        a = alpha[:, c][:, None]
-        vol = vol_tgt[:, c][:, None] + (
-            (vol_b[:, c] - vol_tgt[:, c])[:, None] * jnp.power(1.0 - a, k + 1.0)
-        )
-        # envelope (linear curves; rt.resynth uses LINEAR, lib.cpp:75-80)
-        t0 = (c * S).astype(jnp.int32)
-        tp = (t0 - press_i).astype(wdt)[:, None] + k
-        trm = (t0 - release_i).astype(wdt)[:, None] + k
-        va = (tp + 1.0) / A
-        vd = 1.0 + (Sus - 1.0) * jnp.clip((tp - A - H + 1.0) / jnp.maximum(D, 1.0), 0.0, 1.0)
+        phases = oscillators.wrap_phase(phb + adv)
+        vol = vtgt + (vb - vtgt) * jnp.power(1.0 - alpha, k + 1.0)
+        tp = tp0 + k
+        trm = tr0 + k
+        va = jnp.clip((tp + 1.0) / A, 0.0, 1.0)
+        vd = 1.0 + (sus - 1.0) * jnp.clip((tp - A - H + 1.0) / jnp.maximum(D, 1.0),
+                                          0.0, 1.0)
         pressed = jnp.where(
-            tp < A, jnp.clip(va, 0.0, 1.0),
-            jnp.where(tp < A + H, 1.0, jnp.where(tp < A + H + D, vd, Sus)),
+            tp < A, va, jnp.where(tp < A + H, 1.0, jnp.where(tp < A + H + D, vd, sus))
         )
         rel = top * (1.0 - jnp.clip((trm + 1.0) / R, 0.0, 1.0))
-        env = jnp.where(
-            (tp < 0) | skipped_b, 0.0,
-            jnp.where(trm < 0, pressed, jnp.where(trm + 1.0 < R, rel, 0.0)),
-        )
-        # aliasing gain on the instantaneous increment
+        env = jnp.where(tp < 0, 0.0, jnp.where(trm < 0, pressed, rel))
         inst_inc = incf * jnp.exp(lam * (k + 0.5))
         aliasing = oscillators.freq_aliasing_multiplicator(inst_inc)
         sig = vol * env * aliasing * oscillators.sine(phases)
         return oscillators.mixdown(sig, gains)
 
-    return jax.lax.map(one_frame, jnp.arange(n_frames))
+    return jax.lax.map(one_frame, table)
 
 
 def render_tracked(notes: list[TrackedNote], n_frames: int,
                    config: TrackedRenderConfig, tail_frames: int = 8) -> np.ndarray:
-    """Render tracked notes -> (start_sample + (n_frames+tail)*stride, C).
-
-    tail_frames extends the render so releases triggered near the end decay.
-    """
+    """Render tracked notes -> (start_sample + (n_frames+tail)*stride, C)."""
     total_frames = n_frames + tail_frames
-    t = _build_tables(notes, total_frames, config)
-    V = t["gains"].shape[0]
-    sr = config.sample_rate
-
-    # envelope params with reference floors: >= 1ms (AllowZeroAttack::No) and
-    # >= 2.5 periods of the initial frequency (Enveloped min-change)
-    a = config.ahdsr
-    vec = lambda x: np.broadcast_to(np.asarray(x, np.float64), (V,)).copy()
-    init_inc = t["inc_from"][np.arange(V), np.minimum(t["press_f"], total_frames - 1)]
-    min_change = 2.5 * 2.0 / np.maximum(np.abs(init_inc), 1e-9)
-    min_dt = sr / 1000.0
-    A = np.maximum(np.maximum(vec(a.attack), min_dt), np.maximum(min_change, 1.0))
-    H = np.maximum(vec(a.hold), 0.0)
-    sus = vec(a.sustain)
-    has_decay = sus < 0.999999
-    Sus = np.where(has_decay, np.clip(sus, 0, 1), 1.0)
-    D = np.where(has_decay, np.maximum(np.maximum(vec(a.decay), min_dt), min_change), 0.0)
-    R = np.maximum(np.maximum(vec(a.release), min_dt), min_change)
-
-    press = t["press"].astype(np.float64)
-    release = t["release"].astype(np.float64)
-    skipped = release <= press
-    tp_rel = release - 1.0 - press
-    # linear curves for top value
-    va = np.clip((tp_rel + 1.0) / A, 0.0, 1.0)
-    vd = 1.0 + (Sus - 1.0) * np.clip((tp_rel - A - H + 1.0) / np.maximum(D, 1.0), 0.0, 1.0)
-    top = np.where(tp_rel < A, va, np.where(tp_rel < A + H, 1.0,
-                   np.where(tp_rel < A + H + D, vd, Sus)))
-
-    fp = np.stack([A, H, D, R, Sus, top, skipped.astype(np.float64)], axis=1)
-    LIM = 2**31 - 2**24
-    ip = np.stack([np.clip(press, -LIM, LIM), np.clip(release, -LIM, LIM)], axis=1).astype(np.int32)
-
+    table = _build_slot_tables(notes, total_frames, config)
     dt = np.dtype(config.dtype)
-    out = _render_tracked(
-        jnp.asarray(t["inc_from"], dt), jnp.asarray(t["lam_ratio"], dt),
-        jnp.asarray(t["phase_b"], dt), jnp.asarray(t["vol_tgt"], dt),
-        jnp.asarray(t["vol_b"], dt), jnp.asarray(t["alpha"], dt),
-        jnp.asarray(t["gains"], dt), jnp.asarray(fp, dt), jnp.asarray(ip),
-        stride=config.stride, n_frames=total_frames, dtype=config.dtype,
-    )
+    out = _render_slots(jnp.asarray(table, dt), stride=config.stride,
+                        n_channels=config.n_channels, dtype=config.dtype)
     body = np.asarray(out).reshape(total_frames * config.stride, -1)
+    if config.n_channels != body.shape[1]:
+        body = body[:, : config.n_channels]
     lead = np.zeros((config.start_sample, body.shape[1]), body.dtype)
     return np.concatenate([lead, body], axis=0)

@@ -1,0 +1,165 @@
+"""ctypes bindings for the native (C++) host components in native/.
+
+Components (see native/*.cpp):
+  - pitchpipe:  the per-frame pitch pipeline (rt.resynth.lib.algo.cpp stages)
+  - ringbuffer: lock-free SPSC float queue (atomic_queue analog)
+  - wavcodec:   bulk WAV sample conversion loops
+
+The library auto-builds on first use (g++ via native/Makefile); callers fall
+back to the pure-Python implementations if no compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+LIB_PATH = NATIVE_DIR / "libcppaudio_native.so"
+
+_DP = ctypes.POINTER(ctypes.c_double)
+_IP = ctypes.POINTER(ctypes.c_int)
+_I64P = ctypes.POINTER(ctypes.c_int64)
+_FP = ctypes.POINTER(ctypes.c_float)
+
+
+@functools.lru_cache(maxsize=1)
+def load_library():
+    """Build (if needed) and load the native library; None on failure."""
+    try:
+        if not LIB_PATH.exists() or any(
+            p.stat().st_mtime > LIB_PATH.stat().st_mtime
+            for p in NATIVE_DIR.glob("*.cpp")
+        ):
+            subprocess.run(["make", "-C", str(NATIVE_DIR)], check=True,
+                           capture_output=True)
+        lib = ctypes.CDLL(str(LIB_PATH))
+    except Exception:
+        return None
+
+    lib.pitchpipe_create.restype = ctypes.c_void_p
+    lib.pitchpipe_create.argtypes = [_DP, ctypes.c_int, _DP, _DP, ctypes.c_int,
+                                     _DP, ctypes.c_int]
+    lib.pitchpipe_destroy.argtypes = [ctypes.c_void_p]
+    lib.pitchpipe_dropped.restype = ctypes.c_int64
+    lib.pitchpipe_dropped.argtypes = [ctypes.c_void_p]
+    lib.pitchpipe_process_frame.restype = ctypes.c_int
+    lib.pitchpipe_process_frame.argtypes = [
+        ctypes.c_void_p, _DP, _DP, ctypes.c_int,
+        _IP, _I64P, _DP, _DP, ctypes.c_int,
+    ]
+
+    lib.ringbuffer_create.restype = ctypes.c_void_p
+    lib.ringbuffer_create.argtypes = [ctypes.c_uint64]
+    lib.ringbuffer_destroy.argtypes = [ctypes.c_void_p]
+    for fn in ("ringbuffer_capacity", "ringbuffer_size", "ringbuffer_dropped"):
+        getattr(lib, fn).restype = ctypes.c_uint64
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    lib.ringbuffer_push.restype = ctypes.c_uint64
+    lib.ringbuffer_push.argtypes = [ctypes.c_void_p, _FP, ctypes.c_uint64]
+    lib.ringbuffer_pop.restype = ctypes.c_uint64
+    lib.ringbuffer_pop.argtypes = [ctypes.c_void_p, _FP, ctypes.c_uint64]
+    return lib
+
+
+def available() -> bool:
+    return load_library() is not None
+
+
+def _dp(a: np.ndarray):
+    return a.ctypes.data_as(_DP)
+
+
+class NativePitchPipe:
+    """Stateful per-frame pitch pipeline (see native/pitchpipe.cpp)."""
+
+    MAX_EVENTS = 1024
+
+    def __init__(self, *, nearby_distance_tones, min_volume, max_track_pitches,
+                 shift_pre, shift_post, harmonize_pre, harmonize_post,
+                 autotune_max_pitch, autotune_tolerance, pitch_method: int,
+                 volume_method: int, max_voices: int, analysis_volume: float,
+                 loud_pitches, loud_spl, allowed_pitches=None):
+        lib = load_library()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        cfg = np.ascontiguousarray(
+            [nearby_distance_tones, min_volume, max_track_pitches, shift_pre,
+             shift_post, harmonize_pre, harmonize_post, autotune_max_pitch,
+             autotune_tolerance, float(pitch_method), float(volume_method),
+             float(max_voices), analysis_volume], dtype=np.float64)
+        lp = np.ascontiguousarray(loud_pitches, np.float64)
+        ls = np.ascontiguousarray(loud_spl, np.float64)
+        allowed = (np.ascontiguousarray(allowed_pitches, np.float64)
+                   if allowed_pitches is not None else np.zeros(0))
+        self._ctx = lib.pitchpipe_create(_dp(cfg), len(cfg), _dp(lp), _dp(ls),
+                                         len(lp), _dp(allowed), len(allowed))
+        self._kind = np.zeros(self.MAX_EVENTS, np.int32)
+        self._nid = np.zeros(self.MAX_EVENTS, np.int64)
+        self._freq = np.zeros(self.MAX_EVENTS, np.float64)
+        self._vol = np.zeros(self.MAX_EVENTS, np.float64)
+
+    def process_frame(self, freqs, mags_db):
+        freqs = np.ascontiguousarray(freqs, np.float64)
+        mags = np.ascontiguousarray(mags_db, np.float64)
+        n = self._lib.pitchpipe_process_frame(
+            self._ctx, _dp(freqs), _dp(mags), len(freqs),
+            self._kind.ctypes.data_as(_IP), self._nid.ctypes.data_as(_I64P),
+            _dp(self._freq), _dp(self._vol), self.MAX_EVENTS,
+        )
+        return (self._kind[:n].copy(), self._nid[:n].copy(),
+                self._freq[:n].copy(), self._vol[:n].copy())
+
+    @property
+    def dropped(self) -> int:
+        return int(self._lib.pitchpipe_dropped(self._ctx))
+
+    def __del__(self):
+        try:
+            self._lib.pitchpipe_destroy(self._ctx)
+        except Exception:
+            pass
+
+
+class RingBuffer:
+    """Lock-free SPSC float queue (native/ringbuffer.cpp)."""
+
+    def __init__(self, min_capacity: int):
+        lib = load_library()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._rb = lib.ringbuffer_create(min_capacity)
+
+    def push(self, data) -> int:
+        data = np.ascontiguousarray(data, np.float32).reshape(-1)
+        return int(self._lib.ringbuffer_push(self._rb, data.ctypes.data_as(_FP),
+                                             len(data)))
+
+    def pop(self, n: int) -> np.ndarray:
+        out = np.empty(n, np.float32)
+        got = int(self._lib.ringbuffer_pop(self._rb, out.ctypes.data_as(_FP), n))
+        return out[:got]
+
+    @property
+    def size(self) -> int:
+        return int(self._lib.ringbuffer_size(self._rb))
+
+    @property
+    def capacity(self) -> int:
+        return int(self._lib.ringbuffer_capacity(self._rb))
+
+    @property
+    def dropped(self) -> int:
+        return int(self._lib.ringbuffer_dropped(self._rb))
+
+    def __del__(self):
+        try:
+            self._lib.ringbuffer_destroy(self._rb)
+        except Exception:
+            pass

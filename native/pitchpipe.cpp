@@ -1,0 +1,315 @@
+// Native pitch pipeline: the per-frame analysis stages of rt.resynth
+// (reference source/rt.resynth.lib.algo.cpp), reimplemented as a standalone
+// C++ library driven through a C ABI (ctypes).
+//
+// Stages per analysis frame (RtResynth::step, rt.resynth.lib.cpp:1670-1759):
+//   frequencies_to_pitches -> aggregate_pitches -> reduce_pitches ->
+//   shift -> harmonize -> autotune -> shift -> harmonize ->
+//   track_pitches -> order_by_perceived_loudness -> note on/change/off
+//
+// This is host-side control logic (tens of peaks per frame) that the device
+// can't help with; in Python it dominates the offline chain's wall time, so
+// it runs here at C++ speed. The Python wrapper (analysis/native.py) feeds
+// peak arrays straight from the device STFT and receives compact event
+// arrays per frame.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr double kPitchEpsilon = 0.0001;
+
+struct PitchVolume {
+  double pitch;
+  double volume;
+};
+
+struct PlayedNote {
+  int64_t noteid;
+  double pitch;
+};
+
+struct Config {
+  double nearby_distance_tones;
+  double min_volume;
+  double max_track_pitches;
+  double shift_pre, shift_post;
+  double harmonize_pre, harmonize_post;
+  double autotune_max_pitch;
+  double autotune_tolerance;
+  int pitch_method;   // 0 center, 1 maxvol, 2 ponderate
+  int volume_method;  // 0 maxvol, 1 sum
+  int max_voices;
+  double analysis_volume;
+};
+
+// ISO-226 pitch grid + 60-phon contour SPL, filled by the wrapper so the
+// tables stay single-sourced in Python (utils/loudness.py).
+struct LoudnessTable {
+  std::vector<double> pitches;
+  std::vector<double> spl;  // contour dB at the chosen phon index
+  double eval(double pitch) const {
+    // reference `closest` interpolation (include/loudness.h:152-186)
+    size_t n = pitches.size();
+    size_t hi = std::upper_bound(pitches.begin(), pitches.end(), pitch) - pitches.begin();
+    if (hi == 0) return spl[0];
+    if (hi >= n) return spl[n - 1];
+    double lo_v = pitches[hi - 1], hi_v = pitches[hi];
+    double ratio = (pitch - lo_v) / (hi_v - lo_v);
+    return ratio * spl[hi] + (1.0 - ratio) * spl[hi - 1];
+  }
+};
+
+struct Ctx {
+  Config cfg;
+  LoudnessTable loudness;
+  std::vector<double> allowed;  // sorted allowed pitches; empty = no autotune
+  std::vector<PlayedNote> played;
+  int64_t next_noteid = 0;
+  int64_t dropped = 0;
+
+  // scratch
+  std::vector<PitchVolume> pvs, reduced, tuned;
+  std::vector<int> changes;       // index into played, or -1
+  std::vector<uint8_t> cont;
+  std::vector<int> order;
+};
+
+inline double freq_to_pitch(double freq) {
+  return 69.0 + 12.0 * std::log2(freq / 440.0);
+}
+inline double pitch_to_freq(double pitch) {
+  return 440.0 * std::pow(2.0, (pitch - 69.0) / 12.0);
+}
+
+void aggregate_reduce(Ctx& c) {
+  // aggregate_pitches + reduce_pitches (algo.cpp:124-184) fused single pass
+  c.reduced.clear();
+  size_t i = 0, n = c.pvs.size();
+  while (i < n) {
+    double min_p = c.pvs[i].pitch, max_p = min_p;
+    double max_vol = 0.0, max_vol_pitch = min_p;
+    double sum_vol = 0.0, sum_pv = 0.0;
+    size_t j = i;
+    for (; j < n; ++j) {
+      double p = c.pvs[j].pitch;
+      double new_min = std::min(min_p, p), new_max = std::max(max_p, p);
+      if (j > i && (new_max - new_min) > c.cfg.nearby_distance_tones) break;
+      min_p = new_min; max_p = new_max;
+      double v = c.pvs[j].volume;
+      sum_vol += v;
+      sum_pv += p * v;
+      if (v > max_vol) { max_vol = v; max_vol_pitch = p; }
+    }
+    double vol = (c.cfg.volume_method == 0) ? max_vol : sum_vol;
+    if (vol >= c.cfg.min_volume) {
+      double pitch;
+      switch (c.cfg.pitch_method) {
+        case 0: pitch = 0.5 * (min_p + max_p); break;
+        case 1: pitch = max_vol_pitch; break;
+        default: pitch = sum_pv / sum_vol; break;
+      }
+      c.reduced.push_back({pitch, vol});
+    }
+    i = j;
+  }
+}
+
+void shift(std::vector<PitchVolume>& v, double amount) {
+  if (!amount) return;
+  for (auto& p : v) p.pitch += amount;
+}
+
+void harmonize(std::vector<PitchVolume>& v, double amount) {
+  // algo.cpp:318-371
+  if (!amount) return;
+  size_t sz = v.size();
+  for (size_t i = 0; i < sz; ++i) {
+    double hp = v[i].pitch + amount;
+    // closest among current entries
+    size_t best = 0; double bestd = 1e300;
+    for (size_t j = 0; j < v.size(); ++j) {
+      double d = std::abs(v[j].pitch - hp);
+      if (d < bestd) { bestd = d; best = j; }
+    }
+    if (bestd <= kPitchEpsilon) v[best].volume += v[i].volume;
+    else v.push_back({hp, v[i].volume});
+  }
+  std::sort(v.begin(), v.end(),
+            [](const PitchVolume& a, const PitchVolume& b) { return a.pitch < b.pitch; });
+}
+
+double closest_allowed(const std::vector<double>& allowed, double pitch) {
+  auto it = std::lower_bound(allowed.begin(), allowed.end(), pitch);
+  if (it == allowed.end()) return allowed.back();
+  if (it == allowed.begin()) return allowed.front();
+  double hi = *it, lo = *(it - 1);
+  return (std::abs(pitch - hi) < std::abs(pitch - lo)) ? hi : lo;
+}
+
+void autotune(Ctx& c, const std::vector<PitchVolume>& in, std::vector<PitchVolume>& out) {
+  // algo.cpp:191-229
+  out.clear();
+  for (const auto& pv : in) {
+    double tp;
+    if (pv.pitch <= c.cfg.autotune_max_pitch) {
+      tp = c.allowed.empty() ? pv.pitch : closest_allowed(c.allowed, pv.pitch);
+      if (tp > c.cfg.autotune_max_pitch) tp = pv.pitch;  // keep output sorted
+    } else {
+      tp = pv.pitch;
+    }
+    if (std::abs(tp - pv.pitch) <= c.cfg.autotune_tolerance) {
+      if (!out.empty() && std::abs(out.back().pitch - tp) < kPitchEpsilon)
+        out.back().volume += pv.volume;
+      else
+        out.push_back({tp, pv.volume});
+    }
+  }
+}
+
+void track(Ctx& c) {
+  // algo.cpp:256-305 (monotonic two-pointer matching)
+  c.changes.assign(c.tuned.size(), -1);
+  c.cont.assign(c.played.size(), 0);
+  size_t it = 0, end = c.played.size();
+  for (size_t idx = 0; idx < c.tuned.size(); ++idx) {
+    double np_ = c.tuned[idx].pitch;
+    while (it != end) {
+      if (c.played[it].pitch < np_ - c.cfg.max_track_pitches) { ++it; continue; }
+      if (c.played[it].pitch <= np_ + c.cfg.max_track_pitches) {
+        c.changes[idx] = static_cast<int>(it);
+        c.cont[it] = 1;
+        ++it;
+      }
+      break;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+Ctx* pitchpipe_create(const double* cfg_values, int n_cfg,
+                      const double* loud_pitches, const double* loud_spl, int n_loud,
+                      const double* allowed, int n_allowed) {
+  (void)n_cfg;
+  auto* c = new Ctx();
+  const double* v = cfg_values;
+  c->cfg.nearby_distance_tones = v[0];
+  c->cfg.min_volume = v[1];
+  c->cfg.max_track_pitches = v[2];
+  c->cfg.shift_pre = v[3];
+  c->cfg.shift_post = v[4];
+  c->cfg.harmonize_pre = v[5];
+  c->cfg.harmonize_post = v[6];
+  c->cfg.autotune_max_pitch = v[7];
+  c->cfg.autotune_tolerance = v[8];
+  c->cfg.pitch_method = static_cast<int>(v[9]);
+  c->cfg.volume_method = static_cast<int>(v[10]);
+  c->cfg.max_voices = static_cast<int>(v[11]);
+  c->cfg.analysis_volume = v[12];
+  c->loudness.pitches.assign(loud_pitches, loud_pitches + n_loud);
+  c->loudness.spl.assign(loud_spl, loud_spl + n_loud);
+  if (n_allowed > 0) c->allowed.assign(allowed, allowed + n_allowed);
+  return c;
+}
+
+void pitchpipe_destroy(Ctx* c) { delete c; }
+
+int64_t pitchpipe_dropped(const Ctx* c) { return c->dropped; }
+
+// Process one frame. peaks: (freq, mag_db) sorted by freq. Emits events into
+// the out arrays (capacity `cap`):
+//   kinds: 0 = note_on, 1 = note_change, 2 = note_off
+// Returns the number of events.
+int pitchpipe_process_frame(Ctx* c,
+                            const double* freqs, const double* mags_db, int n_peaks,
+                            int* out_kind, int64_t* out_noteid,
+                            double* out_freq, double* out_volume, int cap) {
+  // frequencies_to_pitches (algo.cpp:10-29)
+  c->pvs.clear();
+  for (int i = 0; i < n_peaks; ++i) {
+    if (freqs[i] > 0)
+      c->pvs.push_back({freq_to_pitch(freqs[i]), std::pow(10.0, mags_db[i] / 20.0)});
+  }
+
+  aggregate_reduce(*c);
+  shift(c->reduced, c->cfg.shift_pre);
+  harmonize(c->reduced, c->cfg.harmonize_pre);
+  autotune(*c, c->reduced, c->tuned);
+  shift(c->tuned, c->cfg.shift_post);
+  harmonize(c->tuned, c->cfg.harmonize_post);
+  track(*c);
+
+  // perceived loudness order (60 phon; rt.resynth.lib.cpp:1712-1720)
+  c->order.resize(c->tuned.size());
+  for (size_t i = 0; i < c->order.size(); ++i) c->order[i] = static_cast<int>(i);
+  std::vector<double> w(c->tuned.size());
+  for (size_t i = 0; i < c->tuned.size(); ++i)
+    w[i] = c->tuned[i].volume / c->loudness.eval(c->tuned[i].pitch);
+  std::sort(c->order.begin(), c->order.end(), [&](int a, int b) { return w[a] > w[b]; });
+
+  int n_out = 0;
+  // note offs (synthesize_sounds, rt.resynth.lib.cpp:296-313)
+  for (size_t j = 0; j < c->played.size(); ++j) {
+    if (!c->cont[j] && n_out < cap) {
+      out_kind[n_out] = 2;
+      out_noteid[n_out] = c->played[j].noteid;
+      out_freq[n_out] = 0;
+      out_volume[n_out] = 0;
+      ++n_out;
+    }
+  }
+  int active = 0;
+  for (auto f : c->cont) active += f;
+
+  // note changes / ons, loudest first
+  std::vector<PlayedNote> new_notes;
+  for (int idx : c->order) {
+    double pitch = c->tuned[idx].pitch;
+    double freq = pitch_to_freq(pitch);
+    double volume = c->cfg.analysis_volume * c->tuned[idx].volume;
+    int pc = c->changes[idx];
+    if (pc >= 0) {
+      c->played[pc].pitch = pitch;
+      if (n_out < cap) {
+        out_kind[n_out] = 1;
+        out_noteid[n_out] = c->played[pc].noteid;
+        out_freq[n_out] = freq;
+        out_volume[n_out] = volume;
+        ++n_out;
+      }
+    } else {
+      if (volume <= 0) continue;
+      if (active >= c->cfg.max_voices) { ++c->dropped; continue; }
+      ++active;
+      ++c->next_noteid;
+      new_notes.push_back({c->next_noteid, pitch});
+      if (n_out < cap) {
+        out_kind[n_out] = 0;
+        out_noteid[n_out] = c->next_noteid;
+        out_freq[n_out] = freq;
+        out_volume[n_out] = volume;
+        ++n_out;
+      }
+    }
+  }
+
+  // remove dead + keep alive + sort by pitch (algo.cpp:415-440)
+  std::vector<PlayedNote> kept;
+  kept.reserve(c->played.size() + new_notes.size());
+  for (size_t j = 0; j < c->played.size(); ++j)
+    if (c->cont[j]) kept.push_back(c->played[j]);
+  for (auto& nn : new_notes) kept.push_back(nn);
+  std::sort(kept.begin(), kept.end(),
+            [](const PlayedNote& a, const PlayedNote& b) { return a.pitch < b.pitch; });
+  c->played = std::move(kept);
+  return n_out;
+}
+
+}  // extern "C"
