@@ -84,6 +84,43 @@ def find_closest_pitch(pitch: float, sorted_pitches: list[float]) -> float | Non
             else sorted_pitches[i - 1])
 
 
+def autotune_tables(
+    *,
+    use_autotune: bool = False,
+    autotune_type: AutotuneType = AutotuneType.MUSICAL_SCALE,
+    musical_scale_mode: MusicalScaleMode = MusicalScaleMode.MAJOR,
+    musical_scale_root_note: Note = Note.Do,
+    root_note_halftones_transpose: int = 0,
+    chord_frequencies: AutotuneChordFrequencies = AutotuneChordFrequencies.HARMONICS,
+    bit_chord: int = 0b10010001,
+    intervals_size: int = 2,
+):
+    """Exact numeric tables driving autotune, for the native (C++) pipeline.
+
+    Returns a dict: {"kind": "off"|"scale"|"allowed",
+                     "root_pitch", "scale", "equidistant"  (scale mode),
+                     "allowed" (chord/interval modes, the exact python list)}.
+    """
+    if not use_autotune:
+        return {"kind": "off"}
+    if autotune_type is AutotuneType.MUSICAL_SCALE:
+        scale = get_musical_scale(musical_scale_mode)
+        root_pitch = (A_PITCH + root_note_halftones_transpose
+                      + half_tones_distance(Note.La, musical_scale_root_note))
+        return {"kind": "scale", "root_pitch": float(root_pitch),
+                "scale": np.asarray(scale.pitches),
+                "equidistant": np.asarray(scale.equidistant)}
+    if autotune_type is AutotuneType.CHORD:
+        allowed = chord_allowed_pitches(musical_scale_root_note,
+                                        root_note_halftones_transpose,
+                                        chord_frequencies, bit_chord)
+    else:
+        allowed = intervals_allowed_pitches(musical_scale_root_note,
+                                            root_note_halftones_transpose,
+                                            intervals_size)
+    return {"kind": "allowed", "allowed": np.asarray(allowed, np.float64)}
+
+
 def mk_autotune_function(
     *,
     use_autotune: bool = False,
@@ -107,35 +144,56 @@ def mk_autotune_function(
         return lambda p: scale.closest_pitch(root_pitch, p)
 
     if autotune_type is AutotuneType.CHORD:
-        offset = half_tones_distance(Note.Do, musical_scale_root_note)
-        if offset < 0:
-            offset += NUM_HALFTONES_PER_OCTAVE
-        offset += root_note_halftones_transpose
-        # lowest chord bit is C4+offset (C_pitch = A4 - 9 + 12, lib.cpp:1776-1778)
-        c_pitch = A_PITCH + half_tones_distance(Note.La, Note.Do) + NUM_HALFTONES_PER_OCTAVE
-        root_pitch = c_pitch + offset
-        allowed: list[float] = []
-        bits = [i for i in range(64) if (bit_chord >> i) & 1]
-        if chord_frequencies in (AutotuneChordFrequencies.SINGLE_FREQ,
-                                 AutotuneChordFrequencies.OCTAVE_PERIODIC):
-            single = chord_frequencies is AutotuneChordFrequencies.SINGLE_FREQ
-            octaves = range(0, 1) if single else range(-5, 6)
-            for octave in octaves:
-                add = NUM_HALFTONES_PER_OCTAVE * octave
-                for i in bits:
-                    allowed.append(root_pitch + i + add)
-        else:  # Harmonics
-            midi = Midi()
-            n_harmo = 36
-            for h in range(1, n_harmo + 1):
-                add = int(0.5 + midi.midi_pitch_offset_nth_harmonic(h))
-                for i in bits:
-                    allowed.append(root_pitch + add + i)
-                    allowed.append(root_pitch - add + i)
-        allowed.sort()
+        allowed = chord_allowed_pitches(musical_scale_root_note,
+                                        root_note_halftones_transpose,
+                                        chord_frequencies, bit_chord)
         return lambda p: find_closest_pitch(p, allowed)
 
     # FIXED_SIZE_INTERVALS
+    allowed = intervals_allowed_pitches(musical_scale_root_note,
+                                        root_note_halftones_transpose,
+                                        intervals_size)
+    return lambda p: find_closest_pitch(p, allowed)
+
+
+def chord_allowed_pitches(musical_scale_root_note: Note,
+                          root_note_halftones_transpose: int,
+                          chord_frequencies: AutotuneChordFrequencies,
+                          bit_chord: int) -> list[float]:
+    """Chord-mode allowed pitch set (rt.resynth.lib.cpp:1767-1827)."""
+    offset = half_tones_distance(Note.Do, musical_scale_root_note)
+    if offset < 0:
+        offset += NUM_HALFTONES_PER_OCTAVE
+    offset += root_note_halftones_transpose
+    # lowest chord bit is C4+offset (C_pitch = A4 - 9 + 12, lib.cpp:1776-1778)
+    c_pitch = A_PITCH + half_tones_distance(Note.La, Note.Do) + NUM_HALFTONES_PER_OCTAVE
+    root_pitch = c_pitch + offset
+    allowed: list[float] = []
+    bits = [i for i in range(64) if (bit_chord >> i) & 1]
+    if chord_frequencies in (AutotuneChordFrequencies.SINGLE_FREQ,
+                             AutotuneChordFrequencies.OCTAVE_PERIODIC):
+        single = chord_frequencies is AutotuneChordFrequencies.SINGLE_FREQ
+        octaves = range(0, 1) if single else range(-5, 6)
+        for octave in octaves:
+            add = NUM_HALFTONES_PER_OCTAVE * octave
+            for i in bits:
+                allowed.append(root_pitch + i + add)
+    else:  # Harmonics
+        midi = Midi()
+        n_harmo = 36
+        for h in range(1, n_harmo + 1):
+            add = int(0.5 + midi.midi_pitch_offset_nth_harmonic(h))
+            for i in bits:
+                allowed.append(root_pitch + add + i)
+                allowed.append(root_pitch - add + i)
+    allowed.sort()
+    return allowed
+
+
+def intervals_allowed_pitches(musical_scale_root_note: Note,
+                              root_note_halftones_transpose: int,
+                              intervals_size: int) -> list[float]:
+    """Fixed-size-intervals allowed pitch set (rt.resynth.lib.cpp:1829-1862)."""
     o = half_tones_distance(Note.Do, musical_scale_root_note)
     if o < 0:
         o += NUM_HALFTONES_PER_OCTAVE
@@ -151,4 +209,4 @@ def mk_autotune_function(
             allowed.append(v)
             v += intervals_size
     allowed.sort()
-    return lambda p: find_closest_pitch(p, allowed)
+    return allowed

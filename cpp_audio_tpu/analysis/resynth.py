@@ -96,18 +96,6 @@ def analyze(signal, config: ResynthConfig):
     return stft.peaks_to_lists(is_peak, freq, mag)
 
 
-def _allowed_pitch_array(config: ResynthConfig):
-    """Dense sorted allowed-pitch array for the native pipeline (None = off)."""
-    if not config.use_autotune:
-        return None
-    fn = at.mk_autotune_function(use_autotune=True, **config.autotune_kwargs)
-    # sample the transform over the full representable pitch range (FFT bins
-    # can land far below the audible range) and collect its fixed points
-    pts = sorted({round(float(fn(p)), 6) for p in np.arange(-80.0, 170.0, 0.25)
-                  if fn(p) is not None})
-    return np.asarray(pts)
-
-
 def track_native(peaks_per_frame, config: ResynthConfig):
     """C++ fast path of `track` (native/pitchpipe.cpp). Same event semantics;
     returns (tracked_notes, stats=None, n_dropped)."""
@@ -115,6 +103,8 @@ def track_native(peaks_per_frame, config: ResynthConfig):
     from ..utils import loudness
 
     li = loudness.phons_to_index(60.0)
+    tables = at.autotune_tables(use_autotune=config.use_autotune,
+                                **config.autotune_kwargs)
     pipe = nat.NativePitchPipe(
         nearby_distance_tones=config.nearby_distance_tones,
         min_volume=config.min_volume,
@@ -133,8 +123,10 @@ def track_native(peaks_per_frame, config: ResynthConfig):
         max_voices=config.max_voices,
         analysis_volume=config.analysis_volume,
         loud_pitches=loudness.PITCHES, loud_spl=loudness.ELVS[li],
-        allowed_pitches=_allowed_pitch_array(config),
+        allowed_pitches=tables.get("allowed"),
     )
+    if tables["kind"] == "scale":
+        pipe.set_scale(tables["root_pitch"], tables["scale"], tables["equidistant"])
     rng = np.random.default_rng(config.seed)
     voices: dict[int, resynth_bank.TrackedNote] = {}
     for frame_idx, freqmags in enumerate(peaks_per_frame):

@@ -52,6 +52,8 @@ def load_library():
         ctypes.c_void_p, _DP, _DP, ctypes.c_int,
         _IP, _I64P, _DP, _DP, ctypes.c_int,
     ]
+    lib.pitchpipe_set_scale.argtypes = [ctypes.c_void_p, ctypes.c_double,
+                                        _DP, ctypes.c_int, _DP, ctypes.c_int]
 
     lib.ringbuffer_create.restype = ctypes.c_void_p
     lib.ringbuffer_create.argtypes = [ctypes.c_uint64]
@@ -99,10 +101,19 @@ class NativePitchPipe:
                    if allowed_pitches is not None else np.zeros(0))
         self._ctx = lib.pitchpipe_create(_dp(cfg), len(cfg), _dp(lp), _dp(ls),
                                          len(lp), _dp(allowed), len(allowed))
+        self._keepalive = (cfg, lp, ls, allowed)
         self._kind = np.zeros(self.MAX_EVENTS, np.int32)
+        self._scale_keepalive = None
         self._nid = np.zeros(self.MAX_EVENTS, np.int64)
         self._freq = np.zeros(self.MAX_EVENTS, np.float64)
         self._vol = np.zeros(self.MAX_EVENTS, np.float64)
+
+    def set_scale(self, root_pitch: float, scale_pitches, equidistant) -> None:
+        sp = np.ascontiguousarray(scale_pitches, np.float64)
+        eq = np.ascontiguousarray(equidistant, np.float64)
+        self._scale_keepalive = (sp, eq)
+        self._lib.pitchpipe_set_scale(self._ctx, float(root_pitch),
+                                      _dp(sp), len(sp), _dp(eq), len(eq))
 
     def process_frame(self, freqs, mags_db):
         freqs = np.ascontiguousarray(freqs, np.float64)

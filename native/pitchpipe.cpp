@@ -67,7 +67,13 @@ struct LoudnessTable {
 struct Ctx {
   Config cfg;
   LoudnessTable loudness;
-  std::vector<double> allowed;  // sorted allowed pitches; empty = no autotune
+  std::vector<double> allowed;  // sorted allowed pitches (chord/interval modes)
+  // musical-scale mode: octave-folded snapping with the exact arithmetic of
+  // MusicalScalePitches::closest_pitch (rt.resynth.lib.autotune.cpp:89-142)
+  bool use_scale = false;
+  double scale_root = 60.0;
+  std::vector<double> scale_pitches;     // 0..12 inclusive
+  std::vector<double> scale_equidistant; // midpoints
   std::vector<PlayedNote> played;
   int64_t next_noteid = 0;
   int64_t dropped = 0;
@@ -151,13 +157,27 @@ double closest_allowed(const std::vector<double>& allowed, double pitch) {
   return (std::abs(pitch - hi) < std::abs(pitch - lo)) ? hi : lo;
 }
 
+double scale_snap(const Ctx& c, double pitch) {
+  double half_tones_dist = pitch - c.scale_root;
+  double octave_dist = half_tones_dist / 12.0;
+  int oct = (octave_dist >= 0.0) ? static_cast<int>(octave_dist)
+                                 : static_cast<int>(octave_dist) - 1;
+  double translated = pitch - oct * 12;
+  double rel = translated - c.scale_root;
+  size_t i = 0;
+  while (i < c.scale_equidistant.size() && rel >= c.scale_equidistant[i]) ++i;
+  double offset = rel - c.scale_pitches[i];
+  return pitch - offset;
+}
+
 void autotune(Ctx& c, const std::vector<PitchVolume>& in, std::vector<PitchVolume>& out) {
   // algo.cpp:191-229
   out.clear();
   for (const auto& pv : in) {
     double tp;
     if (pv.pitch <= c.cfg.autotune_max_pitch) {
-      tp = c.allowed.empty() ? pv.pitch : closest_allowed(c.allowed, pv.pitch);
+      if (c.use_scale) tp = scale_snap(c, pv.pitch);
+      else tp = c.allowed.empty() ? pv.pitch : closest_allowed(c.allowed, pv.pitch);
       if (tp > c.cfg.autotune_max_pitch) tp = pv.pitch;  // keep output sorted
     } else {
       tp = pv.pitch;
@@ -219,6 +239,16 @@ Ctx* pitchpipe_create(const double* cfg_values, int n_cfg,
   return c;
 }
 
+// musical-scale autotune mode (exact MusicalScalePitches arithmetic)
+void pitchpipe_set_scale(Ctx* c, double root_pitch,
+                         const double* scale, int n_scale,
+                         const double* equidistant, int n_equi) {
+  c->use_scale = true;
+  c->scale_root = root_pitch;
+  c->scale_pitches.assign(scale, scale + n_scale);
+  c->scale_equidistant.assign(equidistant, equidistant + n_equi);
+}
+
 void pitchpipe_destroy(Ctx* c) { delete c; }
 
 int64_t pitchpipe_dropped(const Ctx* c) { return c->dropped; }
@@ -252,7 +282,7 @@ int pitchpipe_process_frame(Ctx* c,
   std::vector<double> w(c->tuned.size());
   for (size_t i = 0; i < c->tuned.size(); ++i)
     w[i] = c->tuned[i].volume / c->loudness.eval(c->tuned[i].pitch);
-  std::sort(c->order.begin(), c->order.end(), [&](int a, int b) { return w[a] > w[b]; });
+  std::stable_sort(c->order.begin(), c->order.end(), [&](int a, int b) { return w[a] > w[b]; });
 
   int n_out = 0;
   // note offs (synthesize_sounds, rt.resynth.lib.cpp:296-313)
@@ -306,7 +336,7 @@ int pitchpipe_process_frame(Ctx* c,
   for (size_t j = 0; j < c->played.size(); ++j)
     if (c->cont[j]) kept.push_back(c->played[j]);
   for (auto& nn : new_notes) kept.push_back(nn);
-  std::sort(kept.begin(), kept.end(),
+  std::stable_sort(kept.begin(), kept.end(),
             [](const PlayedNote& a, const PlayedNote& b) { return a.pitch < b.pitch; });
   c->played = std::move(kept);
   return n_out;
