@@ -47,6 +47,14 @@ def make_synth_workload(sr, n):
 def main():
     import jax
 
+    # persist compiled executables across bench invocations (first compile of
+    # the big programs is expensive, especially via remote-compile tunnels)
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_bench")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
     from cpp_audio_tpu.analysis import resynth, vocoder
     from cpp_audio_tpu.models import sine_synth, voicebank
 

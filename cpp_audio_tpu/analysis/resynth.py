@@ -88,12 +88,17 @@ class AnalysisFrameResult:
 
 
 def analyze(signal, config: ResynthConfig):
-    """signal (mono) -> per-frame [(freq, mag_db)] peak lists."""
+    """signal (mono) -> per-frame [(freq, mag_db)] peak lists.
+
+    Peaks are extracted fully on-device (local maxima + QIFFT + top-k by
+    magnitude, k = max_voices) so only (frames, k) floats cross to the host.
+    """
     window = stft.gaussian_window(config.window_size, sigmas=4.0)
     sq = stft.stft_sqmag(np.asarray(signal, np.float64), window, config.stride)
     fft_len = stft.fft_length_for(config.window_size)
-    is_peak, freq, mag = stft.extract_local_max_freqs_mags(sq, config.sample_rate, fft_len)
-    return stft.peaks_to_lists(is_peak, freq, mag)
+    freq, mag = stft.extract_top_peaks(sq, config.sample_rate, fft_len,
+                                       k=config.max_voices + 1)
+    return stft.top_peaks_to_lists(freq, mag)
 
 
 def track_native(peaks_per_frame, config: ResynthConfig):

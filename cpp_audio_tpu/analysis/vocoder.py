@@ -80,6 +80,41 @@ def _band_matrix(freq_edges: np.ndarray, n_bins: int, bin_hz: float) -> np.ndarr
     return m
 
 
+@functools.partial(jax.jit, static_argnames=("window", "stride", "n_frames",
+                                             "sample_rate"))
+def _modulator_band_amps_fast(signal, edges, *, window: int, stride: int,
+                              n_frames: int, sample_rate: int):
+    """O(n) band amplitudes: per-band band-pass over the WHOLE signal (one
+    big rfft + bin mask + irfft per band), then windowed energy via cumsum.
+
+    By Parseval, the sum of squared rectangular-window DFT magnitudes over a
+    band's bins equals (window/2) x the energy of the band-filtered window
+    (up to edge leakage), so this matches the per-window FFT formulation
+    while doing ~window/stride (= 20x at the defaults) less work — the
+    windows overlap 95% (window 0.10 s, stride 5 ms).
+
+    edges: (n_bands+1,) band edge frequencies. Returns (n_frames, n_bands).
+    """
+    n = signal.shape[0]
+    X = jnp.fft.rfft(signal)
+    hz = jnp.arange(X.shape[0], dtype=jnp.float64 if X.dtype == jnp.complex128
+                    else jnp.float32) * (sample_rate / n)
+    mask = (hz[:, None] > edges[None, :-1]) & (hz[:, None] <= edges[None, 1:])
+    Y = X[:, None] * mask  # (bins, bands)
+    y = jnp.fft.irfft(Y, n=n, axis=0)  # (n, bands) band-passed signals
+    e = jnp.cumsum(y * y, axis=0)
+    starts = jnp.arange(n_frames) * stride
+    ends = jnp.minimum(starts + window, n - 1)
+    band_e = e[ends] - e[starts]  # (n_frames, bands)
+    # amp = sqrt(2 E / W), times the zero-padding bin-density factor of the
+    # windowed-FFT path (fft_len/W extra bins sample the same spectrum; the
+    # reference inherits the same factor from its power-of-two FFT sizes)
+    from ..ops.stft import fft_length_for
+
+    pad_factor = fft_length_for(window) / window
+    return jnp.sqrt(jnp.maximum(2.0 * band_e * pad_factor / window, 0.0))
+
+
 @functools.partial(jax.jit, static_argnames=("window", "stride", "fft_len"))
 def _modulator_band_amps(signal, band_mat, *, window: int, stride: int, fft_len: int):
     """(n_frames, n_bands) band amplitudes from sliding rectangular windows.
@@ -128,7 +163,8 @@ def _carrier_vocode(carrier, band_amps, band_mat_full, *, stride: int, fft_len: 
     return (new_part * w_new[None, :] + old_part * w_old[None, :]).reshape(-1)
 
 
-def vocode(modulator, carrier, params: VocoderParams) -> np.ndarray:
+def vocode(modulator, carrier, params: VocoderParams, *,
+           exact_modulator: bool = False) -> np.ndarray:
     """Offline vocoder: (modulator, carrier) mono arrays -> mono output.
 
     Output sample t mixes volume_modulator*modulator + volume_carrier*carrier
@@ -147,10 +183,17 @@ def vocode(modulator, carrier, params: VocoderParams) -> np.ndarray:
     bm_mod = _band_matrix(edges, mod_fft // 2 + 1, sr / mod_fft)
     bm_car = _band_matrix(edges, car_fft // 2 + 1, sr / car_fft)
 
-    amps = np.asarray(_modulator_band_amps(
-        jnp.asarray(modulator), jnp.asarray(bm_mod),
-        window=W, stride=S, fft_len=mod_fft,
-    ))
+    n_mod_frames = max(0, (n - W) // S + 1)
+    if exact_modulator:
+        amps = np.asarray(_modulator_band_amps(
+            jnp.asarray(modulator), jnp.asarray(bm_mod),
+            window=W, stride=S, fft_len=mod_fft,
+        ))
+    else:
+        amps = np.asarray(_modulator_band_amps_fast(
+            jnp.asarray(modulator), jnp.asarray(edges),
+            window=W, stride=S, n_frames=n_mod_frames, sample_rate=sr,
+        ))
 
     # align: the carrier frame covering output [r*S, (r+1)*S) uses the most
     # recent modulator result available at its window end (2S + r*S): index

@@ -116,6 +116,40 @@ def extract_local_max_freqs_mags(sqmag, sample_rate: int, fft_length: int,
     return is_peak, freq, mag_db
 
 
+@functools.partial(jax.jit, static_argnames=("sample_rate", "fft_length", "k"))
+def _top_peaks(sqmag, *, sample_rate: int, fft_length: int, k: int):
+    is_peak, freq, mag_db = _peaks(sqmag, sample_rate=sample_rate,
+                                   fft_length=fft_length)
+    score = jnp.where(is_peak, mag_db, -jnp.inf)
+    top_db, idx = jax.lax.top_k(score, k)
+    top_freq = jnp.take_along_axis(freq, idx, axis=-1)
+    # return sorted by frequency within each frame (pipeline invariant)
+    order = jnp.argsort(jnp.where(jnp.isfinite(top_db), top_freq, jnp.inf), axis=-1)
+    return (jnp.take_along_axis(top_freq, order, axis=-1),
+            jnp.take_along_axis(top_db, order, axis=-1))
+
+
+def extract_top_peaks(sqmag, sample_rate: int, fft_length: int, k: int = 127):
+    """Device-side top-k peak extraction: returns (freq, mag_db) arrays of
+    shape (n_frames, k), frequency-sorted, with -inf mag padding.
+
+    This keeps the host<->device transfer tiny ((frames, k) instead of full
+    (frames, bins) masks) — the tracker only ever uses the strongest peaks
+    (the reference's synth has 127 voices, rt.resynth.lib.cpp:208).
+    """
+    return _top_peaks(jnp.asarray(sqmag), sample_rate=sample_rate,
+                      fft_length=fft_length, k=k)
+
+
+def top_peaks_to_lists(freq, mag_db) -> list[list[tuple[float, float]]]:
+    """Host conversion of extract_top_peaks output to per-frame lists."""
+    freq = np.asarray(freq)
+    mag_db = np.asarray(mag_db)
+    valid = np.isfinite(mag_db)
+    return [list(zip(freq[f][valid[f]].tolist(), mag_db[f][valid[f]].tolist()))
+            for f in range(freq.shape[0])]
+
+
 def peaks_to_lists(is_peak, freq, mag_db) -> list[list[tuple[float, float]]]:
     """Host conversion: per-frame sorted [(freq, mag_db), ...] lists."""
     is_peak = np.asarray(is_peak)
