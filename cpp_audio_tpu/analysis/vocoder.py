@@ -96,12 +96,16 @@ def _modulator_band_amps_fast(signal, edges, *, window: int, stride: int,
     edges: (n_bands+1,) band edge frequencies. Returns (n_frames, n_bands).
     """
     n = signal.shape[0]
-    X = jnp.fft.rfft(signal)
+    # TPU FFTs need power-of-two lengths; zero-pad the whole-signal transform
+    n_fft = 1
+    while n_fft < n:
+        n_fft *= 2
+    X = jnp.fft.rfft(signal, n=n_fft)
     hz = jnp.arange(X.shape[0], dtype=jnp.float64 if X.dtype == jnp.complex128
-                    else jnp.float32) * (sample_rate / n)
+                    else jnp.float32) * (sample_rate / n_fft)
     mask = (hz[:, None] > edges[None, :-1]) & (hz[:, None] <= edges[None, 1:])
     Y = X[:, None] * mask  # (bins, bands)
-    y = jnp.fft.irfft(Y, n=n, axis=0)  # (n, bands) band-passed signals
+    y = jnp.fft.irfft(Y, n=n_fft, axis=0)[:n]  # (n, bands) band-passed signals
     e = jnp.cumsum(y * y, axis=0)
     starts = jnp.arange(n_frames) * stride
     ends = jnp.minimum(starts + window, n - 1)
@@ -174,8 +178,10 @@ def vocode(modulator, carrier, params: VocoderParams, *,
     S = params.stride
     W = params.modulator_window
     n = min(len(modulator), len(carrier))
-    modulator = np.asarray(modulator, np.float64)[:n]
-    carrier = np.asarray(carrier, np.float64)[:n]
+    # f32 device path (transfer + FFT throughput); band envelopes and the
+    # carrier modulation are perceptual quantities far above the f32 floor
+    modulator = np.asarray(modulator, np.float32)[:n]
+    carrier = np.asarray(carrier, np.float32)[:n]
 
     mod_fft = stft_ops.fft_length_for(W)
     car_fft = stft_ops.fft_length_for(2 * S)
