@@ -93,11 +93,14 @@ def analyze(signal, config: ResynthConfig):
     Peaks are extracted fully on-device (local maxima + QIFFT + top-k by
     magnitude, k = max_voices) so only (frames, k) floats cross to the host.
     """
+    import jax.numpy as jnp
+
     window = stft.gaussian_window(config.window_size, sigmas=4.0)
     # f32 on the device path: halves the host->device transfer; the f32 FFT
-    # noise floor (~-110 dB re full scale) is far below the peak threshold
-    dt = np.float32 if config.dtype == "float32" else np.float64
-    sq = stft.stft_sqmag(np.asarray(signal, dt), window, config.stride)
+    # noise floor (~-110 dB re full scale) is far below the peak threshold.
+    # jnp.asarray keeps already-on-device signals on device (no round-trip).
+    dt = jnp.float32 if config.dtype == "float32" else jnp.float64
+    sq = stft.stft_sqmag(jnp.asarray(signal, dt), window, config.stride)
     fft_len = stft.fft_length_for(config.window_size)
     freq, mag = stft.extract_top_peaks(sq, config.sample_rate, fft_len,
                                        k=config.max_voices + 1)

@@ -179,9 +179,10 @@ def vocode(modulator, carrier, params: VocoderParams, *,
     W = params.modulator_window
     n = min(len(modulator), len(carrier))
     # f32 device path (transfer + FFT throughput); band envelopes and the
-    # carrier modulation are perceptual quantities far above the f32 floor
-    modulator = np.asarray(modulator, np.float32)[:n]
-    carrier = np.asarray(carrier, np.float32)[:n]
+    # carrier modulation are perceptual quantities far above the f32 floor.
+    # jnp.asarray keeps already-on-device signals on device.
+    modulator = jnp.asarray(modulator, jnp.float32)[:n]
+    carrier = jnp.asarray(carrier, jnp.float32)[:n]
 
     mod_fft = stft_ops.fft_length_for(W)
     car_fft = stft_ops.fft_length_for(2 * S)
@@ -211,7 +212,7 @@ def vocode(modulator, carrier, params: VocoderParams, *,
         return np.zeros(0)
     amps_aligned = amps[rows]
 
-    vocoded = np.asarray(_carrier_vocode(
+    vocoded = (_carrier_vocode(
         jnp.asarray(carrier), jnp.asarray(amps_aligned), jnp.asarray(bm_car),
         stride=S, fft_len=car_fft,
     ))
@@ -221,4 +222,4 @@ def vocode(modulator, carrier, params: VocoderParams, *,
     out = (params.volume_vocoded * vocoded
            + params.volume_modulator * modulator[:out_len]
            + params.volume_carrier * carrier[:out_len])
-    return out
+    return np.asarray(out)
