@@ -53,6 +53,10 @@ def main(argv=None):
         return 0
 
     program = int(args.program) if args.program.isdigit() else args.program
+    progs = voice_presets.PROGRAMS[voice_presets.Mode(args.mode)]
+    if isinstance(program, int) and not (0 <= program < len(progs)):
+        ap.error(f"program index {program} out of range (mode {args.mode} has "
+                 f"{len(progs)} programs; use --list)")
     out = render(args.mode, program, args.seconds, freq=args.freq,
                  sample_rate=args.sample_rate, seed=args.seed)
     wavio.write_wav(args.output, out, args.sample_rate)

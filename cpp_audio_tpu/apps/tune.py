@@ -53,8 +53,11 @@ def main(argv=None):
     text = args.score
     if text.startswith("@"):
         text = Path(text[1:]).read_text()
-    out, sr = render_score(text, synth_dir=args.synth_dir,
-                           time_unit_ms=args.time_unit_ms, octave=args.octave)
+    try:
+        out, sr = render_score(text, synth_dir=args.synth_dir,
+                               time_unit_ms=args.time_unit_ms, octave=args.octave)
+    except ValueError as e:
+        ap.error(str(e))
     wavio.write_wav(args.output, out, sr)
     print(f"wrote {args.output}")
     return 0
