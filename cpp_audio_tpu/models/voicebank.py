@@ -233,9 +233,27 @@ def prepare_bank_arrays(bank: VoiceBank, n_samples: int, block_size: int,
 
 
 def render_bank(bank: VoiceBank, n_samples: int, *, block_size: int = 32768,
-                dtype: str = "float32") -> np.ndarray:
-    """Offline render of a VoiceBank -> (n_samples, C) numpy array."""
+                dtype: str = "float32", use_pallas: str = "auto") -> np.ndarray:
+    """Offline render of a VoiceBank -> (n_samples, C) numpy array.
+
+    use_pallas: 'auto' takes the fused Pallas TPU kernel
+    (ops/pallas_voicebank.py) when eligible (TPU backend, float32, uniform
+    LINEAR envelope curves); 'never'/'always' force the path.
+    """
     args, statics = prepare_bank_arrays(bank, n_samples, block_size, dtype)
-    out = _voicebank_blocks(*args, out_dtype=dtype, **statics)
     nb = statics["n_blocks"]
+    linear = all(statics[k] == int(Itp.LINEAR) for k in ("a_itp", "d_itp", "r_itp"))
+    eligible = linear and dtype == "float32"
+    if use_pallas == "auto":
+        import jax
+
+        eligible = eligible and jax.default_backend() == "tpu"
+    if (use_pallas == "always") or (use_pallas == "auto" and eligible):
+        from ..ops.pallas_voicebank import render_blocks_pallas
+
+        fp, ip, up, gains, _codes = args
+        out = render_blocks_pallas(fp, ip, up, gains, block_size=block_size,
+                                   n_blocks=nb)
+        return np.asarray(out)[:n_samples]
+    out = _voicebank_blocks(*args, out_dtype=dtype, **statics)
     return np.asarray(out).reshape(nb * block_size, -1)[:n_samples]
