@@ -79,6 +79,41 @@ def render_bank_sharded(bank: voicebank.VoiceBank, n_samples: int, *,
     return np.asarray(out).reshape(nb * block_size, -1)[:n_samples]
 
 
+def stft_sqmag_sharded(signal, window, stride: int, mesh: Mesh | None = None,
+                       fft_length: int | None = None):
+    """Frames-axis-sharded STFT: each device FFTs its shard of analysis
+    frames (embarrassingly parallel — the reference's analysis thread becomes
+    a mesh dimension). Returns (n_frames_padded, n_bins); caller trims.
+    """
+    import jax.numpy as jnp
+
+    from ..ops import stft as stft_ops
+
+    if mesh is None:
+        mesh = default_mesh()
+    n_dev = mesh.devices.size
+    signal = jnp.asarray(signal)
+    window = jnp.asarray(window, signal.dtype)
+    ws = int(window.shape[0])
+    if fft_length is None:
+        fft_length = stft_ops.fft_length_for(ws)
+    n = signal.shape[0]
+    n_frames = max(0, (n - ws) // stride + 1)
+    n_pad = ((n_frames + n_dev - 1) // n_dev) * n_dev
+    starts = (jnp.arange(n_pad) * stride).clip(0, max(n - ws, 0))
+
+    def shard_fn(starts_shard, sig, win):
+        idx = starts_shard[:, None] + jnp.arange(ws)[None, :]
+        frames = sig[idx] * win[None, :]
+        spec = jnp.fft.rfft(frames, n=fft_length)
+        scale = 2.0 / jnp.sum(win)
+        return (jnp.abs(spec) ** 2 * scale**2).astype(sig.dtype)
+
+    fn = jax.shard_map(shard_fn, mesh=mesh,
+                       in_specs=(P("v"), P(), P()), out_specs=P("v"))
+    return jax.jit(fn)(starts, signal, window)[:n_frames]
+
+
 def render_schedule_sharded(schedule: NoteSchedule, n_samples: int,
                             config: sine_synth.SineSynthConfig,
                             mesh: Mesh | None = None) -> np.ndarray:

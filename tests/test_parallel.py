@@ -41,3 +41,16 @@ def test_sharded_pads_uneven_voices():
     out = pmesh.render_schedule_sharded(sch, 10000, cfg)
     single = sine_synth.render_schedule(sch, 10000, cfg)
     np.testing.assert_allclose(out, single, atol=1e-9)
+
+
+def test_sharded_stft_matches_single():
+    import numpy as np
+
+    from cpp_audio_tpu.ops import stft as stft_ops
+
+    sr = 44100
+    sig = np.sin(2 * np.pi * 440 * np.arange(sr // 2) / sr)
+    w = stft_ops.gaussian_window(2000)
+    single = np.asarray(stft_ops.stft_sqmag(sig, w, 1000))
+    sharded = np.asarray(pmesh.stft_sqmag_sharded(sig, w, 1000))
+    np.testing.assert_allclose(sharded, single[: len(sharded)], rtol=2e-4, atol=1e-8)
