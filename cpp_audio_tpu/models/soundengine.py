@@ -372,10 +372,18 @@ def render_program(program: VoiceProgram, base_freq: float, n_samples: int,
 
     sr = sample_rate
     min_dt = sr / 1000.0
+    # bucket the row count so repeated renders (different seeds/programs)
+    # reuse compiled kernels: pad to a multiple of 8 with inert rows
     V = len(timeline)
-    rows = np.zeros((V, 10))
-    codes = np.zeros(V, np.int32)
-    t0 = np.zeros(V, np.int32)
+    V_pad = max(8, ((V + 7) // 8) * 8)
+    rows = np.zeros((V_pad, 10))
+    rows[:, 0] = 1e-6  # from_inc
+    rows[:, 1] = 1e-6
+    rows[:, 2] = 1.0   # duration
+    rows[:, 5] = 1.0   # A
+    rows[:, 6] = 1.0   # R
+    codes = np.zeros(V_pad, np.int32)
+    t0 = np.zeros(V_pad, np.int32)
     for i, (spec, press, release) in enumerate(timeline):
         D = spec.duration
         min_change = 2.5 * 2.0 / max(min(spec.from_inc, spec.to_inc), 1e-9)
@@ -388,14 +396,16 @@ def render_program(program: VoiceProgram, base_freq: float, n_samples: int,
         codes[i] = spec.itp
         t0[i] = press
     L = int(2 ** np.ceil(np.log2(max(rows[:, 8].max() + 1, 256))))
+    # bucket the output length too (kernel shapes cache across note lengths)
+    T_pad = int(2 ** np.ceil(np.log2(max(n_samples, 256))))
 
     p = program
     if pan is None:
         pan = float(sched.rng.uniform(-1.0, 1.0))
     th = 0.25 * np.pi * (pan + 1.0)
-    gains = np.tile(np.array([[np.cos(th), np.sin(th)]])[:, :n_channels], (V, 1))
+    gains = np.tile(np.array([[np.cos(th), np.sin(th)]])[:, :n_channels], (V_pad, 1))
     if n_channels == 1:
-        gains = np.ones((V, 1))
+        gains = np.ones((V_pad, 1))
     gains *= p.sine_gain * p.gain
 
     lut_lo, lut_step, lut = _loudness_lut(
@@ -406,6 +416,6 @@ def render_program(program: VoiceProgram, base_freq: float, n_samples: int,
         jnp.asarray(rows, dt), jnp.asarray(codes), jnp.asarray(gains, dt),
         jnp.asarray(t0), jnp.asarray(lut, dt), jnp.asarray(lut_lo, dt),
         jnp.asarray(lut_step, dt),
-        L=L, T=n_samples, n_channels=n_channels, dtype=dtype,
+        L=L, T=T_pad, n_channels=n_channels, dtype=dtype,
     )
-    return np.asarray(out)
+    return np.asarray(out)[:n_samples]
