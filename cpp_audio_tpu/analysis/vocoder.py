@@ -106,7 +106,7 @@ def _modulator_band_amps_fast(signal, edges, *, window: int, stride: int,
     mask = (hz[:, None] > edges[None, :-1]) & (hz[:, None] <= edges[None, 1:])
     Y = X[:, None] * mask  # (bins, bands)
     y = jnp.fft.irfft(Y, n=n_fft, axis=0)[:n]  # (n, bands) band-passed signals
-    e = jnp.cumsum(y * y, axis=0)
+    e = jax.lax.associative_scan(jnp.add, y * y, axis=0)
     starts = jnp.arange(n_frames) * stride
     ends = jnp.minimum(starts + window, n - 1)
     band_e = e[ends] - e[starts]  # (n_frames, bands)

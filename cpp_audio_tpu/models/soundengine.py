@@ -331,7 +331,8 @@ def _render_specs(fp, itp_codes, gains, t0, lut, lut_lo, lut_step,
     inc = jnp.where(same, frm, value)
 
     # phase: cumulative sum of increments (exact trajectory integral)
-    phase = oscillators.wrap_phase(jnp.cumsum(inc, axis=1))
+    # associative_scan: avoids XLA's quadratic cumsum lowering at large L
+    phase = oscillators.wrap_phase(jax.lax.associative_scan(jnp.add, inc, axis=1))
 
     # equal-loudness volume lookup on log2(inc)
     idx = jnp.clip((jnp.log2(jnp.maximum(inc, 1e-9)) - lut_lo) / lut_step,
@@ -354,9 +355,20 @@ def _render_specs(fp, itp_codes, gains, t0, lut, lut_lo, lut_step,
                     * oscillators.sine(phase), 0.0)
     seg = jnp.einsum("vl,vc->vlc", sig, gains.astype(wdt))
 
-    out = jnp.zeros((T, n_channels), wdt)
-    tidx = jnp.clip(t0[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :], 0, T - 1)
-    return out.at[tidx].add(seg)
+    # overlap-add the spec segments: V block read-modify-writes (dynamic
+    # slices) instead of an elementwise scatter — scatters lower to very slow
+    # code on both CPU and TPU for millions of update points
+    V = seg.shape[0]
+    out0 = jnp.zeros((T + L, n_channels), wdt)
+
+    def body(v, out):
+        t = jnp.clip(t0[v], 0, T).astype(jnp.int32)
+        zero = jnp.int32(0)
+        cur = jax.lax.dynamic_slice(out, (t, zero), (L, n_channels))
+        return jax.lax.dynamic_update_slice(out, cur + seg[v], (t, zero))
+
+    out = jax.lax.fori_loop(0, V, body, out0)
+    return out[:T]
 
 
 def render_program(program: VoiceProgram, base_freq: float, n_samples: int,

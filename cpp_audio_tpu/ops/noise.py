@@ -68,7 +68,11 @@ def grey_noise_table(n: int, sample_rate: int = 44100, seed: int = 12348,
 
     pink = pink_noise_table(n + num_taps, sample_rate, seed)
     h = loudness_fir_coefficients(sample_rate, 4096, num_taps)
-    out = np.convolve(pink, h, mode="full")[num_taps : num_taps + n]
+    # FFT convolution (direct np.convolve is ~1e9 MACs at these sizes)
+    m = len(pink) + num_taps - 1
+    n_fft = 1 << int(np.ceil(np.log2(m)))
+    out = np.fft.irfft(np.fft.rfft(pink, n_fft) * np.fft.rfft(h, n_fft), n_fft)
+    out = out[num_taps : num_taps + n]
     return out / np.max(np.abs(out))
 
 

@@ -20,6 +20,7 @@ gain follows freqAliasingMultiplicator (include/audioelement.h:466-483).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -43,7 +44,9 @@ def phase_trajectory(phase0, increments, *, axis: int = -1):
       advances the angle before the sample is read). final_phase re-enters the
       next block as phase0.
     """
-    cum = jnp.cumsum(increments, axis=axis)
+    # associative_scan, not jnp.cumsum: XLA can lower big cumsums to an
+    # O(n^2) triangular product that explodes memory at L ~ 1e5
+    cum = jax.lax.associative_scan(jnp.add, increments, axis=axis)
     phase0 = jnp.asarray(phase0)
     phases = wrap_phase(jnp.expand_dims(phase0, axis) + cum)
     final = jnp.take(phases, jnp.array([-1]), axis=axis)

@@ -57,8 +57,8 @@ class TestNoiseTables:
 class TestWind:
     def test_medium_wind_renders(self):
         p = vp.get_program(vp.Mode.WIND, "Medium wind in trees")
-        out = wind.render_program(p, 22050, seed=3, dtype="float64")
-        assert out.shape == (22050, 2)
+        out = wind.render_program(p, 16384, seed=3, dtype="float64")
+        assert out.shape == (16384, 2)
         assert np.all(np.isfinite(out))
         assert np.max(np.abs(out)) > 1e-4
 
@@ -76,7 +76,7 @@ class TestWind:
 
     def test_heavy_rain_order13(self):
         p = vp.get_program(vp.Mode.WIND, "Heavy rain")
-        out = wind.render_program(p, 22050, seed=5, dtype="float64")
+        out = wind.render_program(p, 8192, seed=5, dtype="float64")
         assert np.all(np.isfinite(out))
         assert np.max(np.abs(out)) > 1e-5
 
