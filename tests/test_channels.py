@@ -1,0 +1,149 @@
+"""Channel/Request playback queues (reference channel.h / channels.h /
+channels_aggregate.h / request.h semantics)."""
+
+import numpy as np
+import pytest
+
+from cpp_audio_tpu.core.channels import (
+    Channel,
+    Channels,
+    ChannelsAggregate,
+    ClosingPolicy,
+    Request,
+    XfadePolicy,
+    silence,
+)
+
+
+def const_req(value, length, n_outs=2, volumes=1.0):
+    return Request.make(np.full(8, float(value)), volumes, length, n_outs=n_outs)
+
+
+class TestRequest:
+    def test_buffer_loops(self):
+        r = Request.make(np.arange(4.0), 1.0, length=10)
+        seg = r.frames(0, 10, 1)[:, 0]
+        np.testing.assert_allclose(seg, np.arange(10) % 4)
+
+    def test_mono_broadcasts_to_stereo_with_volumes(self):
+        r = Request.make(np.ones(4), [0.25, 0.5], length=4)
+        seg = r.frames(0, 4, 2)
+        np.testing.assert_allclose(seg[:, 0], 0.25)
+        np.testing.assert_allclose(seg[:, 1], 0.5)
+
+    def test_silence(self):
+        s = silence(16)
+        np.testing.assert_allclose(s.frames(0, 16, 2), 0.0)
+
+
+class TestChannelXfade:
+    def test_equal_gain_sums_to_one_for_equal_sources(self):
+        # two identical constant requests: the xfade must be inaudible
+        ch = Channel(n_outs=1, xfade_length=31)
+        ch.play(const_req(1.0, 100, n_outs=1), const_req(1.0, 100, n_outs=1))
+        out = ch.step(100 + 100 - 31)[:, 0]
+        np.testing.assert_allclose(out, 1.0, atol=1e-12)
+        assert ch.done
+
+    def test_xfade_monotone_transition(self):
+        ch = Channel(n_outs=1, xfade_length=21)
+        ch.play(const_req(0.0, 64, n_outs=1), const_req(1.0, 64, n_outs=1))
+        out = ch.step(64 + 64 - 21)[:, 0]
+        # before the fade: 0; after: 1; within: strictly rising
+        assert np.all(out[: 64 - 21] == 0.0)
+        assert np.all(out[64:] == 1.0)
+        fade = out[64 - 21 : 64]
+        assert np.all(np.diff(fade) > 0)
+
+    def test_block_split_matches_single_step(self):
+        # the same queue rendered in one step vs tiny blocks must agree
+        rng = np.random.default_rng(0)
+        reqs = [Request.make(rng.standard_normal(37), 1.0, length=90)
+                for _ in range(3)]
+        total = 90 * 3 - 2 * 15
+
+        ch1 = Channel(n_outs=1, xfade_length=15)
+        ch1.play(*[Request(r.buffer, r.volumes, r.length) for r in reqs])
+        whole = ch1.step(total)
+
+        ch2 = Channel(n_outs=1, xfade_length=15)
+        ch2.play(*[Request(r.buffer, r.volumes, r.length) for r in reqs])
+        parts = np.concatenate([ch2.step(7) for _ in range(total // 7 + 1)])
+        np.testing.assert_allclose(parts[:total], whole, atol=1e-12)
+
+    def test_skip_xfade_concatenates(self):
+        ch = Channel(n_outs=1, xfade_length=9,
+                     xfade_policy=XfadePolicy.SKIP_XFADE)
+        ch.play(const_req(2.0, 10, n_outs=1), const_req(3.0, 10, n_outs=1))
+        out = ch.step(20)[:, 0]
+        np.testing.assert_allclose(out[:10], 2.0)
+        np.testing.assert_allclose(out[10:], 3.0)
+
+    def test_even_xfade_rounded_to_odd(self):
+        ch = Channel(xfade_length=10)
+        assert ch.xfade_length == 11
+
+    def test_volume_ramp(self):
+        ch = Channel(n_outs=1, xfade_policy=XfadePolicy.SKIP_XFADE, volume=0.0)
+        ch.play(const_req(1.0, 100, n_outs=1))
+        ch.set_volume(1.0, 10)
+        out = ch.step(100)[:, 0]
+        np.testing.assert_allclose(out[:10], (np.arange(10) + 1) / 10.0)
+        np.testing.assert_allclose(out[10:], 1.0)
+
+
+class TestChannelsPool:
+    def test_open_play_sum(self):
+        cs = Channels(n_outs=2, xfade_policy=XfadePolicy.SKIP_XFADE)
+        a = cs.open_channel()
+        b = cs.open_channel()
+        cs.play(a, const_req(1.0, 50))
+        cs.play(b, const_req(0.5, 50))
+        out = cs.render(50)
+        np.testing.assert_allclose(out, 1.5)
+        assert cs.done
+
+    def test_autoclose_reuse(self):
+        cs = Channels(n_outs=1, n_channels=1,
+                      xfade_policy=XfadePolicy.SKIP_XFADE)
+        a = cs.open_channel(closing_policy=ClosingPolicy.AUTO_CLOSE)
+        cs.play(a, const_req(1.0, 10, n_outs=1))
+        cs.render(10)
+        # pool is size 1, but the finished auto-close channel is reusable
+        b = cs.open_channel()
+        assert b == a
+
+    def test_pool_exhaustion(self):
+        cs = Channels(n_channels=1)
+        cs.play(cs.open_channel(closing_policy=ClosingPolicy.EXPLICIT_CLOSE),
+                const_req(1.0, 10))
+        with pytest.raises(RuntimeError):
+            cs.open_channel()
+
+    def test_close_with_fadeout(self):
+        # reference AudioOutContext xfade_on_close (audio_context.h:73)
+        cs = Channels(n_outs=1, xfade_policy=XfadePolicy.SKIP_XFADE)
+        cid = cs.open_channel()
+        cs.play(cid, const_req(1.0, 10000, n_outs=1))
+        cs.close_with_fadeout(cid, 100)
+        out = cs.render(200)[:, 0]
+        assert out[0] > 0.9  # starts hot
+        np.testing.assert_allclose(out[100:], 0.0, atol=1e-12)  # silent after fade
+        assert np.all(np.diff(out[:100]) < 0)  # monotone fade
+        assert cs.channel(cid).done  # queue trimmed to the fade
+
+    def test_explicit_close_frees(self):
+        cs = Channels(n_channels=1)
+        cid = cs.open_channel(closing_policy=ClosingPolicy.EXPLICIT_CLOSE)
+        cs.close(cid)
+        cs.open_channel()  # does not raise
+
+
+class TestAggregate:
+    def test_three_flavors_sum(self):
+        agg = ChannelsAggregate(n_outs=1)
+        agg.xfade.play(agg.xfade.open_channel(), const_req(1.0, 40, n_outs=1))
+        agg.no_xfade.play(agg.no_xfade.open_channel(),
+                          const_req(2.0, 40, n_outs=1))
+        out = np.concatenate([agg.step(8) for _ in range(5)])
+        np.testing.assert_allclose(out[:, 0], 3.0)
