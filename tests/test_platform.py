@@ -1,0 +1,99 @@
+"""Virtual platform contexts (L1 analog: Context/AudioInput/FullDuplex)."""
+
+import numpy as np
+import pytest
+
+from cpp_audio_tpu.core import platform
+from cpp_audio_tpu.core.engine import AudioEngine
+
+
+class TestOutputContext:
+    def test_play_callback_contract(self):
+        ctx = platform.OutputContext()
+        seen_times = []
+
+        def play_f(out, t_nanos):
+            out[:] = 0.25
+            seen_times.append(t_nanos)
+
+        ctx.do_init(0.008, 48000, 2, play_f)
+        assert ctx.initialized()
+        assert ctx.get_sample_rate() == 48000
+        out = ctx.render(1000)
+        assert out.shape == (1000, 2)
+        np.testing.assert_allclose(out, 0.25)
+        # TimeNanos advances monotonically with the frame clock
+        assert seen_times == sorted(seen_times)
+        assert seen_times[0] == 0
+        assert platform.wait_for_first_n_audio_cb_frames() > 0
+
+    def test_latency_to_callback_size(self):
+        ctx = platform.OutputContext()
+        ctx.do_init(0.008, 44100, 2, lambda o, t: None)
+        # 8ms @ 44.1k = 352.8 -> next pow2 = 512
+        assert ctx.frames_per_callback == 512
+
+    def test_cpu_load_gauge(self):
+        ctx = platform.OutputContext()
+        ctx.do_init(0.01, 44100, 1, lambda o, t: None)
+        ctx.render(4410)
+        assert 0.0 <= ctx.get_stream_cpu_load() < 1.0
+
+    def test_teardown(self):
+        ctx = platform.OutputContext()
+        ctx.do_init(0.01, 44100, 1, lambda o, t: None)
+        ctx.do_tear_down()
+        assert not ctx.initialized()
+        with pytest.raises(RuntimeError):
+            ctx.pull()
+
+
+class TestInputContext:
+    def test_chunked_delivery(self):
+        sig = np.arange(1000, dtype=np.float64)
+        ctx = platform.InputContext(sig, 44100)
+        got = []
+        ctx.do_init(lambda buf, t: got.append(buf.copy()))
+        while not ctx.exhausted:
+            ctx.push(256)
+        np.testing.assert_allclose(np.concatenate(got), sig)
+
+    def test_stereo_source_downmixes(self):
+        sig = np.stack([np.ones(10), np.zeros(10)], axis=1)
+        ctx = platform.InputContext(sig, 44100)
+        got = []
+        ctx.do_init(lambda buf, t: got.append(buf.copy()))
+        ctx.push(10)
+        np.testing.assert_allclose(got[0], 0.5)
+
+
+class TestFullDuplex:
+    def test_record_then_play_same_clock(self):
+        """The duplex loop is a passthrough when PlayF replays RecordF."""
+        sr = 44100
+        sig = np.sin(np.linspace(0, 20, 2000))
+        ctx = platform.FullDuplexContext(sig, sr, n_outs=1,
+                                         frames_per_callback=128)
+        pending = []
+
+        def record_f(buf, t):
+            pending.append(buf.copy())
+
+        def play_f(out, t):
+            buf = pending.pop(0)
+            out[: len(buf), 0] = buf
+
+        ctx.do_init(record_f, play_f)
+        out = ctx.run()
+        np.testing.assert_allclose(out[:, 0], sig, atol=1e-12)
+
+    def test_engine_behind_play_f(self):
+        """AudioEngine steps behind the platform PlayF (the L1->L3 wiring)."""
+        eng = AudioEngine(sample_rate=44100, n_channels=2)
+        eng.register_compute(lambda t, n: np.full((n, 2), 0.5))
+        ctx = platform.OutputContext()
+        ctx.do_init(0.005, 44100, 2,
+                    lambda out, t: out.__setitem__(slice(None),
+                                                   eng.step(out.shape[0])))
+        out = ctx.render(777)
+        np.testing.assert_allclose(out, 0.5)
