@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import stft as stft_ops
+from ..ops.oscillators import chunked_cumsum as cumsum_chunked
 
 MODULATOR_MAX_FFT = 2**16
 CARRIER_MAX_FFT = 2**17
@@ -106,7 +107,7 @@ def _modulator_band_amps_fast(signal, edges, *, window: int, stride: int,
     mask = (hz[:, None] > edges[None, :-1]) & (hz[:, None] <= edges[None, 1:])
     Y = X[:, None] * mask  # (bins, bands)
     y = jnp.fft.irfft(Y, n=n_fft, axis=0)[:n]  # (n, bands) band-passed signals
-    e = jax.lax.associative_scan(jnp.add, y * y, axis=0)
+    e = cumsum_chunked(y * y, axis=0)
     starts = jnp.arange(n_frames) * stride
     ends = jnp.minimum(starts + window, n - 1)
     band_e = e[ends] - e[starts]  # (n_frames, bands)

@@ -315,7 +315,11 @@ def _render_specs(fp, itp_codes, gains, t0, lut, lut_lo, lut_step,
     lam = jnp.where(same, 0.0, jnp.log(jnp.maximum(to, 1e-30) / jnp.maximum(frm, 1e-30)) / D)
     u0 = jnp.where(same, 0.0, frm / jnp.where(same, 1.0, g) + 0.5 + s0)
     uD = jnp.where(same, 1.0, to / jnp.where(same, 1.0, g) + 0.5)
-    s = u0 * jnp.exp(lam * k) - (u0 - s0)
+    # clamp the exponent: s only matters inside leg 1 (k <= T1, where
+    # |lam*k| <= |log(uD/u0)| stays modest); unclamped, a downward glide
+    # drives exp() deep into subnormals across the whole (V, L) grid, which
+    # executes ~100x slower on CPU backends (no FTZ/DAZ under XLA-CPU)
+    s = u0 * jnp.exp(jnp.clip(lam * k, -60.0, 60.0)) - (u0 - s0)
     # first-leg end time; later legs ping-pong with period ~D
     T1 = jnp.where(same, D, jnp.log(jnp.maximum(uD / jnp.maximum(u0, 1e-30), 1e-30))
                    / jnp.where(same, 1.0, lam))
@@ -330,9 +334,10 @@ def _render_specs(fp, itp_codes, gains, t0, lut, lut_lo, lut_step,
     value = frm + (to - frm) * ease_select(itp_codes[:, None], progress)
     inc = jnp.where(same, frm, value)
 
-    # phase: cumulative sum of increments (exact trajectory integral)
-    # associative_scan: avoids XLA's quadratic cumsum lowering at large L
-    phase = oscillators.wrap_phase(jax.lax.associative_scan(jnp.add, inc, axis=1))
+    # phase: cumulative sum of increments (exact trajectory integral);
+    # chunked matmul cumsum — associative_scan's slice ladder took tens of
+    # seconds of XLA compile per (V, L) shape
+    phase = oscillators.wrap_phase(oscillators.chunked_cumsum(inc, axis=1))
 
     # equal-loudness volume lookup on log2(inc)
     idx = jnp.clip((jnp.log2(jnp.maximum(inc, 1e-9)) - lut_lo) / lut_step,
@@ -398,18 +403,27 @@ def render_program(program: VoiceProgram, base_freq: float, n_samples: int,
     t0 = np.zeros(V_pad, np.int32)
     for i, (spec, press, release) in enumerate(timeline):
         D = spec.duration
-        min_change = 2.5 * 2.0 / max(min(spec.from_inc, spec.to_inc), 1e-9)
-        A = max(sched.xfade_len, min_dt, min_change, 1.0)
-        R = max(sched.xfade_len, min_dt, min_change, 1.0)
+        # anti-zipper floor = 2.5 signal periods (audioelement.h:216-225),
+        # taken at the frequency of the relevant envelope phase (attack
+        # happens at from_inc, release at to_inc) and clamped to the spec
+        # duration — a glide starting near 0 Hz would otherwise demand a
+        # ~1e8-sample envelope and a multi-GB render grid
+        min_change_a = 2.5 * 2.0 / max(spec.from_inc, 1e-9)
+        min_change_r = 2.5 * 2.0 / max(spec.to_inc, 1e-9)
+        A = min(max(sched.xfade_len, min_dt, min_change_a, 1.0), max(D, 1.0))
+        R = min(max(sched.xfade_len, min_dt, min_change_r, 1.0), max(D, 1.0))
         rl = max(release - press, 0)
         act = rl + R
         rows[i] = [spec.from_inc, spec.to_inc, max(D, 1.0), spec.start_sample,
                    spec.volume, A, R, rl, act, velocity]
         codes[i] = spec.itp
         t0[i] = press
-    L = int(2 ** np.ceil(np.log2(max(rows[:, 8].max() + 1, 256))))
-    # bucket the output length too (kernel shapes cache across note lengths)
+    # bucket the output length (kernel shapes cache across note lengths)
     T_pad = int(2 ** np.ceil(np.log2(max(n_samples, 256))))
+    # the local grid never needs to reach past the render horizon: segment
+    # content beyond T is sliced away, so cap L at the T bucket
+    L = int(2 ** np.ceil(np.log2(max(rows[:, 8].max() + 1, 256))))
+    L = min(L, T_pad)
 
     p = program
     if pan is None:

@@ -94,12 +94,12 @@ def _render_wind(pink, offsets, params, lut, lut_lo, lut_step, gains,
     # main control: long-term walk + short-term wobble (soundengine.h:134-143)
     inc_long = exp_map(slow_abs_ctrl(offsets[0], itp_long))
     short_rate = 1.0 / (1.0 + n_slow_short / jnp.maximum(inc_long, 1e-9))
-    pos_short = offsets[1] + jax.lax.associative_scan(jnp.add, short_rate)
+    pos_short = offsets[1] + oscillators.chunked_cumsum(short_rate)
     wobble = _slow_noise(pink, pos_short)
     inc_main = inc_long * jnp.exp2(wobble * ratio_amp)
 
     # sine member with equal-loudness volume
-    phase = oscillators.wrap_phase(jax.lax.associative_scan(jnp.add, inc_main))
+    phase = oscillators.wrap_phase(oscillators.chunked_cumsum(inc_main))
     idx = jnp.clip((jnp.log2(jnp.maximum(inc_main, 1e-9)) - lut_lo) / lut_step,
                    0.0, lut.shape[0] - 1.001)
     i0 = idx.astype(jnp.int32)

@@ -30,6 +30,38 @@ def wrap_phase(phase):
     return jnp.mod(phase, 2.0)
 
 
+def chunked_cumsum(x, *, axis: int = -1, chunk: int = 128):
+    """Inclusive cumsum along `axis` as two levels of triangular matmuls.
+
+    Rationale: XLA lowers big `jnp.cumsum` to an O(n^2) triangular product and
+    `lax.associative_scan` to an O(log n)-deep slice/concat ladder whose
+    compile time is pathological for L ~ 1e5 (tens of seconds per shape).
+    Reshaping to (L/c, c) chunks turns the same prefix sum into
+        within = x_chunks @ upper_triangular_ones(c)        # one MXU matmul
+        offs   = exclusive_cumsum(chunk_totals)             # recurse on L/c
+    which compiles in milliseconds and runs on the MXU on TPU.
+    """
+    x = jnp.asarray(x)
+    if axis != -1 and axis != x.ndim - 1:
+        x = jnp.moveaxis(x, axis, -1)
+    L = x.shape[-1]
+    if L <= chunk:
+        tri = jnp.tril(jnp.ones((L, L), x.dtype))  # out[j] = sum_{i<=j} x[i]
+        out = jnp.einsum("...i,ji->...j", x, tri)
+    else:
+        pad = (-L) % chunk
+        xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+        xc = xp.reshape(*x.shape[:-1], (L + pad) // chunk, chunk)
+        tri = jnp.tril(jnp.ones((chunk, chunk), x.dtype))
+        within = jnp.einsum("...i,ji->...j", xc, tri)
+        totals = within[..., -1]
+        offs = chunked_cumsum(totals, chunk=chunk) - totals  # exclusive
+        out = (within + offs[..., None]).reshape(*x.shape[:-1], L + pad)[..., :L]
+    if axis != -1 and axis != out.ndim - 1:
+        out = jnp.moveaxis(out, -1, axis)
+    return out
+
+
 def phase_trajectory(phase0, increments, *, axis: int = -1):
     """Integrate per-sample angle increments into per-sample phases.
 
@@ -44,9 +76,7 @@ def phase_trajectory(phase0, increments, *, axis: int = -1):
       advances the angle before the sample is read). final_phase re-enters the
       next block as phase0.
     """
-    # associative_scan, not jnp.cumsum: XLA can lower big cumsums to an
-    # O(n^2) triangular product that explodes memory at L ~ 1e5
-    cum = jax.lax.associative_scan(jnp.add, increments, axis=axis)
+    cum = chunked_cumsum(increments, axis=axis)
     phase0 = jnp.asarray(phase0)
     phases = wrap_phase(jnp.expand_dims(phase0, axis) + cum)
     final = jnp.take(phases, jnp.array([-1]), axis=axis)
