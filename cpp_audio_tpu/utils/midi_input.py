@@ -1,0 +1,184 @@
+"""Live MIDI input: byte-level message parsing + poll loop — the PortMidi
+wrapper analog.
+
+Reference (source/rt.resynth.lib.midi.cpp): a `PortMidi` wrapper (line 156)
+polls the device in `listen_to_midi_input` (line 320), decodes NoteOn/NoteOff,
+KeyPressure, ChannelPressure, PitchWheel and AllNotesOff variants, allocates
+NoteIds through `NoteIdsGenerator` (key -> noteid multimap), and forwards
+synth events; the pitch wheel becomes a global frequency multiplier
+(`onAngleIncrementMultiplier`, gen.crtp.h:320-332, driven from
+rt.resynth.lib.cpp:1519-1570).
+
+Here the transport is abstract — any callable yielding raw `(status, d1, d2)`
+byte triples (a /dev/snd reader, a network socket, a test fixture) — and the
+decode/dispatch logic is identical. `MidiInput.poll()` is synchronous and
+steppable; `listen()` wraps it in the reference's poll-thread shape.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass
+
+from ..core import events
+from .midifile import MidiEvent, NoteIdsGenerator
+from .midi import Midi
+
+# status-byte high nibbles (MIDI 1.0)
+_NOTE_OFF = 0x80
+_NOTE_ON = 0x90
+_KEY_PRESSURE = 0xA0
+_CONTROL = 0xB0
+_CHANNEL_PRESSURE = 0xD0
+_PITCH_WHEEL = 0xE0
+_CC_ALL_NOTES_OFF = 123
+
+
+def parse_midi_bytes(status: int, d1: int, d2: int, *, time: int = 0) -> MidiEvent | None:
+    """Decode one raw MIDI message into a MidiEvent (or None if unhandled).
+
+    Mirrors the event vocabulary of rt.resynth.lib.midi.cpp (NoteOn with
+    velocity 0 is a NoteOff, pitch wheel centers at 8192 -> value in -1..1).
+    """
+    kind = status & 0xF0
+    channel = status & 0x0F
+    if kind == _NOTE_ON and d2 > 0:
+        return MidiEvent(time, "note_on", channel, key=d1, velocity=d2)
+    if kind == _NOTE_OFF or (kind == _NOTE_ON and d2 == 0):
+        return MidiEvent(time, "note_off", channel, key=d1, velocity=d2)
+    if kind == _KEY_PRESSURE:
+        return MidiEvent(time, "key_pressure", channel, key=d1, value=d2 / 127.0)
+    if kind == _CHANNEL_PRESSURE:
+        return MidiEvent(time, "channel_pressure", channel, value=d1 / 127.0)
+    if kind == _PITCH_WHEEL:
+        raw = (d2 << 7) | d1  # 14-bit, 8192 = centered
+        return MidiEvent(time, "pitch_wheel", channel,
+                         value=(raw - 8192) / 8192.0)
+    if kind == _CONTROL and d1 == _CC_ALL_NOTES_OFF:
+        return MidiEvent(time, "all_notes_off", channel)
+    return None
+
+
+@dataclass
+class MidiInputStats:
+    polled: int = 0
+    decoded: int = 0
+    unhandled: int = 0
+
+
+class MidiInput:
+    """Poll raw MIDI bytes and drive a synth (listen_to_midi_input analog).
+
+    source: callable returning a list of (status, d1, d2) or
+            (timestamp, status, d1, d2) tuples per poll (empty when idle).
+    synth:  anything with on_event(core.events.Event) — e.g. StreamingSynth.
+    clock:  callable returning the current absolute sample time.
+    """
+
+    def __init__(self, source, synth, *, clock=None, sample_rate: int = 44100,
+                 pitch_wheel_semitones: float = 2.0, velocity_scale: float = 1.0):
+        self.source = source
+        self.synth = synth
+        self.clock = clock or (lambda: 0)
+        self.sample_rate = sample_rate
+        self.pitch_wheel_semitones = pitch_wheel_semitones
+        self.velocity_scale = velocity_scale
+        self.note_ids = NoteIdsGenerator()
+        self.stats = MidiInputStats()
+        self._midi = Midi()
+        self._freq_mult = 1.0     # onAngleIncrementMultiplier state
+        self._base_freq: dict[int, float] = {}   # noteid -> unbent frequency
+        self._velocity: dict[int, float] = {}
+        self._stop = threading.Event()
+
+    # -- decoding + dispatch ----------------------------------------------
+    def poll(self) -> int:
+        """Drain the source once; returns the number of synth events sent."""
+        sent = 0
+        for msg in self.source():
+            self.stats.polled += 1
+            if len(msg) == 4:
+                t, status, d1, d2 = msg
+            else:
+                status, d1, d2 = msg
+                t = self.clock()
+            ev = parse_midi_bytes(status, d1, d2, time=int(t))
+            if ev is None:
+                self.stats.unhandled += 1
+                continue
+            self.stats.decoded += 1
+            sent += self._dispatch(ev)
+        return sent
+
+    def _dispatch(self, ev: MidiEvent) -> int:
+        if ev.kind == "note_on":
+            nid = self.note_ids.note_on_id(ev.key)
+            freq = float(self._midi.midi_pitch_to_freq(ev.key))
+            self._base_freq[nid] = freq
+            vel = self.velocity_scale * ev.velocity / 127.0
+            self._velocity[nid] = vel
+            self.synth.on_event(events.Event(
+                events.EventType.NOTE_ON, ev.time, nid,
+                freq * self._freq_mult, vel))
+            return 1
+        if ev.kind == "note_off":
+            nid = self.note_ids.note_off_id(ev.key)
+            if nid is None:
+                return 0
+            self._base_freq.pop(nid, None)
+            self._velocity.pop(nid, None)
+            self.synth.on_event(events.mk_note_off(ev.time, nid))
+            return 1
+        if ev.kind == "all_notes_off":
+            n = 0
+            for nid in list(self.note_ids.all_ids()):
+                self.synth.on_event(events.mk_note_off(ev.time, nid))
+                self._base_freq.pop(nid, None)
+                self._velocity.pop(nid, None)
+                n += 1
+            self.note_ids.clear()
+            return n
+        if ev.kind == "pitch_wheel":
+            # wheel -> frequency multiplier, retuning every live voice
+            # (reference onAngleIncrementMultiplier, gen.crtp.h:320-332)
+            self._freq_mult = 2.0 ** (
+                self.pitch_wheel_semitones * ev.value / 12.0)
+            n = 0
+            for nid, freq in self._base_freq.items():
+                self.synth.on_event(events.mk_note_change(
+                    ev.time, nid, freq * self._freq_mult,
+                    self._velocity.get(nid, 1.0)))
+                n += 1
+            return n
+        # key/channel pressure: mapped to per-note / global volume changes
+        if ev.kind == "key_pressure":
+            n = 0
+            for nid in self.note_ids._by_key.get(ev.key, []):
+                self.synth.on_event(events.mk_note_change(
+                    ev.time, nid,
+                    self._base_freq.get(nid, 440.0) * self._freq_mult,
+                    self.velocity_scale * ev.value))
+                self._velocity[nid] = self.velocity_scale * ev.value
+                n += 1
+            return n
+        return 0
+
+    # -- the poll-thread shape (reference listen_to_midi_input) ------------
+    def listen(self, *, interval_seconds: float = 0.001, max_polls: int | None = None):
+        """Blocking poll loop; run it in a thread for live use."""
+        polls = 0
+        while not self._stop.is_set():
+            self.poll()
+            polls += 1
+            if max_polls is not None and polls >= max_polls:
+                break
+            time.sleep(interval_seconds)
+
+    def start(self, **kw) -> threading.Thread:
+        th = threading.Thread(target=self.listen, kwargs=kw, daemon=True)
+        th.start()
+        return th
+
+    def stop(self) -> None:
+        self._stop.set()
