@@ -118,3 +118,34 @@ def notespecs_to_notes(specs: list[NoteSpec], *, sample_rate: int = 44100,
             nid += 1
         t += dur
     return notes
+
+
+def notespecs_to_requests(specs: list[NoteSpec], *, sample_rate: int = 44100,
+                          time_unit_ms: float = 180.0, octave: int = 4,
+                          volume: float = 0.5, n_outs: int = 2,
+                          midi: Midi | None = None):
+    """Resolve a parsed score into channel `Request`s (reference `to_request`,
+    note.h:10-40): a looping sine table at the note's well-tempered frequency
+    (loud = 2x volume), or a silence request for rests, each lasting the
+    spec's duration — ready to `Channels.play` with crossfade splices."""
+    import numpy as np
+
+    from ..core.channels import Request, silence
+
+    midi = midi or Midi()
+    unit = int(0.5 + time_unit_ms * sample_rate / 1000.0)
+    reqs = []
+    for s in specs:
+        dur = max(1, s.duration * unit)
+        if s.note is None:
+            reqs.append(silence(dur))
+            continue
+        interval = int(s.note) - int(Note.La) + 12 * (octave - 4)
+        freq = float(midi.Ainterval_to_freq(interval))
+        # one-period sine table, like the reference's periodic soundBuffer
+        period = max(2, int(0.5 + sample_rate / freq))
+        t = np.arange(period)
+        buf = np.sin(2.0 * np.pi * t / period)
+        vol = volume * (2.0 if s.loud else 1.0)
+        reqs.append(Request.make(buf, vol, dur, n_outs=n_outs))
+    return reqs

@@ -147,3 +147,21 @@ class TestAggregate:
                           const_req(2.0, 40, n_outs=1))
         out = np.concatenate([agg.step(8) for _ in range(5)])
         np.testing.assert_allclose(out[:, 0], 3.0)
+
+
+class TestScoreToRequests:
+    def test_score_plays_through_channel(self):
+        # reference to_request (note.h:10-40): sine or silence requests
+        from cpp_audio_tpu.utils.score import notespecs_to_requests, parse_music
+
+        reqs = notespecs_to_requests(parse_music("do . Mi"), volume=0.25)
+        assert len(reqs) == 3
+        assert reqs[1].volumes.max() == 0.0          # the rest is silent
+        assert reqs[2].volumes.max() == pytest.approx(0.5)  # loud = 2x
+        cs = Channels(n_outs=2, xfade_length=101)
+        cid = cs.open_channel()
+        cs.play(cid, *reqs)
+        out = cs.render(sum(r.length for r in reqs) - 202)
+        assert np.abs(out).max() > 0.2
+        mid = out[reqs[0].length + reqs[1].length // 2]
+        np.testing.assert_allclose(mid, 0.0, atol=1e-9)  # silent in the rest
