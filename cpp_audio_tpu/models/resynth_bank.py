@@ -236,7 +236,17 @@ def _render_slots(table, *, stride: int, n_channels: int, dtype: str):
         sig = vol * env * aliasing * oscillators.sine(phases)
         return oscillators.mixdown(sig, gains)
 
-    return jax.lax.map(one_frame, table)
+    # chunked map: lax.map alone would run n_frames tiny sequential device
+    # steps (per-step dispatch dominates); vmap alone would materialize
+    # (n_frames, P, stride) intermediates (~GBs). 64-frame chunks keep
+    # intermediates ~100 MB while cutting step count ~64x.
+    C = 64
+    n = table.shape[0]
+    pad = (-n) % C
+    tp = jnp.pad(table, ((0, pad), (0, 0), (0, 0)))
+    chunks = tp.reshape(-1, C, *tp.shape[1:])
+    out = jax.lax.map(jax.vmap(one_frame), chunks)
+    return out.reshape(-1, *out.shape[2:])[:n]
 
 
 def render_tracked(notes: list[TrackedNote], n_frames: int,
