@@ -93,7 +93,15 @@ def run_offline(preset: ResynthPreset, voice: np.ndarray | None,
     if preset.analysis_volume != 0.0:
         cfg = resynth_config_from_preset(preset, sample_rate)
         cfg.dtype = dtype
-        r = rs.resynthesize(gained_voice, cfg)
+        if preset.analysis_output_feedback_gain != 0.0:
+            # feedback drones: delayed output mixed into the analyzed stream
+            # (rt.resynth.lib.cpp:1629-1651)
+            r = rs.resynthesize_feedback(
+                gained_voice, cfg,
+                feedback_gain=preset.analysis_output_feedback_gain,
+                delay_seconds=preset.output_delay_seconds)
+        else:
+            r = rs.resynthesize(gained_voice, cfg)
         m = min(len(r), n)
         out[:m] += r[:m]
 

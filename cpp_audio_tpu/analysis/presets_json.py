@@ -170,10 +170,13 @@ class OfflineJobConfig:
 
     @classmethod
     def from_json_dict(cls, d: dict) -> "OfflineJobConfig":
+        # voice-only jobs may omit the carrier / post keys
         return cls(
-            preset_file=d["preset_file"], input_voice_file=d["input_voice_file"],
-            input_carrier_file=d["input_carrier_file"], output_file=d["output_file"],
-            post=d["post"],
+            preset_file=d["preset_file"],
+            input_voice_file=d.get("input_voice_file", ""),
+            input_carrier_file=d.get("input_carrier_file", ""),
+            output_file=d["output_file"],
+            post=d.get("post", d.get("postprocessing", "none")),
         )
 
     def save(self, path) -> None:

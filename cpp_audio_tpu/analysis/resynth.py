@@ -275,6 +275,48 @@ def resynthesize(signal, config: ResynthConfig, *, device_out: bool = False) -> 
     return resynth_bank.render_tracked(notes, n_frames, rcfg, device_out=device_out)
 
 
+def resynthesize_feedback(signal, config: ResynthConfig, *,
+                          feedback_gain: float, delay_seconds: float = 1.0,
+                          max_level: float = 4.0) -> np.ndarray:
+    """Resynthesis with delayed-output feedback into the analyzed stream.
+
+    Reference (rt.resynth.lib.cpp:1629-1651): the analysis thread sums the
+    live input with `analysis_output_feedback_gain` x the output delayed by a
+    cyclic delay line of `output_delay_seconds` before feeding the FFT — the
+    "feedback drone" feature. The coupled system is frame-causal (the output
+    at time t depends on analysis frames <= t, which depend on the summed
+    stream <= t, which depends on output <= t - delay), so it resolves
+    exactly in ceil(n/delay) passes: each pass extends the summed stream by
+    one delay-chunk using the previous pass's output, re-runs the batch
+    pipeline on the prefix, and keeps the newly-valid chunk.
+
+    max_level hard-limits the feedback accumulation (the reference relies on
+    the master limiter; offline we clamp the summed stream).
+    """
+    sig = np.asarray(signal, np.float64)
+    n = len(sig)
+    D = max(config.stride, int(0.5 + delay_seconds * config.sample_rate))
+    if feedback_gain == 0.0:
+        return resynthesize(sig, config)
+    out_mono = np.zeros(n)     # delayed-feedback source (mono mixdown)
+    summed = np.array(sig)
+    result = None
+    for start in range(0, n, D):
+        end = min(start + D, n)
+        delayed = np.zeros(end - start)
+        src_lo = start - D
+        if src_lo + (end - start) > 0:
+            lo = max(src_lo, 0)
+            delayed[lo - src_lo:] = out_mono[lo: src_lo + (end - start)]
+        summed[start:end] = np.clip(sig[start:end] + feedback_gain * delayed,
+                                    -max_level, max_level)
+        result = resynthesize(summed[:end], config)
+        m = np.asarray(result).sum(axis=1)
+        out_mono[:min(len(m), n)] = m[:n]
+    full = resynthesize(summed, config)
+    return np.asarray(full)
+
+
 def resynth_wav(in_path, out_path, config: ResynthConfig | None = None) -> np.ndarray:
     """WAV -> analysis -> resynthesis -> WAV (the `resynth` app scheme)."""
     data, sr = wavio.read_wav(in_path)

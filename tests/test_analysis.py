@@ -283,3 +283,36 @@ class TestOfflineResynth:
         assert dst.exists()
         back, _ = wavio.read_wav(dst)
         assert back.shape[1] == 2
+
+
+class TestFeedbackResynthesis:
+    """Delayed-output feedback into the analysis stream
+    (rt.resynth.lib.cpp:1629-1651 feedback drones)."""
+
+    def _tone(self, sr, secs=1.2, f=392.0, amp=0.3):
+        t = np.arange(int(sr * secs))
+        sig = np.zeros(len(t))
+        m = t < sr // 2  # tone only in the first half
+        sig[m] = amp * np.sin(2 * np.pi * f * t[m] / sr)
+        return sig
+
+    def test_zero_gain_matches_plain(self):
+        sr = 44100
+        cfg = resynth.ResynthConfig(sample_rate=sr, seed=3)
+        sig = self._tone(sr)
+        a = resynth.resynthesize(sig, cfg)
+        b = resynth.resynthesize_feedback(sig, cfg, feedback_gain=0.0)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_feedback_sustains_past_input(self):
+        sr = 44100
+        cfg = resynth.ResynthConfig(sample_rate=sr, seed=3)
+        sig = self._tone(sr)
+        plain = np.asarray(resynth.resynthesize(sig, cfg)).sum(axis=1)
+        fb = np.asarray(resynth.resynthesize_feedback(
+            sig, cfg, feedback_gain=1.0, delay_seconds=0.25)).sum(axis=1)
+        # the tone dies in the plain render's tail; feedback keeps it ringing
+        tail = slice(int(0.9 * sr), int(1.1 * sr))
+        e_plain = float(np.sqrt(np.mean(plain[tail] ** 2)))
+        e_fb = float(np.sqrt(np.mean(fb[tail] ** 2)))
+        assert e_fb > 2.0 * max(e_plain, 1e-9)
