@@ -172,22 +172,35 @@ def track(peaks_per_frame, config: ResynthConfig, *, prefer_native: bool = True)
     return track_python(peaks_per_frame, config)
 
 
-def track_python(peaks_per_frame, config: ResynthConfig):
-    """Pure-python pitch pipeline + tracking (semantic reference)."""
-    midi = Midi()
-    autotune_fn = at.mk_autotune_function(
-        use_autotune=config.use_autotune, **config.autotune_kwargs
-    )
-    rng = np.random.default_rng(config.seed)
+class PitchTracker:
+    """Frame-incremental pitch pipeline + note tracking.
 
-    played: list[pp.PlayedNote] = []
-    voices: dict[int, resynth_bank.TrackedNote] = {}
-    next_noteid = 0
-    dropped_note_on = 0
-    stats = []
+    One `step(freqmags)` per analysis stride; identical semantics to the
+    reference's per-window `RtResynth::step` (rt.resynth.lib.cpp:1670-1759).
+    Offline callers batch it (track_python); the live path (streaming.py)
+    feeds it window by window.
+    """
 
-    for frame_idx, freqmags in enumerate(peaks_per_frame):
-        pvs = pp.frequencies_to_pitches(midi, freqmags)
+    def __init__(self, config: ResynthConfig):
+        self.config = config
+        self.midi = Midi()
+        self.autotune_fn = at.mk_autotune_function(
+            use_autotune=config.use_autotune, **config.autotune_kwargs
+        )
+        self.rng = np.random.default_rng(config.seed)
+        self.played: list[pp.PlayedNote] = []
+        self.voices: dict[int, resynth_bank.TrackedNote] = {}
+        self.next_noteid = 0
+        self.dropped_note_on = 0
+        self.stats: list[AnalysisFrameResult] = []
+        self.frame_idx = 0
+
+    def step(self, freqmags) -> AnalysisFrameResult:
+        config = self.config
+        frame_idx = self.frame_idx
+        self.frame_idx += 1
+
+        pvs = pp.frequencies_to_pitches(self.midi, freqmags)
         intervals = pp.aggregate_pitches(config.nearby_distance_tones, pvs)
         reduced = pp.reduce_pitches(config.pitch_method, config.volume_method,
                                     config.min_volume, intervals)
@@ -195,11 +208,11 @@ def track_python(peaks_per_frame, config: ResynthConfig):
         reduced = pp.harmonize_pitches(config.pitch_harmonize_pre_autotune, reduced)
         tuned = pp.autotune_pitches(config.autotune_max_pitch,
                                     config.autotune_tolerance_pitches,
-                                    autotune_fn, reduced)
+                                    self.autotune_fn, reduced)
         pp.shift_pitches(config.pitch_shift_post_autotune, tuned)
         tuned = pp.harmonize_pitches(config.pitch_harmonize_post_autotune, tuned)
         pitch_changes, continue_playing = pp.track_pitches(
-            config.max_track_pitches, tuned, played
+            config.max_track_pitches, tuned, self.played
         )
         order = pp.order_pitches_by_perceived_loudness(tuned)
 
@@ -208,7 +221,7 @@ def track_python(peaks_per_frame, config: ResynthConfig):
         # note offs
         for j, cont in enumerate(continue_playing):
             if not cont:
-                voices[played[j].noteid].release_frame = frame_idx
+                self.voices[self.played[j].noteid].release_frame = frame_idx
                 st.note_off += 1
 
         # note changes / ons, loudest first (synthesize_sounds,
@@ -216,7 +229,7 @@ def track_python(peaks_per_frame, config: ResynthConfig):
         active = sum(continue_playing)
         for idx in order:
             pv = tuned[idx]
-            new_freq = float(midi.midi_pitch_to_freq(pv.midipitch))
+            new_freq = float(self.midi.midi_pitch_to_freq(pv.midipitch))
             # reference: volume = gain * pv.volume / reduceUnadjustedVolumes
             # (rt.resynth.lib.cpp:322-324), then NoteOn multiplies by
             # baseVolume = reduceUnadjustedVolumes (gen.crtp.h:425) — the two
@@ -224,8 +237,8 @@ def track_python(peaks_per_frame, config: ResynthConfig):
             volume = config.analysis_volume * pv.volume
             pc = pitch_changes[idx]
             if pc is not None:
-                note = played[pc]
-                voices[note.noteid].frames.append((frame_idx, new_freq, volume))
+                note = self.played[pc]
+                self.voices[note.noteid].frames.append((frame_idx, new_freq, volume))
                 note.midi_pitch = pv.midipitch
                 note.cur_freq = new_freq
                 note.cur_velocity = volume
@@ -234,24 +247,34 @@ def track_python(peaks_per_frame, config: ResynthConfig):
                 if volume <= 0:
                     continue
                 if active >= config.max_voices:
-                    dropped_note_on += 1
+                    self.dropped_note_on += 1
                     st.dropped += 1
                     continue
-                next_noteid += 1
+                self.next_noteid += 1
                 active += 1
-                pan = config.stereo_spread * rng.uniform(-1.0, 1.0)
-                voices[next_noteid] = resynth_bank.TrackedNote(
+                pan = config.stereo_spread * self.rng.uniform(-1.0, 1.0)
+                self.voices[self.next_noteid] = resynth_bank.TrackedNote(
                     frames=[(frame_idx, new_freq, volume)], pan=pan
                 )
-                played.append(pp.PlayedNote(frame_idx, next_noteid, pv.midipitch,
-                                            new_freq, volume))
+                self.played.append(pp.PlayedNote(frame_idx, self.next_noteid,
+                                                 pv.midipitch, new_freq, volume))
                 st.note_on += 1
 
-        played = pp.remove_dead_notes(continue_playing, played)
-        pp.sort_by_current_pitch(played)
-        stats.append(st)
+        self.played = pp.remove_dead_notes(continue_playing, self.played)
+        pp.sort_by_current_pitch(self.played)
+        self.stats.append(st)
+        return st
 
-    return list(voices.values()), stats, dropped_note_on
+    def result(self):
+        return list(self.voices.values()), self.stats, self.dropped_note_on
+
+
+def track_python(peaks_per_frame, config: ResynthConfig):
+    """Pure-python pitch pipeline + tracking (semantic reference)."""
+    tracker = PitchTracker(config)
+    for freqmags in peaks_per_frame:
+        tracker.step(freqmags)
+    return tracker.result()
 
 
 def resynthesize(signal, config: ResynthConfig, *, device_out: bool = False) -> np.ndarray:
