@@ -5,6 +5,10 @@
   python -m cpp_audio_tpu.apps.resynth --job job.json
       headless JSON job (reference rt.resynth.job scheme,
       rt.resynth.lib.params.cpp:183-389)
+  python -m cpp_audio_tpu.apps.resynth input.wav output.wav --live
+      block-streaming duplex loop (the realtime RtResynth shape: input fed
+      block-by-block through PeriodicFFT into the live tracker + streaming
+      synth, output pulled per block — rt.resynth.lib.cpp:1185-1235)
 """
 
 from __future__ import annotations
@@ -20,6 +24,10 @@ def main(argv=None):
     ap.add_argument("output", nargs="?")
     ap.add_argument("--job", help="JSON job config path")
     ap.add_argument("--autotune", action="store_true")
+    ap.add_argument("--live", action="store_true",
+                    help="stream through the live duplex pipeline")
+    ap.add_argument("--block-size", type=int, default=512,
+                    help="callback block size for --live")
     args = ap.parse_args(argv)
 
     if args.job:
@@ -28,6 +36,21 @@ def main(argv=None):
         return 0
     if not args.input or not args.output:
         ap.error("need input and output (or --job)")
+    from ..utils import wav as wavio
+
+    if args.live:
+        from ..analysis.streaming import LiveResynth
+
+        data, sr = wavio.read_wav(args.input)
+        cfg = resynth.ResynthConfig(sample_rate=sr, use_autotune=args.autotune)
+        live = LiveResynth(cfg)
+        out = live.run_duplex(data.mean(axis=1), block_size=args.block_size)
+        wavio.write_wav(args.output, out, sr)
+        s = live.stats
+        print(f"wrote {args.output} (live: {s.windows} windows, "
+              f"on={s.note_on} change={s.note_change} off={s.note_off})")
+        return 0
+
     cfg = resynth.ResynthConfig(use_autotune=args.autotune)
     resynth.resynth_wav(args.input, args.output, cfg)
     print(f"wrote {args.output}")

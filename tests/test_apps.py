@@ -88,3 +88,24 @@ class TestTuneApp:
         rc = tune_app.main(["do re", str(out_path), "--time-unit-ms", "60"])
         assert rc == 0
         assert out_path.exists()
+
+
+class TestResynthLiveApp:
+    def test_live_duplex_cli(self, tmp_path, capsys):
+        from cpp_audio_tpu.apps import resynth as app
+        from cpp_audio_tpu.utils import wav
+
+        sr = 44100
+        t = np.arange(int(0.6 * sr))
+        sig = 0.4 * np.sin(2 * np.pi * 392.0 * t / sr)
+        inp = tmp_path / "in.wav"
+        outp = tmp_path / "out.wav"
+        wav.write_wav(inp, sig[:, None], sr)
+        assert app.main([str(inp), str(outp), "--live",
+                         "--block-size", "1024"]) == 0
+        assert "live:" in capsys.readouterr().out
+        d, sr2 = wav.read_wav(outp)
+        assert sr2 == sr and len(d) == len(sig)
+        # the tone is reproduced once the first window completes
+        mono = d.sum(axis=1)
+        assert np.max(np.abs(mono[len(mono) // 2:])) > 1e-3
