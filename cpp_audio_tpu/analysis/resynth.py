@@ -87,8 +87,9 @@ class AnalysisFrameResult:
     dropped: int = 0
 
 
-def analyze(signal, config: ResynthConfig):
-    """signal (mono) -> per-frame [(freq, mag_db)] peak lists.
+def analyze_arrays(signal, config: ResynthConfig):
+    """signal (mono) -> ((n_frames, k) freq, (n_frames, k) mag_db) device
+    arrays, frequency-sorted per frame, invalid entries marked by -inf mag.
 
     Peaks are extracted fully on-device (local maxima + QIFFT + top-k by
     magnitude, k = max_voices) so only (frames, k) floats cross to the host.
@@ -102,14 +103,18 @@ def analyze(signal, config: ResynthConfig):
     dt = jnp.float32 if config.dtype == "float32" else jnp.float64
     sq = stft.stft_sqmag(jnp.asarray(signal, dt), window, config.stride)
     fft_len = stft.fft_length_for(config.window_size)
-    freq, mag = stft.extract_top_peaks(sq, config.sample_rate, fft_len,
-                                       k=config.max_voices + 1)
+    return stft.extract_top_peaks(sq, config.sample_rate, fft_len,
+                                  k=config.max_voices + 1)
+
+
+def analyze(signal, config: ResynthConfig):
+    """signal (mono) -> per-frame [(freq, mag_db)] peak lists."""
+    freq, mag = analyze_arrays(signal, config)
     return stft.top_peaks_to_lists(freq, mag)
 
 
-def track_native(peaks_per_frame, config: ResynthConfig):
-    """C++ fast path of `track` (native/pitchpipe.cpp). Same event semantics;
-    returns (tracked_notes, stats=None, n_dropped)."""
+def _make_native_pipe(config: ResynthConfig):
+    """Build a NativePitchPipe configured like the Python PitchTracker."""
     from .. import native as nat
     from ..utils import loudness
 
@@ -138,6 +143,13 @@ def track_native(peaks_per_frame, config: ResynthConfig):
     )
     if tables["kind"] == "scale":
         pipe.set_scale(tables["root_pitch"], tables["scale"], tables["equidistant"])
+    return pipe
+
+
+def track_native(peaks_per_frame, config: ResynthConfig):
+    """C++ fast path of `track` (native/pitchpipe.cpp). Same event semantics;
+    returns (tracked_notes, stats=None, n_dropped)."""
+    pipe = _make_native_pipe(config)
     rng = np.random.default_rng(config.seed)
     voices: dict[int, resynth_bank.TrackedNote] = {}
     for frame_idx, freqmags in enumerate(peaks_per_frame):
@@ -277,13 +289,8 @@ def track_python(peaks_per_frame, config: ResynthConfig):
     return tracker.result()
 
 
-def resynthesize(signal, config: ResynthConfig, *, device_out: bool = False) -> np.ndarray:
-    """Full offline chain: mono signal -> stereo resynthesis."""
-    peaks = analyze(signal, config)
-    notes, _stats, _dropped = track(peaks, config)
-    n_frames = len(peaks)
+def _render_config(config: ResynthConfig) -> resynth_bank.TrackedRenderConfig:
     sr = config.sample_rate
-    s2f = lambda s: int(0.5 + 1000.0 * s * sr / 1000.0)  # seconds -> frames
     ahdsr = envelopes.AHDSR(
         attack=int(0.5 + config.env_attack_seconds * sr), attack_itp=int(Itp.LINEAR),
         hold=int(0.5 + config.env_hold_seconds * sr),
@@ -291,11 +298,63 @@ def resynthesize(signal, config: ResynthConfig, *, device_out: bool = False) -> 
         release=int(0.5 + config.env_release_seconds * sr), release_itp=int(Itp.LINEAR),
         sustain=config.env_sustain_level,
     )
-    rcfg = resynth_bank.TrackedRenderConfig(
+    return resynth_bank.TrackedRenderConfig(
         sample_rate=sr, stride=config.stride, start_sample=config.window_size,
         ahdsr=ahdsr, dtype=config.dtype,
     )
-    return resynth_bank.render_tracked(notes, n_frames, rcfg, device_out=device_out)
+
+
+def build_tables_native(freq, mag_db, config: ResynthConfig, total_frames: int,
+                        rcfg: resynth_bank.TrackedRenderConfig | None = None):
+    """Fused C++ host path: device peak arrays -> slot control table.
+
+    One call runs the whole per-frame pitch pipeline + note tracking + slot
+    packing (native/pitchpipe.cpp pitchpipe_run_offline) — bit-identical to
+    track() + resynth_bank._build_slot_tables but without per-frame Python.
+    """
+    rcfg = rcfg or _render_config(config)
+    pipe = _make_native_pipe(config)
+    freq = np.asarray(freq, np.float64)
+    n_frames = freq.shape[0]
+    # draw pools sized to the hard upper bound (<= max_voices note-ons per
+    # frame); pan per note-on (event order, PitchTracker.rng), phase per
+    # packed note (_build_slot_tables rng(0))
+    cap = n_frames * config.max_voices + 16
+    pan_draws = np.random.default_rng(config.seed).uniform(-1.0, 1.0, cap)
+    phase_draws = np.random.default_rng(0).uniform(0.0, 2.0, cap)
+    a = rcfg.ahdsr
+    table, _n_notes = pipe.run_offline(
+        freq, np.asarray(mag_db, np.float64),
+        stride=rcfg.stride, n_slots=rcfg.n_slots, total_frames=total_frames,
+        sample_rate=rcfg.sample_rate,
+        attack=float(np.max(np.asarray(a.attack))),
+        hold=float(np.max(np.asarray(a.hold))),
+        decay=float(np.max(np.asarray(a.decay))),
+        sustain=float(np.asarray(a.sustain)),
+        release=float(np.max(np.asarray(a.release))),
+        stereo_spread=config.stereo_spread,
+        pan_draws=pan_draws, phase_draws=phase_draws,
+    )
+    return table
+
+
+def resynthesize(signal, config: ResynthConfig, *, device_out: bool = False,
+                 prefer_native: bool = True) -> np.ndarray:
+    """Full offline chain: mono signal -> stereo resynthesis."""
+    rcfg = _render_config(config)
+    if prefer_native:
+        from .. import native as nat
+
+        if nat.available():
+            freq, mag = analyze_arrays(signal, config)
+            n_frames = int(freq.shape[0])
+            table = build_tables_native(np.asarray(freq), np.asarray(mag),
+                                        config, n_frames + 8, rcfg)
+            return resynth_bank.render_table(table, rcfg, device_out=device_out)
+    peaks = analyze(signal, config)
+    notes, _stats, _dropped = track(peaks, config, prefer_native=prefer_native)
+    return resynth_bank.render_tracked(notes, len(peaks), rcfg,
+                                       device_out=device_out)
 
 
 def resynthesize_feedback(signal, config: ResynthConfig, *,

@@ -126,7 +126,7 @@ def _build_slot_tables(notes: list[TrackedNote], n_frames: int,
 
     wins = _note_windows(notes, n_frames, config)
     slot_free_at = np.zeros(P, dtype=np.int64)  # frame at which slot is free
-    order = np.argsort([w[0] for w in wins])
+    order = np.argsort([w[0] for w in wins], kind="stable")
     rng = np.random.default_rng(0)
     FAR = 1e12
 
@@ -249,15 +249,12 @@ def _render_slots(table, *, stride: int, n_channels: int, dtype: str):
     return out.reshape(-1, *out.shape[2:])[:n]
 
 
-def render_tracked(notes: list[TrackedNote], n_frames: int,
-                   config: TrackedRenderConfig, tail_frames: int = 8,
-                   device_out: bool = False) -> np.ndarray:
-    """Render tracked notes -> (start_sample + (n_frames+tail)*stride, C).
-
-    device_out=True returns the jax array without a host transfer (for
-    pipelines that keep post-processing on device)."""
-    total_frames = n_frames + tail_frames
-    table = _build_slot_tables(notes, total_frames, config)
+def render_table(table: np.ndarray, config: TrackedRenderConfig,
+                 device_out: bool = False) -> np.ndarray:
+    """Render a prebuilt (total_frames, n_slots, N_FIELDS) control table
+    (from _build_slot_tables or the fused C++ builder,
+    native/pitchpipe.cpp pitchpipe_run_offline)."""
+    total_frames = table.shape[0]
     dt = np.dtype(config.dtype)
     out = _render_slots(jnp.asarray(table, dt), stride=config.stride,
                         n_channels=config.n_channels, dtype=config.dtype)
@@ -270,3 +267,15 @@ def render_tracked(notes: list[TrackedNote], n_frames: int,
     body = np.asarray(body)
     lead = np.zeros((config.start_sample, body.shape[1]), body.dtype)
     return np.concatenate([lead, body], axis=0)
+
+
+def render_tracked(notes: list[TrackedNote], n_frames: int,
+                   config: TrackedRenderConfig, tail_frames: int = 8,
+                   device_out: bool = False) -> np.ndarray:
+    """Render tracked notes -> (start_sample + (n_frames+tail)*stride, C).
+
+    device_out=True returns the jax array without a host transfer (for
+    pipelines that keep post-processing on device)."""
+    total_frames = n_frames + tail_frames
+    table = _build_slot_tables(notes, total_frames, config)
+    return render_table(table, config, device_out=device_out)

@@ -54,6 +54,14 @@ def load_library():
     ]
     lib.pitchpipe_set_scale.argtypes = [ctypes.c_void_p, ctypes.c_double,
                                         _DP, ctypes.c_int, _DP, ctypes.c_int]
+    lib.pitchpipe_run_offline.restype = ctypes.c_int64
+    lib.pitchpipe_run_offline.argtypes = [
+        ctypes.c_void_p, _DP, _DP, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int64, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double, _DP, ctypes.c_int64,
+        _DP, ctypes.c_int64, _FP,
+    ]
 
     lib.ringbuffer_create.restype = ctypes.c_void_p
     lib.ringbuffer_create.argtypes = [ctypes.c_uint64]
@@ -129,6 +137,35 @@ class NativePitchPipe:
     @property
     def dropped(self) -> int:
         return int(self._lib.pitchpipe_dropped(self._ctx))
+
+    def run_offline(self, freqs, mags_db, *, stride: int, n_slots: int,
+                    total_frames: int, sample_rate: float,
+                    attack: float, hold: float, decay: float, sustain: float,
+                    release: float, stereo_spread: float,
+                    pan_draws, phase_draws) -> tuple[np.ndarray, int]:
+        """Fused offline tracking + slot-table build (pitchpipe_run_offline).
+
+        freqs/mags_db: (n_frames, k) f64 device peak arrays (invalid entries
+        marked by non-finite mag). Returns ((total_frames, n_slots, 16) f32
+        control table for models/resynth_bank._render_slots, n_tracked_notes).
+        """
+        freqs = np.ascontiguousarray(freqs, np.float64)
+        mags = np.ascontiguousarray(mags_db, np.float64)
+        n_frames, k = freqs.shape
+        pan = np.ascontiguousarray(pan_draws, np.float64)
+        ph = np.ascontiguousarray(phase_draws, np.float64)
+        table = np.empty((total_frames, n_slots, 16), np.float32)
+        n = self._lib.pitchpipe_run_offline(
+            self._ctx, _dp(freqs), _dp(mags), n_frames, k,
+            int(stride), int(n_slots), int(total_frames), float(sample_rate),
+            float(attack), float(hold), float(decay), float(sustain),
+            float(release), float(stereo_spread),
+            _dp(pan), len(pan), _dp(ph), len(ph),
+            table.ctypes.data_as(_FP),
+        )
+        if n < 0:
+            raise RuntimeError("pitchpipe_run_offline failed (draw pool too small?)")
+        return table, int(n)
 
     def __del__(self):
         try:

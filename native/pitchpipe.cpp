@@ -210,6 +210,16 @@ void track(Ctx& c) {
   }
 }
 
+struct TrackedNoteC {
+  // control trail: (frame, freq, volume) triples
+  std::vector<int> cframe;
+  std::vector<double> cfreq, cvol;
+  int64_t release_frame;  // NEVER if still playing at the end
+  double pan;
+};
+
+constexpr int64_t kNeverFrame = 1000000000;  // models/resynth_bank.py NEVER_FRAME
+
 }  // namespace
 
 extern "C" {
@@ -340,6 +350,208 @@ int pitchpipe_process_frame(Ctx* c,
             [](const PlayedNote& a, const PlayedNote& b) { return a.pitch < b.pitch; });
   c->played = std::move(kept);
   return n_out;
+}
+
+// Fused offline run: the whole analysis's host side in one call.
+//
+// Consumes the device peak arrays (n_frames, k) [freq, mag_db; invalid
+// entries have non-finite mag or freq<=0], runs the per-frame pipeline +
+// note tracking (same semantics as pitchpipe_process_frame driven frame by
+// frame), then packs the tracked notes into polyphony slots and emits the
+// (total_frames, n_slots, 16) float32 control table consumed by the device
+// renderer — an exact port of models/resynth_bank.py _build_slot_tables
+// (same field order, same f64 boundary recurrences, same RNG draw order:
+// pan_draws consumed once per note-on in event order, phase_draws once per
+// packed note in stable f0 order).
+//
+// Returns the number of tracked notes (>= 0) or -1 on bad arguments.
+int64_t pitchpipe_run_offline(
+    Ctx* c, const double* freqs, const double* mags, int64_t n_frames, int k,
+    // render config (models/resynth_bank.py TrackedRenderConfig)
+    int stride, int n_slots, int64_t total_frames, double sample_rate,
+    // raw AHDSR (samples; floors applied per note like _note_windows)
+    double attack, double hold, double decay, double sustain, double release,
+    double stereo_spread, const double* pan_draws, int64_t n_pan,
+    const double* phase_draws, int64_t n_phase, float* table_out) {
+  if (!c || n_slots <= 0 || stride <= 0) return -1;
+  const double S = stride;
+  const double sr = sample_rate;
+
+  // --- 1. track: run the pipeline per frame, building note trails ---------
+  std::vector<TrackedNoteC> notes;
+  std::vector<double> vf, vm;
+  std::vector<int> out_kind(4096);
+  std::vector<int64_t> out_nid(4096);
+  std::vector<double> out_freq(4096), out_vol(4096);
+  const int64_t nid_base = c->next_noteid;
+  int64_t pan_i = 0;
+  for (int64_t f = 0; f < n_frames; ++f) {
+    vf.clear();
+    vm.clear();
+    const double* fr = freqs + f * k;
+    const double* mg = mags + f * k;
+    for (int j = 0; j < k; ++j) {
+      if (fr[j] > 0.0 && std::isfinite(mg[j]) && std::isfinite(fr[j])) {
+        vf.push_back(fr[j]);
+        vm.push_back(mg[j]);
+      }
+    }
+    int n_ev = pitchpipe_process_frame(
+        c, vf.data(), vm.data(), static_cast<int>(vf.size()), out_kind.data(),
+        out_nid.data(), out_freq.data(), out_vol.data(),
+        static_cast<int>(out_kind.size()));
+    for (int e = 0; e < n_ev; ++e) {
+      int64_t idx = out_nid[e] - nid_base - 1;
+      switch (out_kind[e]) {
+        case 0: {  // note on
+          if (pan_i >= n_pan) return -1;
+          TrackedNoteC note;
+          note.cframe.push_back(static_cast<int>(f));
+          note.cfreq.push_back(out_freq[e]);
+          note.cvol.push_back(out_vol[e]);
+          note.release_frame = kNeverFrame;
+          note.pan = stereo_spread * pan_draws[pan_i++];
+          notes.push_back(std::move(note));
+          break;
+        }
+        case 1:  // change
+          if (idx >= 0 && idx < static_cast<int64_t>(notes.size())) {
+            notes[idx].cframe.push_back(static_cast<int>(f));
+            notes[idx].cfreq.push_back(out_freq[e]);
+            notes[idx].cvol.push_back(out_vol[e]);
+          }
+          break;
+        default:  // off
+          if (idx >= 0 && idx < static_cast<int64_t>(notes.size()))
+            notes[idx].release_frame = f;
+      }
+    }
+  }
+
+  // --- 2. per-note windows (_note_windows) --------------------------------
+  const double min_dt = sr / 1000.0;
+  const bool has_decay = sustain < 0.999999;
+  const double sus = has_decay ? std::min(std::max(sustain, 0.0), 1.0) : 1.0;
+  const double FAR = 1e12;
+  struct Win {
+    int64_t f0, f1, rel_f;
+    double A, H, D, R;
+  };
+  std::vector<Win> wins(notes.size());
+  for (size_t ni = 0; ni < notes.size(); ++ni) {
+    const auto& note = notes[ni];
+    double init_inc = 2.0 * note.cfreq[0] / sr;
+    double min_change = 2.5 * 2.0 / std::max(std::abs(init_inc), 1e-9);
+    Win w;
+    w.f0 = note.cframe[0];
+    w.A = std::max({attack, min_dt, min_change, 1.0});
+    w.H = std::max(hold, 0.0);
+    w.D = has_decay ? std::max({decay, min_dt, min_change, 1.0}) : 0.0;
+    w.R = std::max({release, min_dt, min_change, 1.0});
+    w.rel_f = std::min(note.release_frame, total_frames);
+    w.f1 = std::min(total_frames,
+                    w.rel_f + static_cast<int64_t>(std::ceil(w.R / S)) + 1);
+    wins[ni] = w;
+  }
+
+  // --- 3. slot packing + table build (_build_slot_tables) -----------------
+  constexpr int NF = 16;
+  enum {
+    F_INC, F_RATIO, F_PHB, F_VTGT, F_VB, F_ALPHA, F_TP0, F_TR0,
+    F_TOP, F_A, F_H, F_D, F_SUS, F_R, F_GL, F_GR
+  };
+  // defaults for inactive entries
+  for (int64_t t = 0; t < total_frames * n_slots; ++t) {
+    float* row = table_out + t * NF;
+    std::memset(row, 0, NF * sizeof(float));
+    row[F_INC] = 1e-6f;
+    row[F_A] = 1.0f;
+    row[F_SUS] = 1.0f;
+    row[F_R] = 1.0f;
+    row[F_TP0] = -1e9f;
+  }
+
+  auto env_pressed = [&](double tp, double A, double H, double D) {
+    if (tp < A) return std::min(std::max((tp + 1.0) / A, 0.0), 1.0);
+    if (tp < A + H) return 1.0;
+    if (D != 0.0 && tp < A + H + D)
+      return 1.0 + (sus - 1.0) * std::min((tp - A - H + 1.0) / D, 1.0);
+    return sus;
+  };
+
+  std::vector<int> order(notes.size());
+  for (size_t i = 0; i < order.size(); ++i) order[i] = static_cast<int>(i);
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int a, int b) { return wins[a].f0 < wins[b].f0; });
+  std::vector<int64_t> slot_free_at(n_slots, 0);
+  int64_t phase_i = 0;
+
+  for (int ni : order) {
+    const auto& note = notes[ni];
+    const auto& w = wins[ni];
+    if (w.f0 >= total_frames || w.f1 <= w.f0) continue;
+    int slot = -1;
+    for (int s = 0; s < n_slots; ++s)
+      if (slot_free_at[s] <= w.f0) { slot = s; break; }
+    if (slot < 0) continue;  // polyphony exceeded: drop (onDroppedNote)
+    slot_free_at[slot] = w.f1;
+
+    double press = static_cast<double>(w.f0) * S;
+    double rel_sample = (note.release_frame < kNeverFrame)
+                            ? static_cast<double>(note.release_frame) * S
+                            : FAR;
+    double top = (rel_sample < FAR)
+                     ? env_pressed(rel_sample - 1.0 - press, w.A, w.H, w.D)
+                     : sus;
+    double th = 0.25 * M_PI * (note.pan + 1.0);
+    double gl = std::cos(th), gr = std::sin(th);
+
+    if (phase_i >= n_phase) return -1;
+    double phase = phase_draws[phase_i++];
+    size_t i = 0;
+    double cur_f = note.cfreq[0], cur_v = note.cvol[0];
+    double prev_inc = 2.0 * cur_f / sr;
+    double vol_b = cur_v;
+    for (int64_t cc = w.f0; cc < w.f1; ++cc) {
+      if (i + 1 < note.cframe.size() && note.cframe[i + 1] <= cc) {
+        ++i;
+        cur_f = note.cfreq[i];
+        cur_v = note.cvol[i];
+      }
+      double inc_to = 2.0 * cur_f / sr;
+      double inc_from = (cc > w.f0) ? prev_inc : inc_to;
+      double ratio = (inc_to != inc_from) ? std::log(inc_to / inc_from) : 0.0;
+      double inc_eff = std::min(2.0 / S, std::abs(inc_to));
+      double alpha = 1.0 - std::exp(-M_PI * inc_eff);
+
+      float* row = table_out + (cc * n_slots + slot) * NF;
+      row[F_INC] = static_cast<float>(inc_from);
+      row[F_RATIO] = static_cast<float>(ratio);
+      row[F_PHB] = static_cast<float>(phase);
+      row[F_VTGT] = static_cast<float>(cur_v);
+      row[F_VB] = static_cast<float>(vol_b);
+      row[F_ALPHA] = static_cast<float>(alpha);
+      row[F_TP0] = static_cast<float>(static_cast<double>(cc) * S - press);
+      row[F_TR0] = static_cast<float>(
+          std::max(static_cast<double>(cc) * S - rel_sample, -FAR));
+      row[F_TOP] = static_cast<float>(top);
+      row[F_A] = static_cast<float>(w.A);
+      row[F_H] = static_cast<float>(w.H);
+      row[F_D] = static_cast<float>(w.D);
+      row[F_SUS] = static_cast<float>(sus);
+      row[F_R] = static_cast<float>(w.R);
+      row[F_GL] = static_cast<float>(gl);
+      row[F_GR] = static_cast<float>(gr);
+
+      double dphi = (ratio != 0.0)
+                        ? (inc_from / (ratio / S)) * std::expm1(ratio)
+                        : S * inc_from;
+      phase = std::fmod(phase + dphi, 2.0);
+      vol_b = cur_v + (vol_b - cur_v) * std::pow(1.0 - alpha, S);
+      prev_inc = inc_to;
+    }
+  }
+  return static_cast<int64_t>(notes.size());
 }
 
 }  // extern "C"

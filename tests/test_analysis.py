@@ -316,3 +316,49 @@ class TestFeedbackResynthesis:
         e_plain = float(np.sqrt(np.mean(plain[tail] ** 2)))
         e_fb = float(np.sqrt(np.mean(fb[tail] ** 2)))
         assert e_fb > 2.0 * max(e_plain, 1e-9)
+
+
+class TestFusedNativeTables:
+    """The fused C++ tracking+table path (pitchpipe_run_offline) must be
+    bit-equivalent to track_python + _build_slot_tables."""
+
+    def _signal(self, sr):
+        n = sr * 2
+        t = np.arange(n) / sr
+        sig = np.zeros(n)
+        for f0, s0, s1 in [(220, 0.1, 1.0), (440, 0.4, 1.6), (660, 0.8, 1.9)]:
+            i0, i1 = int(s0 * sr), int(s1 * sr)
+            env = np.hanning(i1 - i0)
+            sig[i0:i1] += 0.2 * env * np.sin(2 * np.pi * f0 * t[: i1 - i0])
+        return sig
+
+    def test_table_parity_with_python(self):
+        from cpp_audio_tpu import native as nat
+
+        if not nat.available():
+            pytest.skip("native library unavailable")
+        sr = 44100
+        cfg = resynth.ResynthConfig(sample_rate=sr, seed=5)
+        rcfg = resynth._render_config(cfg)
+        sig = self._signal(sr)
+        freq, mag = resynth.analyze_arrays(sig, cfg)
+        freq, mag = np.asarray(freq), np.asarray(mag)
+        n_frames = freq.shape[0]
+        peaks = resynth.analyze(sig, cfg)
+        notes, _, _ = resynth.track_python(peaks, cfg)
+        table_py = resynth_bank._build_slot_tables(
+            notes, n_frames + 8, rcfg).astype(np.float32)
+        table_c = resynth.build_tables_native(freq, mag, cfg, n_frames + 8, rcfg)
+        np.testing.assert_allclose(table_c, table_py, atol=1e-12)
+
+    def test_resynthesize_native_matches_python(self):
+        from cpp_audio_tpu import native as nat
+
+        if not nat.available():
+            pytest.skip("native library unavailable")
+        sr = 44100
+        cfg = resynth.ResynthConfig(sample_rate=sr, seed=5)
+        sig = self._signal(sr)
+        a = np.asarray(resynth.resynthesize(sig, cfg, prefer_native=True))
+        b = np.asarray(resynth.resynthesize(sig, cfg, prefer_native=False))
+        np.testing.assert_allclose(a, b, atol=1e-6)
