@@ -55,8 +55,8 @@ def main():
     except Exception:
         pass
 
-    from cpp_audio_tpu.analysis import resynth, vocoder
-    from cpp_audio_tpu.models import sine_synth, voicebank
+    from cpp_audio_tpu.analysis import chain, resynth, vocoder
+    from cpp_audio_tpu.models import sine_synth
 
     sr = 44100
     seconds = 60.0
@@ -71,22 +71,17 @@ def main():
 
     import jax.numpy as jnp
 
-    to_mono = jax.jit(lambda o: o.reshape(-1, 2)[:n].sum(axis=1),
-                      static_argnums=())
     carrier_dev = jax.device_put(jnp.asarray(carrier, jnp.float32))
 
     def run_once():
-        # 1. synth render (device; mono mixdown stays on device)
-        args, statics = voicebank.prepare_bank_arrays(bank, n, cfg.block_size, cfg.dtype)
-        out = voicebank._voicebank_blocks(*args, out_dtype=cfg.dtype, **statics)
-        mono = to_mono(out)
-        # 2. analysis -> resynthesis (STFT/peaks on device; tracker on host;
-        #    the rendered audio stays on device — production hosts attached
-        #    by PCIe pull it at GB/s, unlike this test rig's debug tunnel)
-        r = resynth.resynthesize(mono, rcfg, device_out=True)
-        # 3. vocoder (device)
-        v = vocoder.vocode(mono, carrier_dev, vparams, device_out=True)
-        jax.block_until_ready((r, v))
+        # fused chain: synth -> STFT/peaks + vocoder in ONE device program,
+        # C++ tracker + table builder on host, second dispatch renders the
+        # tracked notes. Rendered audio stays on device — production hosts
+        # attached by PCIe pull it at GB/s, unlike this test rig's debug
+        # tunnel.
+        res = chain.run_offline_chain(bank, n, rcfg, vparams, carrier_dev,
+                                      block_size=cfg.block_size)
+        jax.block_until_ready((res.resynth, res.vocoded))
 
     run_once()  # warmup/compile
 

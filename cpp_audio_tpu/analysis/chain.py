@@ -1,0 +1,146 @@
+"""Fused offline chain: synth -> analysis peaks -> vocoder in ONE device program.
+
+The separate-stage pipeline (models/voicebank.py render + analysis/resynth.py
+analyze + analysis/vocoder.py vocode) pays one host->device dispatch round
+trip per stage — significant when the host is attached over a slow link (and
+still measurable over PCIe). This module traces the whole chain into a single
+jitted program:
+
+    voice-bank blocks -> mono mixdown -> sliding Gaussian STFT -> device
+    top-k peak extraction, and (in the same program) the O(n) vocoder of the
+    mixdown against a carrier.
+
+so one dispatch computes everything the host tracker needs, one D2H moves the
+(frames, k) peak arrays, the fused C++ tracker (native/pitchpipe.cpp
+pitchpipe_run_offline) builds the slot control table, and a second dispatch
+renders the tracked notes. Semantics are identical to the separate stages
+(tests/test_chain.py pins this).
+
+Reference scope: this is RtResynth's offline job loop (source/
+rt.resynth.lib.cpp:1185-1235 — input -> analysis -> resynth synth + vocoder)
+re-architected as two device programs + one host call instead of a
+sample-by-sample duplex loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import resynth_bank, voicebank
+from ..ops import stft as stft_ops
+from . import resynth as resynth_mod
+from . import vocoder as vocoder_mod
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n", "block_size", "n_blocks", "a_itp", "d_itp", "r_itp", "dtype",
+    "window_size", "stride", "fft_len", "k", "sample_rate",
+    "mod_window", "voc_stride", "car_fft", "n_mod_frames",
+    "vol_mod", "vol_car", "vol_voc"))
+def _fused_analyze_vocode(fp, ip, up, gains, codes, window, carrier, edges,
+                          bm_car, rows, *, n: int, block_size: int,
+                          n_blocks: int, a_itp, d_itp, r_itp, dtype: str,
+                          window_size: int, stride: int, fft_len: int, k: int,
+                          sample_rate: int, mod_window: int, voc_stride: int,
+                          car_fft: int, n_mod_frames: int, vol_mod: float,
+                          vol_car: float, vol_voc: float):
+    # 1. synth render + mono mixdown (stays on device)
+    out = voicebank.voicebank_blocks_impl(
+        fp, ip, up, gains, codes, block_size=block_size, n_blocks=n_blocks,
+        a_itp=a_itp, d_itp=d_itp, r_itp=r_itp, out_dtype=dtype)
+    mono = out.reshape(-1, out.shape[-1])[:n].sum(axis=1)
+
+    # 2. analysis: sliding Gaussian STFT -> device top-k peaks
+    sq = stft_ops._stft_sqmag(mono, window.astype(mono.dtype),
+                              window_size=window_size, stride=stride,
+                              fft_length=fft_len)
+    freq, mag = stft_ops._top_peaks(sq, sample_rate=sample_rate,
+                                    fft_length=fft_len, k=k)
+
+    # 3. vocoder of the mixdown against the carrier (O(n) modulator path)
+    amps = vocoder_mod._modulator_band_amps_fast(
+        mono, edges, window=mod_window, stride=voc_stride,
+        n_frames=n_mod_frames, sample_rate=sample_rate)
+    vocoded = vocoder_mod._carrier_vocode(
+        carrier, amps[rows], bm_car, stride=voc_stride, fft_len=car_fft)
+    out_len = vocoded.shape[0]
+    mix = (vol_voc * vocoded + vol_mod * mono[:out_len]
+           + vol_car * carrier[:out_len])
+    return freq, mag, mix
+
+
+@dataclass
+class OfflineChainResult:
+    resynth: object       # (samples, 2) device array
+    vocoded: object       # (m,) device array (vocoder mix of the mixdown)
+    n_frames: int
+
+
+def run_offline_chain(bank: voicebank.VoiceBank, n_samples: int,
+                      rconfig: resynth_mod.ResynthConfig,
+                      vparams: vocoder_mod.VocoderParams, carrier,
+                      *, block_size: int = 1 << 15) -> OfflineChainResult:
+    """Render `bank`, resynthesize its mono mixdown, and vocode it — with
+    exactly two device dispatches and one (frames, k) D2H transfer.
+
+    Requires the native library (falls back to the separate-stage pipeline
+    when unavailable)."""
+    from .. import native as nat
+
+    sr = rconfig.sample_rate
+    dtype = rconfig.dtype
+    args, statics = voicebank.prepare_bank_arrays(bank, n_samples, block_size,
+                                                  dtype)
+
+    # analysis statics
+    window = stft_ops.gaussian_window(rconfig.window_size, sigmas=4.0)
+    fft_len = stft_ops.fft_length_for(rconfig.window_size)
+    k = rconfig.max_voices + 1
+
+    # vocoder statics (mirrors vocoder.vocode host-side setup)
+    S = vparams.stride
+    W = vparams.modulator_window
+    car_fft = stft_ops.fft_length_for(2 * S)
+    edges = vparams.band_freqs()
+    bm_car = vocoder_mod._band_matrix(edges, car_fft // 2 + 1, sr / car_fft)
+    n_mod_frames = max(0, (n_samples - W) // S + 1)
+    n_car_frames = max(0, (n_samples - 2 * S) // S + 1)
+    offset = max(0, -(-(W - 2 * S) // S))
+    rows = np.clip(np.arange(n_car_frames) - offset, 0,
+                   max(n_mod_frames - 1, 0))
+
+    wdt = jnp.float32 if dtype == "float32" else jnp.float64
+    carrier_dev = jnp.asarray(carrier, wdt)[:n_samples]
+
+    freq, mag, vocoded = _fused_analyze_vocode(
+        *args, jnp.asarray(window, wdt), carrier_dev, jnp.asarray(edges, wdt),
+        jnp.asarray(bm_car, wdt), jnp.asarray(rows),
+        n=n_samples, dtype=dtype, window_size=rconfig.window_size,
+        stride=rconfig.stride, fft_len=fft_len, k=k, sample_rate=sr,
+        mod_window=W, voc_stride=S, car_fft=car_fft,
+        n_mod_frames=n_mod_frames, vol_mod=float(vparams.volume_modulator),
+        vol_car=float(vparams.volume_carrier),
+        vol_voc=float(vparams.volume_vocoded), **statics)
+
+    # host: fused C++ tracking + slot tables, then the render dispatch
+    freq_h = np.asarray(freq)
+    mag_h = np.asarray(mag)
+    n_frames = int(freq_h.shape[0])
+    rcfg = resynth_mod._render_config(rconfig)
+    if nat.available():
+        table = resynth_mod.build_tables_native(freq_h, mag_h, rconfig,
+                                                n_frames + 8, rcfg)
+        stereo = resynth_bank.render_table(table, rcfg, device_out=True)
+    else:
+        peaks = stft_ops.top_peaks_to_lists(freq_h, mag_h)
+        notes, _stats, _dropped = resynth_mod.track(peaks, rconfig,
+                                                    prefer_native=False)
+        stereo = resynth_bank.render_tracked(notes, n_frames, rcfg,
+                                             device_out=True)
+    return OfflineChainResult(resynth=stereo, vocoded=vocoded,
+                              n_frames=n_frames)
