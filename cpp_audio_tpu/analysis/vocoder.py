@@ -138,8 +138,9 @@ def _modulator_band_amps(signal, band_mat, *, window: int, stride: int, fft_len:
     return jnp.sqrt(sq @ band_mat)
 
 
-@functools.partial(jax.jit, static_argnames=("stride", "fft_len"))
-def _carrier_vocode(carrier, band_amps, band_mat_full, *, stride: int, fft_len: int):
+@functools.partial(jax.jit, static_argnames=("stride", "fft_len", "use_matmul_dft"))
+def _carrier_vocode(carrier, band_amps, band_mat_full, *, stride: int, fft_len: int,
+                    use_matmul_dft: bool = False):
     """Modulate carrier FFT frames by band amplitudes and overlap-crossfade.
 
     Returns the vocoded signal of length n_frames*stride (frame r covers
@@ -150,10 +151,16 @@ def _carrier_vocode(carrier, band_amps, band_mat_full, *, stride: int, fft_len: 
     n_frames = max(0, (n - window) // stride + 1)
     idx = (jnp.arange(n_frames) * stride)[:, None] + jnp.arange(window)[None, :]
     frames = carrier[idx]
-    spec = jnp.fft.rfft(frames, n=fft_len)
     # per-bin gain from that frame's band amplitudes (modulate_bands)
     gains = band_amps @ band_mat_full.T  # (n_frames, n_bins)
-    sig = jnp.fft.irfft(spec * gains, n=fft_len)[:, :window]
+    if use_matmul_dft:
+        from ..ops import dft
+
+        re, im = dft.rfft_matmul(frames, fft_len)
+        sig = dft.irfft_matmul(re * gains, im * gains, fft_len, out_len=window)
+    else:
+        spec = jnp.fft.rfft(frames, n=fft_len)
+        sig = jnp.fft.irfft(spec * gains, n=fft_len)[:, :window]
 
     # sinusoidal equal-gain crossfade of the first half of frame r with the
     # second half of frame r-1 (vocoder.cpp:500-541)
@@ -216,6 +223,7 @@ def vocode(modulator, carrier, params: VocoderParams, *,
     vocoded = (_carrier_vocode(
         jnp.asarray(carrier), jnp.asarray(amps_aligned), jnp.asarray(bm_car),
         stride=S, fft_len=car_fft,
+        use_matmul_dft=stft_ops.use_matmul_dft_default(carrier.dtype),
     ))
     # vocoded sample t corresponds to input sample t (frame r's new-half
     # starts at carrier sample r*S)

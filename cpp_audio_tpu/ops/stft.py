@@ -58,29 +58,47 @@ def fft_length_for(window_size: int, zero_padding_factor: int = 1) -> int:
     return n
 
 
-@functools.partial(jax.jit, static_argnames=("window_size", "stride", "fft_length"))
-def _stft_sqmag(signal, window, *, window_size: int, stride: int, fft_length: int):
+@functools.partial(jax.jit, static_argnames=("window_size", "stride", "fft_length",
+                                             "use_matmul_dft"))
+def _stft_sqmag(signal, window, *, window_size: int, stride: int, fft_length: int,
+                use_matmul_dft: bool = False):
     n = signal.shape[0]
     n_frames = max(0, (n - window_size) // stride + 1)
     starts = jnp.arange(n_frames) * stride
     idx = starts[:, None] + jnp.arange(window_size)[None, :]
     frames = signal[idx] * window[None, :]
-    spec = jnp.fft.rfft(frames, n=fft_length)
     # scale so a unit sine at a bin center gives sqmag 1
     scale = 2.0 / jnp.sum(window)
+    if use_matmul_dft:
+        from . import dft
+
+        return dft.rfft_sqmag_matmul(frames, fft_length) * scale**2
+    spec = jnp.fft.rfft(frames, n=fft_length)
     return jnp.abs(spec) ** 2 * scale**2
 
 
-def stft_sqmag(signal, window, stride: int, zero_padding_factor: int = 1):
+def use_matmul_dft_default(dtype) -> bool:
+    """Batched mid-size DFTs go through MXU matmuls on TPU (ops/dft.py);
+    everywhere else XLA's native FFT wins."""
+    import jax as _jax
+
+    return _jax.default_backend() == "tpu" and jnp.dtype(dtype) == jnp.float32
+
+
+def stft_sqmag(signal, window, stride: int, zero_padding_factor: int = 1,
+               use_matmul_dft: bool | None = None):
     """(n_frames, n_bins) squared magnitudes. Frame f covers
     [f*stride, f*stride + len(window))."""
     signal = jnp.asarray(signal)
     window = jnp.asarray(window, signal.dtype)
     ws = int(window.shape[0])
+    if use_matmul_dft is None:
+        use_matmul_dft = use_matmul_dft_default(signal.dtype)
     return _stft_sqmag(
         signal, window,
         window_size=ws, stride=int(stride),
         fft_length=fft_length_for(ws, zero_padding_factor),
+        use_matmul_dft=bool(use_matmul_dft),
     )
 
 

@@ -352,33 +352,22 @@ int pitchpipe_process_frame(Ctx* c,
   return n_out;
 }
 
-// Fused offline run: the whole analysis's host side in one call.
-//
-// Consumes the device peak arrays (n_frames, k) [freq, mag_db; invalid
-// entries have non-finite mag or freq<=0], runs the per-frame pipeline +
-// note tracking (same semantics as pitchpipe_process_frame driven frame by
-// frame), then packs the tracked notes into polyphony slots and emits the
-// (total_frames, n_slots, 16) float32 control table consumed by the device
-// renderer — an exact port of models/resynth_bank.py _build_slot_tables
-// (same field order, same f64 boundary recurrences, same RNG draw order:
-// pan_draws consumed once per note-on in event order, phase_draws once per
-// packed note in stable f0 order).
-//
-// Returns the number of tracked notes (>= 0) or -1 on bad arguments.
-int64_t pitchpipe_run_offline(
-    Ctx* c, const double* freqs, const double* mags, int64_t n_frames, int k,
-    // render config (models/resynth_bank.py TrackedRenderConfig)
-    int stride, int n_slots, int64_t total_frames, double sample_rate,
-    // raw AHDSR (samples; floors applied per note like _note_windows)
-    double attack, double hold, double decay, double sustain, double release,
-    double stereo_spread, const double* pan_draws, int64_t n_pan,
-    const double* phase_draws, int64_t n_phase, float* table_out) {
-  if (!c || n_slots <= 0 || stride <= 0) return -1;
-  const double S = stride;
-  const double sr = sample_rate;
+// --- shared helpers for the fused offline runs -----------------------------
 
-  // --- 1. track: run the pipeline per frame, building note trails ---------
-  std::vector<TrackedNoteC> notes;
+namespace {
+
+struct Win {
+  int64_t f0, f1, rel_f;
+  double A, H, D, R;
+};
+
+// Run the per-frame pipeline over the whole (n_frames, k) peak arrays and
+// build the tracked-note trails. pan_draws consumed once per note-on in
+// event order (PitchTracker.rng semantics). Returns 0, or -1 on overflow.
+int run_tracking(Ctx* c, const double* freqs, const double* mags,
+                 int64_t n_frames, int k, double stereo_spread,
+                 const double* pan_draws, int64_t n_pan,
+                 std::vector<TrackedNoteC>& notes) {
   std::vector<double> vf, vm;
   std::vector<int> out_kind(4096);
   std::vector<int64_t> out_nid(4096);
@@ -427,16 +416,16 @@ int64_t pitchpipe_run_offline(
       }
     }
   }
+  return 0;
+}
 
-  // --- 2. per-note windows (_note_windows) --------------------------------
+// Per-note effective frame windows + envelope floors (_note_windows).
+std::vector<Win> compute_wins(const std::vector<TrackedNoteC>& notes,
+                              int64_t total_frames, double S, double sr,
+                              double attack, double hold, double decay,
+                              double sustain, double release) {
   const double min_dt = sr / 1000.0;
   const bool has_decay = sustain < 0.999999;
-  const double sus = has_decay ? std::min(std::max(sustain, 0.0), 1.0) : 1.0;
-  const double FAR = 1e12;
-  struct Win {
-    int64_t f0, f1, rel_f;
-    double A, H, D, R;
-  };
   std::vector<Win> wins(notes.size());
   for (size_t ni = 0; ni < notes.size(); ++ni) {
     const auto& note = notes[ni];
@@ -453,8 +442,64 @@ int64_t pitchpipe_run_offline(
                     w.rel_f + static_cast<int64_t>(std::ceil(w.R / S)) + 1);
     wins[ni] = w;
   }
+  return wins;
+}
 
-  // --- 3. slot packing + table build (_build_slot_tables) -----------------
+double env_pressed_val(double tp, double A, double H, double D, double sus) {
+  if (tp < A) return std::min(std::max((tp + 1.0) / A, 0.0), 1.0);
+  if (tp < A + H) return 1.0;
+  if (D != 0.0 && tp < A + H + D)
+    return 1.0 + (sus - 1.0) * std::min((tp - A - H + 1.0) / D, 1.0);
+  return sus;
+}
+
+// stable pack order by first frame (_build_slot_tables argsort kind=stable)
+std::vector<int> pack_order(const std::vector<Win>& wins) {
+  std::vector<int> order(wins.size());
+  for (size_t i = 0; i < order.size(); ++i) order[i] = static_cast<int>(i);
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int a, int b) { return wins[a].f0 < wins[b].f0; });
+  return order;
+}
+
+}  // namespace
+
+// Fused offline run: the whole analysis's host side in one call.
+//
+// Consumes the device peak arrays (n_frames, k) [freq, mag_db; invalid
+// entries have non-finite mag or freq<=0], runs the per-frame pipeline +
+// note tracking (same semantics as pitchpipe_process_frame driven frame by
+// frame), then packs the tracked notes into polyphony slots and emits the
+// (total_frames, n_slots, 16) float32 control table consumed by the device
+// renderer — an exact port of models/resynth_bank.py _build_slot_tables
+// (same field order, same f64 boundary recurrences, same RNG draw order:
+// pan_draws consumed once per note-on in event order, phase_draws once per
+// packed note in stable f0 order).
+//
+// Returns the number of tracked notes (>= 0) or -1 on bad arguments.
+int64_t pitchpipe_run_offline(
+    Ctx* c, const double* freqs, const double* mags, int64_t n_frames, int k,
+    // render config (models/resynth_bank.py TrackedRenderConfig)
+    int stride, int n_slots, int64_t total_frames, double sample_rate,
+    // raw AHDSR (samples; floors applied per note like _note_windows)
+    double attack, double hold, double decay, double sustain, double release,
+    double stereo_spread, const double* pan_draws, int64_t n_pan,
+    const double* phase_draws, int64_t n_phase, float* table_out) {
+  if (!c || n_slots <= 0 || stride <= 0) return -1;
+  const double S = stride;
+  const double sr = sample_rate;
+
+  std::vector<TrackedNoteC> notes;
+  if (run_tracking(c, freqs, mags, n_frames, k, stereo_spread, pan_draws,
+                   n_pan, notes) < 0)
+    return -1;
+  std::vector<Win> wins = compute_wins(notes, total_frames, S, sr, attack,
+                                       hold, decay, sustain, release);
+  const bool has_decay = sustain < 0.999999;
+  const double sus = has_decay ? std::min(std::max(sustain, 0.0), 1.0) : 1.0;
+  const double FAR = 1e12;
+
+  // --- slot packing + table build (_build_slot_tables) ----------------------
   constexpr int NF = 16;
   enum {
     F_INC, F_RATIO, F_PHB, F_VTGT, F_VB, F_ALPHA, F_TP0, F_TR0,
@@ -472,17 +517,10 @@ int64_t pitchpipe_run_offline(
   }
 
   auto env_pressed = [&](double tp, double A, double H, double D) {
-    if (tp < A) return std::min(std::max((tp + 1.0) / A, 0.0), 1.0);
-    if (tp < A + H) return 1.0;
-    if (D != 0.0 && tp < A + H + D)
-      return 1.0 + (sus - 1.0) * std::min((tp - A - H + 1.0) / D, 1.0);
-    return sus;
+    return env_pressed_val(tp, A, H, D, sus);
   };
 
-  std::vector<int> order(notes.size());
-  for (size_t i = 0; i < order.size(); ++i) order[i] = static_cast<int>(i);
-  std::stable_sort(order.begin(), order.end(),
-                   [&](int a, int b) { return wins[a].f0 < wins[b].f0; });
+  std::vector<int> order = pack_order(wins);
   std::vector<int64_t> slot_free_at(n_slots, 0);
   int64_t phase_i = 0;
 

@@ -58,3 +58,25 @@ def test_fused_chain_matches_separate_stages():
     # sanity: the chain actually produced sound
     assert float(np.max(np.abs(r_fused))) > 1e-3
     assert float(np.max(np.abs(v_fused))) > 1e-3
+
+
+def test_single_dispatch_chain_matches_host_chain():
+    sr = 44100
+    n = sr * 2
+    bank, cfg = _workload(sr, n)
+    rcfg = resynth.ResynthConfig(sample_rate=sr, dtype="float32")
+    vparams = vocoder.VocoderParams(sample_rate=sr)
+    t = np.arange(n)
+    carrier = np.sign(np.sin(2 * np.pi * 110.0 * t / sr)).astype(np.float64)
+
+    host = chain.run_offline_chain(bank, n, rcfg, vparams, carrier,
+                                   block_size=cfg.block_size)
+    dev = chain.run_offline_chain_device(bank, n, rcfg, vparams, carrier,
+                                         block_size=cfg.block_size)
+    r_h, r_d = np.asarray(host.resynth), np.asarray(dev.resynth)
+    v_h, v_d = np.asarray(host.vocoded), np.asarray(dev.vocoded)
+    assert r_d.shape == r_h.shape
+    np.testing.assert_allclose(v_d, v_h, atol=2e-5)
+    peak = max(float(np.max(np.abs(r_h))), 1e-9)
+    assert peak > 1e-3
+    assert float(np.max(np.abs(r_d - r_h))) / peak < 2e-3

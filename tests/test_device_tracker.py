@@ -1,0 +1,110 @@
+"""Device-resident tracker (analysis/device_tracker.py) vs the host pipeline.
+
+Same peaks, same RNG draw pools -> the rendered audio must match the host
+tracker + table builder to f32 recurrence tolerance.
+"""
+
+import numpy as np
+import pytest
+
+from cpp_audio_tpu.analysis import device_tracker, resynth
+from cpp_audio_tpu.models import resynth_bank
+from cpp_audio_tpu.utils import loudness
+
+
+def _signal(sr, kind="tones"):
+    n = sr * 2
+    t = np.arange(n) / sr
+    sig = np.zeros(n)
+    if kind == "tones":
+        events = [(220, 0.1, 1.0), (440, 0.4, 1.6), (660, 0.8, 1.9),
+                  (330, 0.2, 0.9), (550, 1.2, 1.9)]
+    else:  # gliding chirp + tone
+        i0, i1 = int(0.1 * sr), int(1.8 * sr)
+        f = np.linspace(200, 800, i1 - i0)
+        ph = 2 * np.pi * np.cumsum(f) / sr
+        sig[i0:i1] += 0.3 * np.hanning(i1 - i0) * np.sin(ph)
+        events = [(1200, 0.5, 1.5)]
+    for f0, s0, s1 in events:
+        i0, i1 = int(s0 * sr), int(s1 * sr)
+        env = np.hanning(i1 - i0)
+        sig[i0:i1] += 0.2 * env * np.sin(2 * np.pi * f0 * t[: i1 - i0])
+    return sig
+
+
+def _device_table(freq, mag, cfg, rcfg, total_frames):
+    li = loudness.phons_to_index(60.0)
+    cap = freq.shape[0] * cfg.max_voices + 16
+    pan = np.random.default_rng(cfg.seed).uniform(-1.0, 1.0, cap)
+    phase = np.random.default_rng(0).uniform(0.0, 2.0, cap)
+    a = rcfg.ahdsr
+    table, dropped = device_tracker.build_tables_device(
+        np.asarray(freq), np.asarray(mag),
+        np.asarray(loudness.PITCHES, np.float64),
+        np.asarray(loudness.ELVS[li], np.float64),
+        pan, phase,
+        total_frames=total_frames, stride=rcfg.stride,
+        sample_rate=rcfg.sample_rate, max_voices=cfg.max_voices,
+        n_slots=rcfg.n_slots,
+        nearby_distance=cfg.nearby_distance_tones, min_volume=cfg.min_volume,
+        max_track_pitches=cfg.max_track_pitches,
+        pitch_method=2, volume_method=1,
+        analysis_volume=cfg.analysis_volume,
+        shift_pre=cfg.pitch_shift_pre_autotune,
+        shift_post=cfg.pitch_shift_post_autotune,
+        stereo_spread=cfg.stereo_spread,
+        attack=float(np.max(np.asarray(a.attack))),
+        hold=float(np.max(np.asarray(a.hold))),
+        decay=float(np.max(np.asarray(a.decay))),
+        sustain=float(np.asarray(a.sustain)),
+        release=float(np.max(np.asarray(a.release))),
+    )
+    return np.asarray(table), int(dropped)
+
+
+@pytest.mark.parametrize("kind", ["tones", "chirp"])
+def test_device_tracker_matches_host_render(kind):
+    sr = 44100
+    cfg = resynth.ResynthConfig(sample_rate=sr, seed=5)
+    rcfg = resynth._render_config(cfg)
+    sig = _signal(sr, kind)
+    freq, mag = resynth.analyze_arrays(sig, cfg)
+    freq, mag = np.asarray(freq), np.asarray(mag)
+    n_frames = freq.shape[0]
+    total = n_frames + 8
+
+    peaks = resynth.analyze(sig, cfg)
+    notes, _, _ = resynth.track_python(peaks, cfg)
+    table_host = resynth_bank._build_slot_tables(notes, total, rcfg)
+    audio_host = np.asarray(resynth_bank.render_table(table_host, rcfg))
+
+    table_dev, _dropped = _device_table(freq, mag, cfg, rcfg, total)
+    audio_dev = np.asarray(resynth_bank.render_table(table_dev, rcfg))
+
+    assert audio_dev.shape == audio_host.shape
+    peak = max(float(np.max(np.abs(audio_host))), 1e-9)
+    assert peak > 1e-3  # the test actually rendered something
+    err = float(np.max(np.abs(audio_dev - audio_host))) / peak
+    assert err < 2e-3, f"relative error {err}"
+
+
+def test_device_tracker_with_shift():
+    sr = 44100
+    cfg = resynth.ResynthConfig(sample_rate=sr, seed=5,
+                                pitch_shift_pre_autotune=3.0,
+                                pitch_shift_post_autotune=-1.0)
+    rcfg = resynth._render_config(cfg)
+    sig = _signal(sr)
+    freq, mag = resynth.analyze_arrays(sig, cfg)
+    freq, mag = np.asarray(freq), np.asarray(mag)
+    total = freq.shape[0] + 8
+
+    peaks = resynth.analyze(sig, cfg)
+    notes, _, _ = resynth.track_python(peaks, cfg)
+    audio_host = np.asarray(resynth_bank.render_table(
+        resynth_bank._build_slot_tables(notes, total, rcfg), rcfg))
+    table_dev, _ = _device_table(freq, mag, cfg, rcfg, total)
+    audio_dev = np.asarray(resynth_bank.render_table(table_dev, rcfg))
+    peak = max(float(np.max(np.abs(audio_host))), 1e-9)
+    assert peak > 1e-3
+    assert float(np.max(np.abs(audio_dev - audio_host))) / peak < 2e-3
