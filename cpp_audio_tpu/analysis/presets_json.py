@@ -187,3 +187,75 @@ class OfflineJobConfig:
     def load(cls, path) -> "OfflineJobConfig":
         with open(path) as fp:
             return cls.from_json_dict(json.load(fp))
+
+
+class PresetAutosaver:
+    """Background preset autosave + restore-on-launch.
+
+    Reference (rt.resynth.lib.cpp:1124-1161): RtResynth writes the current
+    preset to `autosave.json` every second from a dedicated thread and
+    restores that file at startup when present.
+
+    get_preset: callable returning the current ResynthPreset (polled each
+    interval; writes only when the JSON changed).
+    """
+
+    AUTOSAVE_NAME = "autosave.json"
+
+    def __init__(self, get_preset, directory, *, interval_seconds: float = 1.0):
+        import os
+
+        self.get_preset = get_preset
+        self.path = os.path.join(str(directory), self.AUTOSAVE_NAME)
+        self.interval = interval_seconds
+        self._stop = None
+        self._thread = None
+        self._last = None
+        self.saves = 0
+
+    def restore(self):
+        """Load the autosaved preset if one exists (call before start())."""
+        import os
+
+        if os.path.exists(self.path):
+            return ResynthPreset.load(self.path)
+        return None
+
+    def save_once(self) -> bool:
+        import json as _json
+
+        d = self.get_preset().to_json_dict()
+        blob = _json.dumps(d, indent=2)
+        if blob == self._last:
+            return False
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as fp:
+            fp.write(blob)
+        import os
+
+        os.replace(tmp, self.path)
+        self._last = blob
+        self.saves += 1
+        return True
+
+    def start(self):
+        import threading
+
+        self._stop = threading.Event()
+
+        def loop():
+            while not self._stop.wait(self.interval):
+                try:
+                    self.save_once()
+                except Exception:
+                    pass
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+        return self._thread
+
+    def stop(self):
+        if self._stop is not None:
+            self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=2.0)

@@ -67,6 +67,37 @@ class MidiInputStats:
     unhandled: int = 0
 
 
+class MidiJitterCompensator:
+    """MIDI time-source jitter compensation, in samples.
+
+    Reference (TryAccountForTimeSourceJitter::Yes, gen.crtp.h:477-527 +
+    midiDelays()/maxMIDIJitter() maps at gen.crtp.h:121-124): events carry
+    timestamps from the MIDI driver's clock, which is offset from the audio
+    clock and jitters. A per-source artificial delay is learned from the
+    first event: delay = max_jitter + (audio_now - midi_time), so every
+    subsequent event scheduled at midi_time + delay lands in the future with
+    consistent latency (inter-note timing preserved). The registered delay
+    is replaced only when a candidate deviates by more than
+    2*(max_jitter + 0.1 ms) — early events measured during program startup
+    may carry bogus timings (gen.crtp.h:494-502). Late events play
+    immediately (gen.crtp.h:509-515).
+    """
+
+    def __init__(self, max_jitter_samples: float, sample_rate: int = 44100):
+        self.max_jitter = float(max_jitter_samples)
+        # reference adds 100000 ns to the replacement margin
+        self._replace_margin = 2.0 * (self.max_jitter + 1e-4 * sample_rate)
+        self.delays: dict[int, float] = {}
+
+    def schedule(self, source: int, midi_time: float, now: float) -> float:
+        """Absolute sample time at which the event should apply (>= now)."""
+        candidate = self.max_jitter + (now - midi_time)
+        delay = self.delays.get(source)
+        if delay is None or abs(candidate - delay) > self._replace_margin:
+            self.delays[source] = delay = candidate
+        return max(midi_time + delay, now)
+
+
 class MidiInput:
     """Poll raw MIDI bytes and drive a synth (listen_to_midi_input analog).
 
@@ -77,11 +108,19 @@ class MidiInput:
     """
 
     def __init__(self, source, synth, *, clock=None, sample_rate: int = 44100,
-                 pitch_wheel_semitones: float = 2.0, velocity_scale: float = 1.0):
+                 pitch_wheel_semitones: float = 2.0, velocity_scale: float = 1.0,
+                 max_jitter_seconds: float | None = None, source_key: int = 0):
         self.source = source
         self.synth = synth
         self.clock = clock or (lambda: 0)
         self.sample_rate = sample_rate
+        # jitter compensation applies to source-provided timestamps only
+        # (4-tuple messages, a foreign clock); clock-stamped events are
+        # already in audio time
+        self.jitter = (MidiJitterCompensator(max_jitter_seconds * sample_rate,
+                                             sample_rate)
+                       if max_jitter_seconds else None)
+        self.source_key = source_key
         self.pitch_wheel_semitones = pitch_wheel_semitones
         self.velocity_scale = velocity_scale
         self.note_ids = NoteIdsGenerator()
@@ -100,6 +139,8 @@ class MidiInput:
             self.stats.polled += 1
             if len(msg) == 4:
                 t, status, d1, d2 = msg
+                if self.jitter is not None:
+                    t = self.jitter.schedule(self.source_key, t, self.clock())
             else:
                 status, d1, d2 = msg
                 t = self.clock()

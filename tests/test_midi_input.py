@@ -118,3 +118,72 @@ class TestMidiInput:
         block = synth.compute(0, 2048)
         assert block is not None and np.max(np.abs(block)) > 1e-4
         mi.poll()
+
+
+class TestJitterCompensation:
+    """MidiJitterCompensator (gen.crtp.h:477-527 semantics, in samples)."""
+
+    def test_first_event_learns_delay(self):
+        from cpp_audio_tpu.utils.midi_input import MidiJitterCompensator
+
+        c = MidiJitterCompensator(max_jitter_samples=441)  # 10 ms @ 44.1k
+        # midi clock is 1000 samples behind audio clock
+        t = c.schedule(0, midi_time=5000, now=6000)
+        assert t == 5000 + 441 + 1000  # midi_time + margin + offset
+
+    def test_consistent_latency_preserves_intervals(self):
+        from cpp_audio_tpu.utils.midi_input import MidiJitterCompensator
+
+        c = MidiJitterCompensator(max_jitter_samples=441)
+        t0 = c.schedule(0, midi_time=5000, now=6000)
+        # next event 500 samples later in midi time, with jitter in `now`
+        t1 = c.schedule(0, midi_time=5500, now=6700)
+        assert t1 - t0 == 500  # inter-note timing preserved exactly
+
+    def test_late_event_plays_now(self):
+        from cpp_audio_tpu.utils.midi_input import MidiJitterCompensator
+
+        c = MidiJitterCompensator(max_jitter_samples=10)
+        c.schedule(0, midi_time=1000, now=1100)
+        # huge extra lateness beyond the margin window would re-learn; a
+        # moderate one (inside 2*(margin+4.41)) clamps to now
+        t = c.schedule(0, midi_time=2000, now=2125)
+        assert t == 2125
+
+    def test_large_deviation_relearns(self):
+        from cpp_audio_tpu.utils.midi_input import MidiJitterCompensator
+
+        c = MidiJitterCompensator(max_jitter_samples=10, sample_rate=44100)
+        c.schedule(0, midi_time=0, now=100)       # delay = 110
+        # clock offset changed by far more than 2*(10+4.41)
+        t = c.schedule(0, midi_time=10000, now=10500)  # candidate 510
+        assert c.delays[0] == 510
+        assert t == 10000 + 510
+
+    def test_per_source_delays(self):
+        from cpp_audio_tpu.utils.midi_input import MidiJitterCompensator
+
+        c = MidiJitterCompensator(max_jitter_samples=100)
+        a = c.schedule(0, midi_time=1000, now=2000)
+        b = c.schedule(1, midi_time=1900, now=2000)
+        assert c.delays[0] != c.delays[1]
+        assert a == 1000 + 100 + 1000 and b == 1900 + 100 + 100
+
+    def test_midi_input_applies_compensation(self):
+        import numpy as np
+
+        from cpp_audio_tpu.models.streaming_synth import StreamingSynth
+        from cpp_audio_tpu.utils.midi_input import MidiInput
+
+        msgs = [[(1000, 0x90, 69, 100)], [(1500, 0x80, 69, 0)], []]
+        it = iter(msgs)
+        synth = StreamingSynth()
+        mi = MidiInput(lambda: next(it, []), synth, clock=lambda: 3000,
+                       sample_rate=44100, max_jitter_seconds=0.01)
+        mi.poll()
+        margin = 0.01 * 44100
+        (a,) = synth._notes.values()
+        assert a.press == int(1000 + margin + 2000)
+        mi.poll()
+        (f,) = synth._finished
+        assert f.release - f.press == 500  # interval preserved

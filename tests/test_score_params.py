@@ -135,3 +135,41 @@ class TestParamPlumbing:
         assert len(params.MODE_PARAMS[vp.Mode.ROBOTS]) == 32
         assert len(params.get_param_specs(vp.Mode.SWEEP)) == len(
             params.MODE_PARAMS[vp.Mode.SWEEP])
+
+
+class TestPresetAutosaver:
+    """Autosave thread analog (rt.resynth.lib.cpp:1124-1161)."""
+
+    def test_save_restore_roundtrip(self, tmp_path):
+        from cpp_audio_tpu.analysis.presets_json import (PresetAutosaver,
+                                                         ResynthPreset)
+
+        p = ResynthPreset()
+        p.pitch_shift_pre_autotune = 3.5
+        saver = PresetAutosaver(lambda: p, tmp_path)
+        assert saver.restore() is None  # nothing yet
+        assert saver.save_once() is True
+        assert saver.save_once() is False  # unchanged -> no write
+        p.pitch_shift_pre_autotune = -1.0
+        assert saver.save_once() is True
+        restored = PresetAutosaver(lambda: p, tmp_path).restore()
+        assert restored is not None
+        assert restored.pitch_shift_pre_autotune == -1.0
+
+    def test_thread_saves_periodically(self, tmp_path):
+        import time
+
+        from cpp_audio_tpu.analysis.presets_json import (PresetAutosaver,
+                                                         ResynthPreset)
+
+        p = ResynthPreset()
+        saver = PresetAutosaver(lambda: p, tmp_path, interval_seconds=0.02)
+        saver.start()
+        try:
+            deadline = time.time() + 2.0
+            while saver.saves == 0 and time.time() < deadline:
+                time.sleep(0.01)
+        finally:
+            saver.stop()
+        assert saver.saves >= 1
+        assert saver.restore() is not None
