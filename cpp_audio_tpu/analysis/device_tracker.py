@@ -402,6 +402,14 @@ def build_tables_device(freq, mag_db, loud_pitches, loud_spl, pan_draws,
     F, k = freq.shape
     P = n_slots
     Q = 128
+    if max_voices > Q - 1:
+        raise ValueError(f"device tracker supports max_voices <= {Q - 1}")
+    if k % 8:  # tracker lanes work in blocks of 8
+        padk = 8 - k % 8
+        freq = jnp.pad(freq, ((0, 0), (0, padk)))
+        mag_db = jnp.pad(mag_db, ((0, 0), (0, padk)),
+                         constant_values=-jnp.inf)
+        k += padk
     tpitch, volume, loud_order = _frame_local(
         freq, mag_db, loud_pitches, loud_spl, d=nearby_distance,
         min_volume=min_volume, pitch_method=pitch_method,

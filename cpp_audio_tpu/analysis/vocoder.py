@@ -104,10 +104,10 @@ def _modulator_band_amps_fast(signal, edges, *, window: int, stride: int,
     X = jnp.fft.rfft(signal, n=n_fft)
     hz = jnp.arange(X.shape[0], dtype=jnp.float64 if X.dtype == jnp.complex128
                     else jnp.float32) * (sample_rate / n_fft)
-    mask = (hz[:, None] > edges[None, :-1]) & (hz[:, None] <= edges[None, 1:])
-    Y = X[:, None] * mask  # (bins, bands)
-    y = jnp.fft.irfft(Y, n=n_fft, axis=0)[:n]  # (n, bands) band-passed signals
-    e = cumsum_chunked(y * y, axis=0)
+    mask = (hz[None, :] > edges[:-1, None]) & (hz[None, :] <= edges[1:, None])
+    Y = X[None, :] * mask  # (bands, bins) — keep the FFT on the LAST axis
+    y = jnp.fft.irfft(Y, n=n_fft, axis=-1)[:, :n]  # (bands, n) band-passed
+    e = cumsum_chunked((y * y).T, axis=0)
     starts = jnp.arange(n_frames) * stride
     ends = jnp.minimum(starts + window, n - 1)
     band_e = e[ends] - e[starts]  # (n_frames, bands)
@@ -130,8 +130,7 @@ def _modulator_band_amps(signal, band_mat, *, window: int, stride: int, fft_len:
     """
     n = signal.shape[0]
     n_frames = max(0, (n - window) // stride + 1)
-    idx = (jnp.arange(n_frames) * stride)[:, None] + jnp.arange(window)[None, :]
-    frames = signal[idx]
+    frames = stft_ops.frame_signal(signal, window, stride, n_frames)
     spec = jnp.fft.rfft(frames, n=fft_len)
     scale = 2.0 / window  # unit-amplitude sine in-band -> amplitude ~1
     sq = jnp.abs(spec) ** 2 * scale**2
@@ -149,8 +148,7 @@ def _carrier_vocode(carrier, band_amps, band_mat_full, *, stride: int, fft_len: 
     window = 2 * stride
     n = carrier.shape[0]
     n_frames = max(0, (n - window) // stride + 1)
-    idx = (jnp.arange(n_frames) * stride)[:, None] + jnp.arange(window)[None, :]
-    frames = carrier[idx]
+    frames = stft_ops.frame_signal(carrier, window, stride, n_frames)
     # per-bin gain from that frame's band amplitudes (modulate_bands)
     gains = band_amps @ band_mat_full.T  # (n_frames, n_bins)
     if use_matmul_dft:
