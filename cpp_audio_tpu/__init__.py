@@ -27,3 +27,29 @@ Subpackages:
 """
 
 __version__ = "0.1.0"
+
+
+def _honor_platform_env() -> None:
+    """Make `JAX_PLATFORMS=cpu python -m cpp_audio_tpu...` actually work.
+
+    This environment's sitecustomize imports jax at interpreter start and
+    registers the remote TPU plugin, so jax reads its config defaults before
+    the user's environment variable can take effect the normal way. Re-apply
+    the env var through jax.config (safe: backends are not initialized until
+    first use, and apps import this package before any computation).
+    """
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if not plat:
+        return
+    try:
+        import jax
+
+        if getattr(jax.config, "jax_platforms", None) != plat:
+            jax.config.update("jax_platforms", plat)
+    except Exception:
+        pass
+
+
+_honor_platform_env()

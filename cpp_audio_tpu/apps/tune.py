@@ -16,18 +16,14 @@ from ..utils import presets, score
 from ..utils import wav as wavio
 
 
-def render_score(score_text: str, *, synth_dir=None, sample_rate: int = 44100,
-                 time_unit_ms: float = 180.0, octave: int = 4,
+def render_notes(notes, *, synth_dir=None, sample_rate: int = 44100,
                  envelope_file: str = "EnvelopeFast.txt",
                  harmonics_file: str = "Harmonics.txt",
                  lowpass_file: str = "LowPass.txt",
                  sample_files: list | None = None):
-    """Render a score with the oscillator synth, or — when `sample_files`
+    """Render a note list with the oscillator synth, or — when `sample_files`
     maps frequencies to WAVs ("440=pluck.wav") — with the sampler synth
     (reference TuneSamplerElement, main.tune.cpp:108,1710-1790)."""
-    specs = score.parse_music(score_text)
-    notes = score.notespecs_to_notes(specs, sample_rate=sample_rate,
-                                     time_unit_ms=time_unit_ms, octave=octave)
     total = int(max((n.release for n in notes), default=0) + sample_rate)
 
     if sample_files:
@@ -59,13 +55,31 @@ def render_score(score_text: str, *, synth_dir=None, sample_rate: int = 44100,
         sample_rate=sample_rate, ahdsr=ahdsr, harmonic_volumes=vols,
         lowpass_freq=lp,
     )
-    sch = voices.schedule_from_notes(notes, pad_to=8)
+    pad = 8 * max(1, -(-len(notes) // 8))
+    sch = voices.schedule_from_notes(notes, pad_to=min(pad, 64))
     return harmonics.render_schedule(sch, total, cfg), sample_rate
+
+
+def score_to_notes(score_text: str, *, sample_rate: int = 44100,
+                   time_unit_ms: float = 180.0, octave: int = 4):
+    specs = score.parse_music(score_text)
+    return score.notespecs_to_notes(specs, sample_rate=sample_rate,
+                                    time_unit_ms=time_unit_ms, octave=octave)
+
+
+def render_score(score_text: str, *, synth_dir=None, sample_rate: int = 44100,
+                 time_unit_ms: float = 180.0, octave: int = 4,
+                 sample_files: list | None = None, **kw):
+    notes = score_to_notes(score_text, sample_rate=sample_rate,
+                           time_unit_ms=time_unit_ms, octave=octave)
+    return render_notes(notes, synth_dir=synth_dir, sample_rate=sample_rate,
+                        sample_files=sample_files, **kw)
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("score", help="score string, or @file to read one")
+    ap.add_argument("score", nargs="?", default=None,
+                    help="score string, or @file to read one")
     ap.add_argument("output", nargs="?", default="tune.wav")
     ap.add_argument("--synth-dir", default=None,
                     help="directory with Envelope*/Harmonics*/LowPass presets")
@@ -75,15 +89,69 @@ def main(argv=None):
                     metavar="FREQ=WAV",
                     help="use the sampler synth with this pitched sample "
                          "(repeatable), e.g. --sample 440=pluck.wav")
+    # second simultaneous voice (reference two-voice pieces,
+    # main.tune.cpp:2430-2578 playFeuillardTwoVoices*)
+    ap.add_argument("--score2", default=None,
+                    help="second simultaneous voice (score string or @file)")
+    ap.add_argument("--octave2", type=int, default=None)
+    # event streams (reference main.tune.cpp:193-1017)
+    ap.add_argument("--rain", type=float, default=None, metavar="SECONDS",
+                    help="render the rain event stream instead of a score")
+    ap.add_argument("--sonify", default=None, metavar="FILE",
+                    help="sonify the bytes of FILE instead of a score")
+    ap.add_argument("--loop", type=int, default=None, metavar="N",
+                    help="loop the score N times")
+    ap.add_argument("--loop-pitch-offset", type=float, default=0.0,
+                    help="half-tones added per loop iteration")
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
-    text = args.score
-    if text.startswith("@"):
-        text = Path(text[1:]).read_text()
+    from ..utils import event_streams
+
+    # `tune --rain 3 out.wav`: the positional grabs the output path
+    if (args.rain is not None or args.sonify is not None) \
+            and args.score is not None:
+        if args.output == "tune.wav":
+            args.output = args.score
+        args.score = None
+
+    sr = 44100
     try:
-        out, sr = render_score(text, synth_dir=args.synth_dir,
-                               time_unit_ms=args.time_unit_ms,
-                               octave=args.octave, sample_files=args.sample)
+        if args.rain is not None:
+            notes = event_streams.rain_notes(args.rain, sample_rate=sr,
+                                             seed=args.seed)
+        elif args.sonify is not None:
+            notes = event_streams.binary_sonification_notes(
+                Path(args.sonify).read_bytes(), sample_rate=sr)
+        elif args.score is not None:
+            text = args.score
+            if text.startswith("@"):
+                text = Path(text[1:]).read_text()
+            notes = score_to_notes(text, sample_rate=sr,
+                                   time_unit_ms=args.time_unit_ms,
+                                   octave=args.octave)
+            if args.loop:
+                period = max((n.release for n in notes), default=0)
+                notes = event_streams.loop_notes(
+                    notes, args.loop, period,
+                    pitch_offset_per_iteration=args.loop_pitch_offset)
+            if args.score2 is not None:
+                text2 = args.score2
+                if text2.startswith("@"):
+                    text2 = Path(text2[1:]).read_text()
+                notes2 = score_to_notes(
+                    text2, sample_rate=sr, time_unit_ms=args.time_unit_ms,
+                    octave=args.octave2 if args.octave2 is not None
+                    else args.octave)
+                import dataclasses
+
+                base = max((n.note_id for n in notes), default=0) + 1
+                notes = notes + [dataclasses.replace(n, note_id=base + i)
+                                 for i, n in enumerate(notes2)]
+        else:
+            ap.error("need a score, --rain, or --sonify")
+        out, sr = render_notes(notes, synth_dir=args.synth_dir,
+                               sample_rate=sr, sample_files=args.sample)
     except ValueError as e:
         ap.error(str(e))
     wavio.write_wav(args.output, out, sr)

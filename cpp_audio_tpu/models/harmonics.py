@@ -99,7 +99,7 @@ def bank_from_schedule(schedule: NoteSchedule, config: HarmonicsSynthConfig) -> 
 def render_schedule(schedule: NoteSchedule, n_samples: int,
                     config: HarmonicsSynthConfig) -> np.ndarray:
     bank = bank_from_schedule(schedule, config)
-    out = voicebank.render_bank(
+    out = voicebank.render_bank_sparse(
         bank, n_samples, block_size=config.block_size, dtype=config.dtype
     )
     if config.lowpass_freq is not None:

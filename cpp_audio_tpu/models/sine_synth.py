@@ -106,7 +106,7 @@ def render_schedule(schedule: NoteSchedule, n_samples: int,
                     config: SineSynthConfig) -> np.ndarray:
     """Offline render of a note schedule -> float array (n_samples, n_channels)."""
     bank = bank_from_schedule(schedule, config)
-    return voicebank.render_bank(
+    return voicebank.render_bank_sparse(
         bank, n_samples, block_size=config.block_size, dtype=config.dtype
     )
 

@@ -243,7 +243,9 @@ def render_bank(bank: VoiceBank, n_samples: int, *, block_size: int = 32768,
     args, statics = prepare_bank_arrays(bank, n_samples, block_size, dtype)
     nb = statics["n_blocks"]
     linear = all(statics[k] == int(Itp.LINEAR) for k in ("a_itp", "d_itp", "r_itp"))
-    eligible = linear and dtype == "float32"
+    # very wide banks would blow the fused kernel's VMEM budget (each (V, B)
+    # tile shrinks B below a useful lane width) — the XLA path handles them
+    eligible = linear and dtype == "float32" and bank.n_rows <= 1024
     if use_pallas == "auto":
         import jax
 
@@ -257,3 +259,81 @@ def render_bank(bank: VoiceBank, n_samples: int, *, block_size: int = 32768,
         return np.asarray(out)[:n_samples]
     out = _voicebank_blocks(*args, out_dtype=dtype, **statics)
     return np.asarray(out).reshape(nb * block_size, -1)[:n_samples]
+
+
+def _slice_bank(bank: VoiceBank, idx: np.ndarray, pad_rows: int,
+                time_shift: float) -> VoiceBank:
+    """Sub-bank of `idx` rows, shifted by -time_shift, padded with inert rows.
+
+    Shifting press/release (and the render window) together is exact: both
+    the NCO phase (phase0 + (t - press + 1)*inc) and the envelope depend only
+    on t - press / t - release.
+    """
+    def take(a, fill=0.0):
+        a = np.asarray(a)
+        if a.ndim == 0:
+            return a
+        out = np.full((pad_rows,) + a.shape[1:], fill, dtype=a.dtype)
+        out[: len(idx)] = a[idx]
+        return out
+
+    def take_itp(c):
+        return int(c) if isinstance(c, (int, np.integer)) else take(c, int(Itp.LINEAR))
+
+    # floor BEFORE shifting: prepare_bank_arrays truncates toward zero, so a
+    # fractional press that turns negative after the shift would otherwise
+    # round the other way (one-sample offset vs the dense render)
+    return VoiceBank(
+        press=np.floor(take(bank.press, NEVER)) - time_shift,
+        release=np.floor(take(bank.release, NEVER)) - time_shift,
+        increment=take(bank.increment, 1.0),
+        phase0=take(bank.phase0),
+        amp=take(bank.amp),
+        gains=take(bank.gains),
+        attack=take(bank.attack, 1.0),
+        hold=take(bank.hold),
+        decay=take(bank.decay, 1.0),
+        release_len=take(bank.release_len, 1.0),
+        sustain=take(bank.sustain, 1.0),
+        attack_itp=take_itp(bank.attack_itp),
+        decay_itp=take_itp(bank.decay_itp),
+        release_itp=take_itp(bank.release_itp),
+        auto_release=bank.auto_release,
+    )
+
+
+def render_bank_sparse(bank: VoiceBank, n_samples: int, *,
+                       segment_size: int = 1 << 18, block_size: int = 32768,
+                       dtype: str = "float32", use_pallas: str = "auto",
+                       dense_rows: int = 256) -> np.ndarray:
+    """render_bank for long, sparse schedules (rain streams, sonified files,
+    whole scores): partition the timeline into segments and render each with
+    only the voices whose [press, release+R] interval overlaps it.
+
+    The dense kernel is O(V * T); with many short notes spread over a long
+    piece this is O(sum_seg V_active(seg) * segment) — the TPU-native
+    equivalent of the reference's voice pool reusing 127 slots
+    (gen.crtp.h:221-225) instead of one slot per note ever played.
+    Row counts are padded to power-of-two buckets to bound compile count.
+    """
+    V = bank.n_rows
+    if V <= dense_rows or n_samples <= segment_size:
+        return render_bank(bank, n_samples, block_size=block_size,
+                           dtype=dtype, use_pallas=use_pallas)
+    min_change = 2.5 * 2.0 / np.maximum(np.abs(bank.increment), 1e-9)
+    R = np.maximum(np.maximum(bank.release_len, min_change), 1.0)
+    end = np.minimum(bank.release, float(n_samples)) + R + 2.0
+    C = bank.gains.shape[1]
+    out = np.zeros((n_samples, C), dtype=np.dtype(dtype))
+    seg_block = min(block_size, segment_size)
+    for t0 in range(0, n_samples, segment_size):
+        t1 = min(n_samples, t0 + segment_size)
+        idx = np.nonzero((bank.press < t1) & (end > t0))[0]
+        if idx.size == 0:
+            continue
+        rows = max(8, 1 << int(np.ceil(np.log2(idx.size))))
+        sub = _slice_bank(bank, idx, rows, float(t0))
+        seg = render_bank(sub, segment_size, block_size=seg_block,
+                          dtype=dtype, use_pallas=use_pallas)
+        out[t0:t1] += seg[: t1 - t0]
+    return out

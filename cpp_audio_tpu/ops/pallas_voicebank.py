@@ -90,8 +90,14 @@ def render_blocks_pallas(fp, ip, up, gains, *, block_size: int, n_blocks: int,
     """
     V, C = gains.shape
     total = block_size * n_blocks
-    # (V, B) f32 tiles: keep a handful of intermediates under ~8 MB VMEM
-    block_size = min(block_size, max(512, (1 << 19) // max(V, 1)))
+    # (V, B) f32 tiles: keep a handful of intermediates under ~8 MB VMEM.
+    # B is the lane axis of the (V, B) tiles and the sublane axis of the
+    # (B, C) output block, so keep it a multiple of 256 (Mosaic requires the
+    # output block's second-to-last dim % 8 == 0).
+    auto = max(512, ((1 << 19) // max(V, 1)) & ~255)
+    block_size = min(block_size, auto)
+    if block_size % 8:
+        block_size = max(512, block_size & ~255)
     n_blocks = (total + block_size - 1) // block_size
     kern = functools.partial(_kernel, block_size=block_size)
     grid = (n_blocks,)

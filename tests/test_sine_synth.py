@@ -169,3 +169,44 @@ class TestVoiceScheduling:
         inc = 2 * 440.0 / 44100
         expect = np.mod(500 * inc, 2.0)
         assert sch.phase[1] == pytest.approx(expect)
+
+
+class TestSparseRender:
+    """render_bank_sparse == render_bank (timeline segmentation is exact)."""
+
+    def _random_bank(self, V, n, seed=7):
+        from cpp_audio_tpu.models import voicebank
+
+        rng = np.random.default_rng(seed)
+        press = rng.uniform(0, n * 0.9, V)
+        release = press + rng.uniform(500, n * 0.3, V)
+        pan = rng.uniform(-1, 1, V)
+        th = 0.25 * np.pi * (pan + 1.0)
+        return voicebank.VoiceBank(
+            press=press, release=release,
+            increment=2.0 * rng.uniform(60, 4000, V) / 44100.0,
+            phase0=rng.uniform(0, 2, V), amp=rng.uniform(0.01, 0.1, V),
+            gains=np.stack([np.cos(th), np.sin(th)], axis=1),
+            attack=np.full(V, 441.0), hold=np.zeros(V),
+            decay=np.full(V, 800.0), release_len=np.full(V, 2000.0),
+            sustain=np.full(V, 0.7),
+        )
+
+    def test_sparse_matches_dense(self):
+        from cpp_audio_tpu.models import voicebank
+
+        n = 50_000
+        bank = self._random_bank(40, n)
+        dense = voicebank.render_bank(bank, n, block_size=4096)
+        sparse = voicebank.render_bank_sparse(
+            bank, n, segment_size=8192, block_size=4096, dense_rows=2)
+        np.testing.assert_allclose(sparse, dense, atol=2e-6)
+
+    def test_sparse_falls_back_for_small_banks(self):
+        from cpp_audio_tpu.models import voicebank
+
+        n = 20_000
+        bank = self._random_bank(8, n)
+        dense = voicebank.render_bank(bank, n, block_size=4096)
+        sparse = voicebank.render_bank_sparse(bank, n, block_size=4096)
+        np.testing.assert_allclose(sparse, dense, atol=0)
