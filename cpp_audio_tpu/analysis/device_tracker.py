@@ -41,6 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 FAR = 1e12
+_SCAN_UNROLL = 1  # tuned on hardware; see bench notes
 _NF = 16
 (_F_INC, _F_RATIO, _F_PHB, _F_VTGT, _F_VB, _F_ALPHA, _F_TP0, _F_TR0,
  _F_TOP, _F_A, _F_H, _F_D, _F_SUS, _F_R, _F_GL, _F_GR) = range(_NF)
@@ -454,5 +455,7 @@ def build_tables_device(freq, mag_db, loud_pitches, loud_spl, pan_draws,
     step = functools.partial(_track_step, k=k, P=P, Q=Q, statics=statics)
     xs = (tpitch, volume, loud_order,
           jnp.arange(total_frames, dtype=jnp.int32), is_data)
-    carry, table = jax.lax.scan(step, carry0, xs)
+    # unroll: the body is many tiny (k,)/(P,) ops, so per-iteration dispatch
+    # overhead dominates; unrolling lets XLA schedule/fuse across frames
+    carry, table = jax.lax.scan(step, carry0, xs, unroll=_SCAN_UNROLL)
     return table, carry[-1]

@@ -337,7 +337,7 @@ def _render_specs(fp, itp_codes, gains, t0, lut, lut_lo, lut_step,
     # phase: cumulative sum of increments (exact trajectory integral);
     # chunked matmul cumsum — associative_scan's slice ladder took tens of
     # seconds of XLA compile per (V, L) shape
-    phase = oscillators.wrap_phase(oscillators.chunked_cumsum(inc, axis=1))
+    phase = oscillators.wrap_phase(oscillators.chunked_cumsum(inc, axis=1, wrap=2.0))
 
     # equal-loudness volume lookup on log2(inc)
     idx = jnp.clip((jnp.log2(jnp.maximum(inc, 1e-9)) - lut_lo) / lut_step,

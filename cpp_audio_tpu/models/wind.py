@@ -99,7 +99,7 @@ def _render_wind(pink, offsets, params, lut, lut_lo, lut_step, gains,
     inc_main = inc_long * jnp.exp2(wobble * ratio_amp)
 
     # sine member with equal-loudness volume
-    phase = oscillators.wrap_phase(oscillators.chunked_cumsum(inc_main))
+    phase = oscillators.wrap_phase(oscillators.chunked_cumsum(inc_main, wrap=2.0))
     idx = jnp.clip((jnp.log2(jnp.maximum(inc_main, 1e-9)) - lut_lo) / lut_step,
                    0.0, lut.shape[0] - 1.001)
     i0 = idx.astype(jnp.int32)

@@ -30,7 +30,8 @@ def wrap_phase(phase):
     return jnp.mod(phase, 2.0)
 
 
-def chunked_cumsum(x, *, axis: int = -1, chunk: int = 128):
+def chunked_cumsum(x, *, axis: int = -1, chunk: int = 128,
+                   wrap: float | None = None):
     """Inclusive cumsum along `axis` as two levels of triangular matmuls.
 
     Rationale: XLA lowers big `jnp.cumsum` to an O(n^2) triangular product and
@@ -40,22 +41,35 @@ def chunked_cumsum(x, *, axis: int = -1, chunk: int = 128):
         within = x_chunks @ upper_triangular_ones(c)        # one MXU matmul
         offs   = exclusive_cumsum(chunk_totals)             # recurse on L/c
     which compiles in milliseconds and runs on the MXU on TPU.
+
+    precision=HIGHEST is REQUIRED: the TPU's default f32 matmul precision is
+    bf16-grade, which scrambles accumulated phases (a -5 dB render error seen
+    on hardware, invisible in CPU tests).
+
+    wrap: when the result is only meaningful modulo `wrap` (phase
+    accumulation: angles are mod 2 rad/pi), chunk totals are wrapped before
+    recursing so f32 magnitudes stay ~chunk-sized instead of O(sum) — the
+    absolute error of the wrapped cumsum stays ~1e-5 at ANY length instead of
+    growing with the running total.
     """
     x = jnp.asarray(x)
     if axis != -1 and axis != x.ndim - 1:
         x = jnp.moveaxis(x, axis, -1)
     L = x.shape[-1]
+    prec = jax.lax.Precision.HIGHEST
     if L <= chunk:
         tri = jnp.tril(jnp.ones((L, L), x.dtype))  # out[j] = sum_{i<=j} x[i]
-        out = jnp.einsum("...i,ji->...j", x, tri)
+        out = jnp.einsum("...i,ji->...j", x, tri, precision=prec)
     else:
         pad = (-L) % chunk
         xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
         xc = xp.reshape(*x.shape[:-1], (L + pad) // chunk, chunk)
         tri = jnp.tril(jnp.ones((chunk, chunk), x.dtype))
-        within = jnp.einsum("...i,ji->...j", xc, tri)
+        within = jnp.einsum("...i,ji->...j", xc, tri, precision=prec)
         totals = within[..., -1]
-        offs = chunked_cumsum(totals, chunk=chunk) - totals  # exclusive
+        if wrap is not None:
+            totals = jnp.mod(totals, wrap)
+        offs = chunked_cumsum(totals, chunk=chunk, wrap=wrap) - totals
         out = (within + offs[..., None]).reshape(*x.shape[:-1], L + pad)[..., :L]
     if axis != -1 and axis != out.ndim - 1:
         out = jnp.moveaxis(out, -1, axis)
@@ -76,7 +90,7 @@ def phase_trajectory(phase0, increments, *, axis: int = -1):
       advances the angle before the sample is read). final_phase re-enters the
       next block as phase0.
     """
-    cum = chunked_cumsum(increments, axis=axis)
+    cum = chunked_cumsum(increments, axis=axis, wrap=2.0)
     phase0 = jnp.asarray(phase0)
     phases = wrap_phase(jnp.expand_dims(phase0, axis) + cum)
     final = jnp.take(phases, jnp.array([-1]), axis=axis)
@@ -98,8 +112,18 @@ def phase_trajectory_const(phase0, increment, n: int, *, dtype=jnp.float32):
 
 
 def sine(phases):
-    """sin of a rad/pi phase."""
-    return jnp.sin(jnp.asarray(np.pi, phases.dtype) * phases)
+    """sin of a rad/pi phase.
+
+    float32 (the fast render path) uses the degree-9 sin(pi*x) polynomial
+    (ops/fastmath.py, ~ -138 dB error — below f32 roundoff); float64 (the
+    verification path) keeps the exact libm sin.
+    """
+    phases = jnp.asarray(phases)
+    if phases.dtype == jnp.float64:
+        return jnp.sin(jnp.asarray(np.pi, phases.dtype) * phases)
+    from . import fastmath
+
+    return fastmath.sinpi(phases)
 
 
 def cosine(phases):

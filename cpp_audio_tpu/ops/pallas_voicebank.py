@@ -24,6 +24,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import fastmath
+
 
 def _kernel(fp_ref, ip_ref, up_ref, gains_ref, out_ref, *, block_size: int):
     b = pl.program_id(0)
@@ -69,8 +71,8 @@ def _kernel(fp_ref, ip_ref, up_ref, gains_ref, out_ref, *, block_size: int):
     # Mosaic has no uint32->f32 cast; bitcast to int32 instead. The sign flip
     # shifts the phase by exactly one period (2 rad/pi), which sin() ignores.
     ph_i = pltpu.bitcast(ph_u, jnp.int32)
-    phases = ph_i.astype(jnp.float32) * jnp.float32(2.0 ** -31)
-    sig = amp * env * jnp.sin(jnp.float32(np.pi) * phases)
+    phases = ph_i.astype(jnp.float32) * jnp.float32(2.0 ** -31)  # in [-1, 1)
+    sig = amp * env * fastmath.sinpi_principal(phases)
 
     out_ref[:, :] = jax.lax.dot_general(
         sig, gains_ref[:, :],

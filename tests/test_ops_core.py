@@ -315,3 +315,32 @@ class TestFilters:
     def test_band_gain_compensation(self):
         # reference formula (1 + 1/w^2)^ORDER
         assert float(filters.band_gain_compensation(2.0, 3)) == pytest.approx(1.25**3)
+
+
+class TestFastmath:
+    def test_sinpi_accuracy(self):
+        import numpy as np
+        from cpp_audio_tpu.ops import fastmath
+
+        x = np.linspace(-7.0, 7.0, 200001)
+        got = np.asarray(fastmath.sinpi(x.astype(np.float32)))
+        ref = np.sin(np.pi * x)
+        # bound includes f32 quantization of x itself (pi * ulp(7) ~ 1.5e-6)
+        assert np.max(np.abs(got - ref)) < 2e-6  # still ~ -114 dB
+
+    def test_sinpi_principal_matches(self):
+        import numpy as np
+        from cpp_audio_tpu.ops import fastmath
+
+        x = np.linspace(-1.0, 0.999999, 20001).astype(np.float32)
+        a = np.asarray(fastmath.sinpi(x))
+        b = np.asarray(fastmath.sinpi_principal(x))
+        assert np.max(np.abs(a - b)) < 1e-7
+
+    def test_cospi(self):
+        import numpy as np
+        from cpp_audio_tpu.ops import fastmath
+
+        x = np.linspace(-2.0, 2.0, 20001).astype(np.float32)
+        assert np.max(np.abs(np.asarray(fastmath.cospi(x))
+                             - np.cos(np.pi * x))) < 2e-6
