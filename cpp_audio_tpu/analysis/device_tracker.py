@@ -389,6 +389,248 @@ def _track_step(carry, xs, *, k: int, P: int, Q: int, statics):
     return carry, row_block
 
 
+def _match_parallel(tpitch, tvalid, maxd, Q: int):
+    """Per-frame two-pointer matching f-1 -> f, batched over ALL frames.
+
+    Valid when the played set before frame f equals frame f-1's valid tuned
+    pitches (no voice-cap drops, min_volume > 0) — the violation predicate in
+    build_tables_device guards this. Returns (matched, match_prev) (F, k).
+    """
+    F, k = tpitch.shape
+    prev = jnp.concatenate(
+        [jnp.full((1, k), jnp.inf, tpitch.dtype), tpitch[:-1]], axis=0)
+    # compare-all searchsorted: one (F, k, k) compare beats per-step binary
+    # searches by a wide margin on TPU
+    lb = jnp.sum(prev[:, None, :] < (tpitch - maxd)[:, :, None],
+                 axis=-1).astype(jnp.int32)
+    ub = jnp.sum(prev[:, None, :] <= (tpitch + maxd)[:, :, None],
+                 axis=-1).astype(jnp.int32)
+    ub = jnp.where(tvalid, ub, -1)
+    B = 8
+    nb = k // B
+    lb2 = lb.reshape(F, nb, B)
+    ub2 = ub.reshape(F, nb, B)
+    v = jnp.broadcast_to(jnp.arange(Q + 1, dtype=jnp.int32), (F, nb, Q + 1))
+    for i in range(B):
+        c = jnp.maximum(v, lb2[:, :, i:i + 1])
+        v = c + (c < ub2[:, :, i:i + 1]).astype(jnp.int32)
+    x = jnp.zeros((F,), jnp.int32)
+    xs_in = []
+    for b in range(nb):
+        xs_in.append(x)
+        x = jnp.take_along_axis(v[:, b, :], jnp.clip(x, 0, Q)[:, None],
+                                axis=1)[:, 0]
+    vv = jnp.stack(xs_in, axis=1)  # (F, nb)
+    cs_cols, m_cols = [], []
+    for i in range(B):
+        c = jnp.maximum(vv, lb2[:, :, i])
+        m = c < ub2[:, :, i]
+        cs_cols.append(c)
+        m_cols.append(m)
+        vv = c + m.astype(jnp.int32)
+    cs = jnp.stack(cs_cols, axis=-1).reshape(F, k)
+    matched = jnp.stack(m_cols, axis=-1).reshape(F, k)
+    return matched, jnp.where(matched, cs, 0)
+
+
+def _build_tables_parallel(tpitch, volume, loud_order, is_data, pan_draws,
+                           phase_draws, *, S, sr, maxd, max_voices, P, Q,
+                           attack, hold, decay, sustain, release,
+                           stereo_spread, total_frames, t_max):
+    """Frame-PARALLEL tracker: same table as the `_track_step` scan, built
+    from batched (F, k) array ops (no per-frame scan).
+
+    The cross-frame recurrence collapses because, absent voice-cap drops, the
+    played set entering frame f is exactly frame f-1's valid tuned pitches:
+    matching becomes frame-local (vmapped two-pointer), note identity becomes
+    pointer-doubling over match links, and the per-voice phase/volume boundary
+    recurrences become carried sums/affine compositions in the same doubling.
+    Returns (table, violation) — `violation` True means an assumption broke
+    (cap drop possible, slot-table overflow, release tail longer than t_max)
+    and the caller must use the scan path instead.
+    """
+    F, k = tpitch.shape
+    f32 = jnp.float32
+    min_dt = sr / 1000.0
+    has_decay = sustain < 0.999999
+    sus = min(max(sustain, 0.0), 1.0) if has_decay else 1.0
+    attack_eff = np.float32(max(attack, min_dt, 1.0))
+    decay_eff = np.float32(max(decay, min_dt, 1.0))
+    release_eff = np.float32(max(release, min_dt, 1.0))
+    hold_eff = np.float32(max(hold, 0.0))
+
+    tvalid = jnp.isfinite(tpitch) & is_data[:, None]
+    n_valid = jnp.sum(tvalid.astype(jnp.int32), axis=-1)
+    viol = jnp.any(n_valid > max_voices)
+    viol |= jnp.any(tvalid & ~(volume > 0))
+
+    matched, match_prev = _match_parallel(tpitch, tvalid, maxd, Q)
+    alive = tvalid
+    f_iota = jnp.arange(F, dtype=jnp.int32)[:, None]
+    lane_iota = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None, :],
+                                 (F, k))
+
+    # per-lane local values
+    inc_to = (2.0 * _freq_of_pitch(tpitch) / sr).astype(f32)
+    prev_inc = jnp.concatenate([inc_to[:1], inc_to[:-1]], axis=0)
+    inc_from = jnp.where(matched,
+                         jnp.take_along_axis(prev_inc, match_prev, axis=-1),
+                         inc_to)
+    ratio = jnp.where(inc_to == inc_from, 0.0,
+                      jnp.log(jnp.maximum(inc_to, 1e-30)
+                              / jnp.maximum(inc_from, 1e-30))).astype(f32)
+    alpha = (1.0 - jnp.exp(-np.pi * jnp.minimum(np.float32(2.0 / S),
+                                                jnp.abs(inc_to)))).astype(f32)
+    lam = ratio / np.float32(S)
+    dphi_loc = jnp.where(ratio == 0.0, np.float32(S) * inc_from,
+                         inc_from / jnp.where(lam == 0, 1.0, lam)
+                         * jnp.expm1(ratio)).astype(f32)
+    q_loc = jnp.power(1.0 - alpha, np.float32(S)).astype(f32)
+    c_loc = volume.astype(f32)
+    b_loc = (1.0 - q_loc) * c_loc
+
+    # birth-lane values (as if every lane were a birth; gathered later)
+    min_change = (2.5 * 2.0 / jnp.maximum(jnp.abs(inc_to), 1e-9)).astype(f32)
+    A_b = jnp.maximum(jnp.maximum(attack_eff, min_change), 1.0)
+    D_b = (jnp.maximum(jnp.maximum(decay_eff, min_change), 1.0)
+           if has_decay else jnp.zeros_like(A_b))
+    R_b = jnp.maximum(jnp.maximum(release_eff, min_change), 1.0)
+    on_mask = tvalid & ~matched & (volume > 0)
+    on_l = jnp.take_along_axis(on_mask, loud_order, axis=-1)
+    r_l = jnp.cumsum(on_l.astype(jnp.int32), axis=-1) - 1
+    rank_p = jnp.zeros((F, k), jnp.int32).at[f_iota, loud_order].set(r_l)
+    n_ons = jnp.sum(on_l.astype(jnp.int32), axis=-1)
+    base = jnp.cumsum(n_ons) - n_ons
+    draw_idx = base[:, None] + rank_p
+    pan = np.float32(stereo_spread) * pan_draws[
+        jnp.clip(draw_idx, 0, pan_draws.shape[0] - 1)]
+    th = np.float32(0.25 * np.pi) * (pan + 1.0)
+    gl_b = jnp.cos(th).astype(f32)
+    gr_b = jnp.sin(th).astype(f32)
+    ph0_b = phase_draws[jnp.clip(draw_idx, 0, phase_draws.shape[0] - 1)]
+    vol_b = volume.astype(f32)
+
+    # chains: pointer doubling with carried phase sum + affine volume map
+    ptr_lane = jnp.where(matched, match_prev, lane_iota)
+    off = matched.astype(jnp.int32)
+    fm1 = jnp.clip(f_iota - 1, 0, F - 1)
+    # accumulate phase advances MOD 2 (rad/pi full circle): raw dphi can be
+    # hundreds of cycles per frame, and a raw sum over a long note would sink
+    # below f32 resolution (the scan path wraps every frame for the same
+    # reason)
+    dphi_m = jnp.mod(dphi_loc, 2.0)
+    sumd = jnp.where(matched, dphi_m[fm1, match_prev], 0.0)
+    Ac = jnp.where(matched, q_loc[fm1, match_prev], 1.0)
+    Bc = jnp.where(matched, b_loc[fm1, match_prev], 0.0)
+    for _ in range(max(1, int(np.ceil(np.log2(max(F, 2)))))):
+        fi = jnp.clip(f_iota - off, 0, F - 1)
+        g = lambda a: a[fi, ptr_lane]
+        off2, lane2 = g(off), g(ptr_lane)
+        sum2, A2, B2 = g(sumd), g(Ac), g(Bc)
+        act = off > 0
+        sumd = jnp.where(act, jnp.mod(sumd + sum2, 2.0), sumd)
+        Bc = jnp.where(act, Ac * B2 + Bc, Bc)
+        Ac = jnp.where(act, Ac * A2, Ac)
+        ptr_lane = jnp.where(act, lane2, ptr_lane)
+        off = jnp.where(act, off + off2, off)
+    bf = f_iota - off          # (F, k) birth frame
+    bl = ptr_lane              # birth lane
+    bfc = jnp.clip(bf, 0, F - 1)
+    gb = lambda a: a[bfc, bl]
+    press = bf.astype(f32) * np.float32(S)
+    A_n, D_n, R_n = gb(A_b), gb(D_b), gb(R_b)
+    gl_n, gr_n = gb(gl_b), gb(gr_b)
+    phase_start = jnp.mod(gb(ph0_b) + sumd, 2.0).astype(f32)
+    volb_start = (Ac * gb(vol_b) + Bc).astype(f32)
+
+    fS = f_iota.astype(f32) * np.float32(S)
+    # ---- alive rows ----
+    alive_rows = jnp.stack([
+        inc_from, ratio, phase_start, c_loc, volb_start, alpha,
+        fS - press,
+        jnp.maximum(fS - np.float32(FAR), -np.float32(FAR))
+        * jnp.ones_like(press),
+        jnp.full((F, k), sus, f32),
+        A_n, jnp.full((F, k), hold_eff, f32), D_n,
+        jnp.full((F, k), sus, f32), R_n, gl_n, gr_n,
+    ], axis=-1)  # (F, k, 16)
+    n_alive = jnp.sum(alive.astype(jnp.int32), axis=-1)
+    a_rank = jnp.cumsum(alive.astype(jnp.int32), axis=-1) - 1
+    a_tgt = jnp.where(alive, a_rank, P)
+
+    defaults = jnp.asarray([1e-6, 0.0, 0.0, 0.0, 0.0, 0.0, -1e9, 0.0, 0.0,
+                            1.0, 0.0, 0.0, 1.0, 1.0, 0.0, 0.0], f32)
+    table = jnp.broadcast_to(defaults, (F, P + 1, _NF))
+    table = table.at[f_iota, a_tgt].set(alive_rows, mode="drop")
+
+    # ---- tail rows (release after the chain ends) ----
+    cont_prev = jnp.zeros((F, k), jnp.bool_).at[f_iota, match_prev].max(
+        matched)
+    has_succ = jnp.concatenate(
+        [cont_prev[1:], jnp.zeros((1, k), jnp.bool_)], axis=0)
+    end = alive & ~has_succ
+    nxt_data = jnp.concatenate(
+        [is_data[1:], jnp.zeros((1,), jnp.bool_)])[:, None]
+    has_off = end & nxt_data
+    rel = jnp.where(has_off, (f_iota.astype(f32) + 1.0) * np.float32(S),
+                    np.float32(FAR))
+    tp_r = rel - 1.0 - press
+    va = jnp.clip((tp_r + 1.0) / A_n, 0.0, 1.0)
+    vd = 1.0 + (sus - 1.0) * jnp.clip((tp_r - A_n - hold_eff + 1.0)
+                                      / jnp.maximum(D_n, 1.0), 0.0, 1.0)
+    top_now = jnp.where(tp_r < A_n, va,
+                        jnp.where(tp_r < A_n + hold_eff, 1.0,
+                                  jnp.where((D_n > 0)
+                                            & (tp_r < A_n + hold_eff + D_n),
+                                            vd, sus)))
+    top_tail = jnp.where(has_off, top_now, sus).astype(f32)
+    f1 = jnp.where(
+        has_off,
+        jnp.minimum(np.int32(total_frames),
+                    f_iota + 1 + jnp.ceil(R_n / np.float32(S)).astype(jnp.int32)
+                    + 1),
+        jnp.where(end, np.int32(total_frames), 0))
+    t_need = jnp.where(end, f1 - (f_iota + 1), 0)
+    viol |= jnp.any(t_need > t_max)
+
+    # per tail offset t: shift end-lane rows down to frame f_end + 1 + t
+    def shift_down(a, n, fill):
+        return jnp.concatenate(
+            [jnp.full((n,) + a.shape[1:], fill, a.dtype), a[:F - n]], axis=0)
+
+    tail_masks, tail_rows = [], []
+    for t in range(t_max):
+        m_t = shift_down(end & (t < t_need), 1 + t, False)
+        sh = lambda a: shift_down(a, 1 + t, 0)
+        gS = fS  # (F, 1) frame g sample offset
+        inc_e = sh(inc_to)
+        # t * (S*inc mod 2) mod 2 == t*S*inc mod 2 for integer t, and keeps
+        # every operand small enough for f32
+        step_m = jnp.mod(np.float32(S) * inc_e, 2.0)
+        phase_g = jnp.mod(sh(jnp.mod(phase_start + dphi_m, 2.0))
+                          + np.float32(t) * step_m, 2.0)
+        q_e = sh(q_loc)
+        qp = jnp.power(q_e, np.float32(t + 1))
+        volb_g = qp * sh(volb_start) + (1.0 - qp) * sh(c_loc)
+        rows_t = jnp.stack([
+            inc_e, jnp.zeros((F, k), f32), phase_g.astype(f32), sh(c_loc),
+            volb_g.astype(f32), sh(alpha),
+            gS - sh(press),
+            jnp.maximum(gS - sh(rel), -np.float32(FAR)),
+            sh(top_tail), sh(A_n), jnp.full((F, k), hold_eff, f32), sh(D_n),
+            jnp.full((F, k), sus, f32), sh(R_n), sh(gl_n), sh(gr_n),
+        ], axis=-1)
+        tail_masks.append(m_t)
+        tail_rows.append(rows_t)
+    tm = jnp.stack(tail_masks, axis=1).reshape(F, t_max * k)
+    tr = jnp.stack(tail_rows, axis=1).reshape(F, t_max * k, _NF)
+    t_rank = jnp.cumsum(tm.astype(jnp.int32), axis=-1) - 1 + n_alive[:, None]
+    t_tgt = jnp.where(tm, t_rank, P)
+    viol |= jnp.any(n_alive + jnp.sum(tm.astype(jnp.int32), axis=-1) > P)
+    table = table.at[f_iota, t_tgt].set(tr, mode="drop")
+    return table[:, :P, :], viol
+
+
 def build_tables_device(freq, mag_db, loud_pitches, loud_spl, pan_draws,
                         phase_draws, *, total_frames: int, stride: int,
                         sample_rate: float, max_voices: int, n_slots: int,
@@ -455,7 +697,31 @@ def build_tables_device(freq, mag_db, loud_pitches, loud_spl, pan_draws,
     step = functools.partial(_track_step, k=k, P=P, Q=Q, statics=statics)
     xs = (tpitch, volume, loud_order,
           jnp.arange(total_frames, dtype=jnp.int32), is_data)
-    # unroll: the body is many tiny (k,)/(P,) ops, so per-iteration dispatch
-    # overhead dominates; unrolling lets XLA schedule/fuse across frames
-    carry, table = jax.lax.scan(step, carry0, xs, unroll=_SCAN_UNROLL)
-    return table, carry[-1]
+
+    def _scan_path(_):
+        carry, table = jax.lax.scan(step, carry0, xs, unroll=_SCAN_UNROLL)
+        return table, carry[-1]
+
+    if min_volume > 0:
+        # frame-parallel fast path; exact-violation predicate falls back to
+        # the scan (lax.cond compiles both, runs one)
+        sr_f = float(sample_rate)
+        min_dt = sr_f / 1000.0
+        release_eff = max(float(release), min_dt, 1.0)
+        min_change_floor = 2.5 * 2.0 / (2.0 * 25.0 / sr_f)  # 25 Hz floor
+        t_max = int(min(total_frames,
+                        np.ceil(max(release_eff, min_change_floor)
+                                / float(stride)) + 2))
+        t_max = max(t_max, total_frames - F, 1)
+        tbl_p, viol = _build_tables_parallel(
+            tpitch, volume.astype(jnp.float32), loud_order, is_data,
+            jnp.asarray(pan_draws, jnp.float32),
+            jnp.asarray(phase_draws, jnp.float32),
+            S=float(stride), sr=sr_f, maxd=float(max_track_pitches),
+            max_voices=int(max_voices), P=P, Q=Q, attack=float(attack),
+            hold=float(hold), decay=float(decay), sustain=float(sustain),
+            release=float(release), stereo_spread=float(stereo_spread),
+            total_frames=int(total_frames), t_max=t_max)
+        return jax.lax.cond(viol, _scan_path,
+                            lambda _: (tbl_p, jnp.int32(0)), None)
+    return _scan_path(None)

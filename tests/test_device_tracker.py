@@ -108,3 +108,101 @@ def test_device_tracker_with_shift():
     peak = max(float(np.max(np.abs(audio_host))), 1e-9)
     assert peak > 1e-3
     assert float(np.max(np.abs(audio_dev - audio_host))) / peak < 2e-3
+
+
+class TestParallelTracker:
+    """The frame-parallel tracker must render identically to the scan path."""
+
+    def _peaks(self, seed=0, F=40, k=16, n_tones=6):
+        rng = np.random.default_rng(seed)
+        freq = np.full((F, k), np.nan)
+        mag = np.full((F, k), -np.inf)
+        for _ in range(n_tones):
+            f0 = rng.uniform(100, 2000)
+            s = rng.integers(0, F - 4)
+            e = s + rng.integers(2, F - s)
+            drift = rng.uniform(-0.3, 0.3)
+            for fr in range(s, e):
+                j = int(rng.integers(0, k))
+                freq[fr, j] = f0 * (1 + 0.001 * drift * (fr - s))
+                mag[fr, j] = rng.uniform(-40, -10)
+        # sort each frame by frequency (contract of top_peaks)
+        order = np.argsort(np.where(np.isfinite(freq), freq, np.inf), axis=1)
+        return (np.take_along_axis(freq, order, 1),
+                np.take_along_axis(mag, order, 1))
+
+    def _tables(self, freq, mag, min_volume, max_voices=12):
+        import jax
+
+        from cpp_audio_tpu.utils import loudness as ld
+
+        F = freq.shape[0]
+        total = F + 6
+        li = ld.phons_to_index(60.0)
+        cap = F * max_voices + 16
+        pan = np.random.default_rng(1).uniform(-1, 1, cap)
+        phase = np.random.default_rng(2).uniform(0, 2, cap)
+        kw = dict(total_frames=total, stride=512, sample_rate=44100.0,
+                  max_voices=max_voices, n_slots=32, nearby_distance=0.5,
+                  min_volume=min_volume, max_track_pitches=1.0,
+                  pitch_method=2, volume_method=1, analysis_volume=1.0,
+                  shift_pre=0.0, shift_post=0.0, stereo_spread=0.8,
+                  attack=441.0, hold=0.0, decay=800.0, sustain=0.7,
+                  release=2000.0)
+        args = (np.asarray(freq), np.asarray(mag),
+                np.asarray(ld.PITCHES, np.float64),
+                np.asarray(ld.ELVS[li], np.float64), pan, phase)
+        t_par, d_par = device_tracker.build_tables_device(*args, **kw)
+        # min_volume=0 statically disables the parallel path -> pure scan
+        kw_scan = dict(kw, min_volume=0.0)
+        t_scan, d_scan = device_tracker.build_tables_device(*args, **kw_scan)
+        return np.asarray(t_par), np.asarray(t_scan), int(d_par), int(d_scan)
+
+    def _render(self, table):
+        from cpp_audio_tpu.models import resynth_bank
+        import jax.numpy as jnp
+
+        out = resynth_bank._render_slots(jnp.asarray(table, jnp.float32),
+                                         stride=512, n_channels=2,
+                                         dtype="float32")
+        return np.asarray(out).reshape(-1, 2)
+
+    @pytest.mark.parametrize("seed", [0, 3, 7])
+    def test_parallel_matches_scan_render(self, seed):
+        freq, mag = self._peaks(seed=seed)
+        # min_volume tiny but >0: identical keep-set, parallel path eligible
+        t_par, t_scan, d_par, d_scan = self._tables(freq, mag, 1e-6)
+        assert d_par == d_scan == 0
+        a = self._render(t_par)
+        b = self._render(t_scan)
+        peak = max(np.max(np.abs(b)), 1e-9)
+        assert np.max(np.abs(a - b)) < 1e-4 * peak + 1e-7
+
+    def test_cap_violation_falls_back_to_scan(self):
+        freq, mag = self._peaks(seed=5, F=20, k=16, n_tones=4)
+        # every frame saturated with peaks > max_voices -> violation -> the
+        # cond must take the scan path and give identical tables
+        freq = np.tile(np.linspace(100, 3000, 16), (20, 1))
+        mag = np.full((20, 16), -20.0)
+        import jax
+
+        from cpp_audio_tpu.utils import loudness as ld
+
+        li = ld.phons_to_index(60.0)
+        cap = 20 * 4 + 16
+        pan = np.random.default_rng(1).uniform(-1, 1, cap)
+        phase = np.random.default_rng(2).uniform(0, 2, cap)
+        kw = dict(total_frames=26, stride=512, sample_rate=44100.0,
+                  max_voices=4, n_slots=8, nearby_distance=0.5,
+                  min_volume=1e-6, max_track_pitches=1.0,
+                  pitch_method=2, volume_method=1, analysis_volume=1.0,
+                  shift_pre=0.0, shift_post=0.0, stereo_spread=0.8,
+                  attack=441.0, hold=0.0, decay=800.0, sustain=0.7,
+                  release=2000.0)
+        args = (freq, mag, np.asarray(ld.PITCHES, np.float64),
+                np.asarray(ld.ELVS[li], np.float64), pan, phase)
+        t_a, d_a = device_tracker.build_tables_device(*args, **kw)
+        t_b, d_b = device_tracker.build_tables_device(
+            *args, **dict(kw, min_volume=0.0))
+        assert int(d_a) == int(d_b) > 0  # drops happened -> scan path used
+        np.testing.assert_allclose(np.asarray(t_a), np.asarray(t_b))
