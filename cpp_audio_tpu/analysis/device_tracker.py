@@ -639,7 +639,8 @@ def build_tables_device(freq, mag_db, loud_pitches, loud_spl, pan_draws,
                         volume_method: int, analysis_volume: float,
                         shift_pre: float, shift_post: float,
                         stereo_spread: float, attack: float, hold: float,
-                        decay: float, sustain: float, release: float):
+                        decay: float, sustain: float, release: float,
+                        _force_scan: bool = False):
     """(F, k) device peak arrays -> ((total_frames, n_slots, 16) table,
     dropped-NoteOn count), entirely on device (jit-traceable)."""
     F, k = freq.shape
@@ -702,17 +703,21 @@ def build_tables_device(freq, mag_db, loud_pitches, loud_spl, pan_draws,
         carry, table = jax.lax.scan(step, carry0, xs, unroll=_SCAN_UNROLL)
         return table, carry[-1]
 
-    if min_volume > 0:
+    if min_volume > 0 and not _force_scan:
         # frame-parallel fast path; exact-violation predicate falls back to
         # the scan (lax.cond compiles both, runs one)
         sr_f = float(sample_rate)
         min_dt = sr_f / 1000.0
         release_eff = max(float(release), min_dt, 1.0)
-        min_change_floor = 2.5 * 2.0 / (2.0 * 25.0 / sr_f)  # 25 Hz floor
-        t_max = int(min(total_frames,
+        # release length R is floored at 2.5 periods of the note; the lowest
+        # peak an STFT can produce is ~bin 1 (a few Hz), so budget tails for
+        # a 2 Hz ghost note, capped at 32 frames (longer tails: rare configs,
+        # exact fallback via the violation predicate)
+        min_change_floor = 2.5 * sr_f / 2.0
+        t_max = int(min(total_frames, 32,
                         np.ceil(max(release_eff, min_change_floor)
                                 / float(stride)) + 2))
-        t_max = max(t_max, total_frames - F, 1)
+        t_max = max(t_max, min(total_frames - F, 32), 1)
         tbl_p, viol = _build_tables_parallel(
             tpitch, volume.astype(jnp.float32), loud_order, is_data,
             jnp.asarray(pan_draws, jnp.float32),
