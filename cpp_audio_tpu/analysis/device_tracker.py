@@ -469,13 +469,31 @@ def _build_tables_parallel(tpitch, volume, loud_order, is_data, pan_draws,
     f_iota = jnp.arange(F, dtype=jnp.int32)[:, None]
     lane_iota = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None, :],
                                  (F, k))
+    prec = jax.lax.Precision.HIGHEST
+
+    def lane_take(idx_f32, stack):
+        """stack (F,k,C); idx (F,k) f32 lane ids -> stack[f, idx[f,i], :].
+
+        One-hot batched matmul on the MXU — general gathers execute
+        near-scalar on TPU (150+ ms for this function when written with
+        advanced indexing)."""
+        oh = (idx_f32[..., None]
+              == jnp.arange(k, dtype=f32)[None, None, :]).astype(f32)
+        return jnp.einsum("fij,fjc->fic", oh, stack, precision=prec)
+
+    def lane_scatter(idx, vals):
+        """out[f, i] = sum_j [idx[f,j] == i] * vals[f,j]  (permutation use)."""
+        oh = (idx[..., None]
+              == jnp.arange(k, dtype=idx.dtype)[None, None, :]).astype(f32)
+        return jnp.einsum("fji,fj->fi", oh, vals.astype(f32), precision=prec)
+
+    fin = lambda a: jnp.where(jnp.isfinite(a), a, 0.0).astype(f32)
 
     # per-lane local values
     inc_to = (2.0 * _freq_of_pitch(tpitch) / sr).astype(f32)
     prev_inc = jnp.concatenate([inc_to[:1], inc_to[:-1]], axis=0)
-    inc_from = jnp.where(matched,
-                         jnp.take_along_axis(prev_inc, match_prev, axis=-1),
-                         inc_to)
+    pi_got = lane_take(match_prev.astype(f32), fin(prev_inc)[..., None])
+    inc_from = jnp.where(matched, pi_got[..., 0], inc_to)
     ratio = jnp.where(inc_to == inc_from, 0.0,
                       jnp.log(jnp.maximum(inc_to, 1e-30)
                               / jnp.maximum(inc_from, 1e-30))).astype(f32)
@@ -496,9 +514,11 @@ def _build_tables_parallel(tpitch, volume, loud_order, is_data, pan_draws,
            if has_decay else jnp.zeros_like(A_b))
     R_b = jnp.maximum(jnp.maximum(release_eff, min_change), 1.0)
     on_mask = tvalid & ~matched & (volume > 0)
-    on_l = jnp.take_along_axis(on_mask, loud_order, axis=-1)
+    on_l = lane_take(loud_order.astype(f32),
+                     on_mask.astype(f32)[..., None])[..., 0] > 0.5
     r_l = jnp.cumsum(on_l.astype(jnp.int32), axis=-1) - 1
-    rank_p = jnp.zeros((F, k), jnp.int32).at[f_iota, loud_order].set(r_l)
+    rank_p = jnp.round(lane_scatter(loud_order, r_l.astype(f32))
+                       ).astype(jnp.int32)
     n_ons = jnp.sum(on_l.astype(jnp.int32), axis=-1)
     base = jnp.cumsum(n_ons) - n_ons
     draw_idx = base[:, None] + rank_p
@@ -510,38 +530,69 @@ def _build_tables_parallel(tpitch, volume, loud_order, is_data, pan_draws,
     ph0_b = phase_draws[jnp.clip(draw_idx, 0, phase_draws.shape[0] - 1)]
     vol_b = volume.astype(f32)
 
-    # chains: pointer doubling with carried phase sum + affine volume map
-    ptr_lane = jnp.where(matched, match_prev, lane_iota)
-    off = matched.astype(jnp.int32)
-    fm1 = jnp.clip(f_iota - 1, 0, F - 1)
+    # chains: pointer doubling with carried phase sum + affine volume map.
+    def roll_down(a, n, pad_block):
+        return jnp.concatenate([pad_block, a[:F - n]], axis=0)
+
     # accumulate phase advances MOD 2 (rad/pi full circle): raw dphi can be
     # hundreds of cycles per frame, and a raw sum over a long note would sink
     # below f32 resolution (the scan path wraps every frame for the same
     # reason)
     dphi_m = jnp.mod(dphi_loc, 2.0)
-    sumd = jnp.where(matched, dphi_m[fm1, match_prev], 0.0)
-    Ac = jnp.where(matched, q_loc[fm1, match_prev], 1.0)
-    Bc = jnp.where(matched, b_loc[fm1, match_prev], 0.0)
-    for _ in range(max(1, int(np.ceil(np.log2(max(F, 2)))))):
-        fi = jnp.clip(f_iota - off, 0, F - 1)
-        g = lambda a: a[fi, ptr_lane]
-        off2, lane2 = g(off), g(ptr_lane)
-        sum2, A2, B2 = g(sumd), g(Ac), g(Bc)
-        act = off > 0
-        sumd = jnp.where(act, jnp.mod(sumd + sum2, 2.0), sumd)
-        Bc = jnp.where(act, Ac * B2 + Bc, Bc)
-        Ac = jnp.where(act, Ac * A2, Ac)
-        ptr_lane = jnp.where(act, lane2, ptr_lane)
-        off = jnp.where(act, off + off2, off)
+    # init gather of frame f-1 values at match_prev (one einsum)
+    prev_stack = jnp.stack([fin(dphi_m), fin(q_loc), fin(b_loc)], axis=-1)
+    prev_stack = jnp.concatenate([jnp.zeros((1, k, 3), f32),
+                                  prev_stack[:-1]], axis=0)
+    got = lane_take(match_prev.astype(f32), prev_stack)
+    mf = matched.astype(f32)
+    # state channels: 0 done, 1 lane, 2 off, 3 sumd, 4 Ac, 5 Bc,
+    # 6..12 payload at birth: [ph0, vol, A, D, R, gl, gr]
+    st = jnp.stack([
+        1.0 - mf,
+        jnp.where(matched, match_prev, lane_iota).astype(f32),
+        mf,
+        mf * got[..., 0],
+        jnp.where(matched, got[..., 1], 1.0),
+        mf * got[..., 2],
+        fin(ph0_b), fin(vol_b), fin(A_b), fin(D_b), fin(R_b),
+        fin(gl_b), fin(gr_b),
+    ], axis=-1)  # (F, k, 13)
+    identity_pad = jnp.concatenate([
+        jnp.ones((1, k, 1), f32),                          # done
+        jnp.arange(k, dtype=f32)[None, :, None],           # lane
+        jnp.zeros((1, k, 2), f32),                         # off, sumd
+        jnp.ones((1, k, 1), f32),                          # Ac
+        jnp.zeros((1, k, 8), f32),                         # Bc + payload
+    ], axis=-1)
+    step_len = 1
+    while step_len < F:
+        pad = jnp.broadcast_to(identity_pad,
+                               (min(step_len, F), k, st.shape[-1]))
+        rolled = roll_down(st, min(step_len, F), pad)
+        anc = lane_take(st[..., 1], rolled)
+        done = st[..., 0:1] > 0.5
+        lane_n = anc[..., 1]
+        off_n = st[..., 2] + anc[..., 2]
+        sum_n = jnp.mod(st[..., 3] + anc[..., 3], 2.0)
+        Ac_n = st[..., 4] * anc[..., 4]
+        Bc_n = st[..., 4] * anc[..., 5] + st[..., 5]
+        comp = jnp.concatenate([
+            jnp.stack([anc[..., 0], lane_n, off_n, sum_n, Ac_n, Bc_n],
+                      axis=-1),
+            anc[..., 6:],
+        ], axis=-1)
+        st = jnp.where(done, st, comp)
+        step_len *= 2
+    off = jnp.round(st[..., 2]).astype(jnp.int32)
+    sumd = st[..., 3]
+    Ac, Bc = st[..., 4], st[..., 5]
     bf = f_iota - off          # (F, k) birth frame
-    bl = ptr_lane              # birth lane
-    bfc = jnp.clip(bf, 0, F - 1)
-    gb = lambda a: a[bfc, bl]
     press = bf.astype(f32) * np.float32(S)
-    A_n, D_n, R_n = gb(A_b), gb(D_b), gb(R_b)
-    gl_n, gr_n = gb(gl_b), gb(gr_b)
-    phase_start = jnp.mod(gb(ph0_b) + sumd, 2.0).astype(f32)
-    volb_start = (Ac * gb(vol_b) + Bc).astype(f32)
+    ph0_n, vol_n = st[..., 6], st[..., 7]
+    A_n, D_n, R_n = st[..., 8], st[..., 9], st[..., 10]
+    gl_n, gr_n = st[..., 11], st[..., 12]
+    phase_start = jnp.mod(ph0_n + sumd, 2.0).astype(f32)
+    volb_start = (Ac * vol_n + Bc).astype(f32)
 
     fS = f_iota.astype(f32) * np.float32(S)
     # ---- alive rows ----
@@ -558,14 +609,20 @@ def _build_tables_parallel(tpitch, volume, loud_order, is_data, pan_draws,
     a_rank = jnp.cumsum(alive.astype(jnp.int32), axis=-1) - 1
     a_tgt = jnp.where(alive, a_rank, P)
 
+    def slot_scatter(tgt, rows, mask):
+        """rows (F,k,16) -> (F,P,16) at per-frame slot `tgt` (one-hot MXU)."""
+        oh = ((tgt[..., None] == jnp.arange(P, dtype=tgt.dtype)[None, None, :])
+              & mask[..., None]).astype(f32)
+        vals = jnp.where(mask[..., None] & jnp.isfinite(rows), rows, 0.0)
+        contrib = jnp.einsum("fkp,fkc->fpc", oh, vals, precision=prec)
+        return contrib, jnp.sum(oh, axis=1)
+
     defaults = jnp.asarray([1e-6, 0.0, 0.0, 0.0, 0.0, 0.0, -1e9, 0.0, 0.0,
                             1.0, 0.0, 0.0, 1.0, 1.0, 0.0, 0.0], f32)
-    table = jnp.broadcast_to(defaults, (F, P + 1, _NF))
-    table = table.at[f_iota, a_tgt].set(alive_rows, mode="drop")
+    contrib, cover = slot_scatter(a_tgt, alive_rows, alive)
 
     # ---- tail rows (release after the chain ends) ----
-    cont_prev = jnp.zeros((F, k), jnp.bool_).at[f_iota, match_prev].max(
-        matched)
+    cont_prev = lane_scatter(match_prev, mf) > 0.5
     has_succ = jnp.concatenate(
         [cont_prev[1:], jnp.zeros((1, k), jnp.bool_)], axis=0)
     end = alive & ~has_succ
@@ -623,12 +680,15 @@ def _build_tables_parallel(tpitch, volume, loud_order, is_data, pan_draws,
         tail_masks.append(m_t)
         tail_rows.append(rows_t)
     tm = jnp.stack(tail_masks, axis=1).reshape(F, t_max * k)
-    tr = jnp.stack(tail_rows, axis=1).reshape(F, t_max * k, _NF)
     t_rank = jnp.cumsum(tm.astype(jnp.int32), axis=-1) - 1 + n_alive[:, None]
-    t_tgt = jnp.where(tm, t_rank, P)
+    t_rank3 = t_rank.reshape(F, t_max, k)
     viol |= jnp.any(n_alive + jnp.sum(tm.astype(jnp.int32), axis=-1) > P)
-    table = table.at[f_iota, t_tgt].set(tr, mode="drop")
-    return table[:, :P, :], viol
+    for t in range(t_max):
+        c_t, cov_t = slot_scatter(t_rank3[:, t], tail_rows[t], tail_masks[t])
+        contrib = contrib + c_t
+        cover = cover + cov_t
+    table = contrib + defaults[None, None, :] * (1.0 - cover)[..., None]
+    return table, viol
 
 
 def build_tables_device(freq, mag_db, loud_pitches, loud_spl, pan_draws,
