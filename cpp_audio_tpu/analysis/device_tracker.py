@@ -55,24 +55,6 @@ def _freq_of_pitch(pitch):
     return 440.0 * jnp.exp2((pitch - 69.0) / 12.0)
 
 
-def _group_boundaries(p, d):
-    """Greedy nearby grouping boundaries over sorted pitches (one frame).
-
-    Boundary set = {0, nxt(0), nxt(nxt(0)), ...} with nxt(j) = first l with
-    p[l] > p[j] + d — computed in log2(k) pointer doublings.
-    """
-    k = p.shape[0]
-    nxt = jnp.searchsorted(p, p + d, side="right").astype(jnp.int32)
-    reach = jnp.zeros((k,), jnp.int32).at[0].set(1)
-    steps = max(1, int(np.ceil(np.log2(k))))
-    for _ in range(steps):
-        # reach |= image of reach through nxt (OOB indices drop)
-        upd = jnp.zeros((k,), jnp.int32).at[nxt].max(reach, mode="drop")
-        reach = jnp.maximum(reach, upd)
-        nxt = jnp.where(nxt < k, nxt[jnp.clip(nxt, 0, k - 1)], k)
-    return reach > 0
-
-
 @functools.partial(jax.jit, static_argnames=(
     "d", "min_volume", "pitch_method", "volume_method", "shift_pre",
     "shift_post", "analysis_volume"))
@@ -89,29 +71,41 @@ def _frame_local(freq, mag_db, loud_pitches, loud_spl, *, d: float,
     pitch = jnp.where(valid, _pitch_of_freq(jnp.maximum(freq, 1e-9)), jnp.inf)
     vol = jnp.where(valid, jnp.power(10.0, mag_db / 20.0), 0.0)
 
-    bound = jax.vmap(lambda p: _group_boundaries(p, d))(pitch)
+    # Greedy nearby grouping (rt.resynth.lib.algo.cpp:124-184) without
+    # gathers/scatters (near-scalar on TPU): compare-all jump counts, then
+    # boundary reachability by BOOLEAN MATRIX SQUARING of the jump graph on
+    # the MXU, then one-hot segment reductions.
+    fdt = pitch.dtype
+    nxt = jnp.sum((pitch[:, None, :] <= pitch[:, :, None] + d)
+                  & valid[:, None, :], axis=-1)  # (F, k) first idx beyond group
+    lane = jnp.arange(k)
+    J = (nxt[:, :, None] == lane[None, None, :]).astype(jnp.float32)
+    reach = jnp.zeros((pitch.shape[0], k), jnp.float32).at[:, 0].set(1.0)
+    steps = max(1, int(np.ceil(np.log2(k))))
+    for _ in range(steps):
+        reach = jnp.minimum(
+            reach + jnp.einsum("fj,fjl->fl", reach, J), 1.0)
+        J = jnp.minimum(jnp.einsum("fjm,fml->fjl", J, J), 1.0)
+    bound = reach > 0.5
     gid = jnp.cumsum(bound.astype(jnp.int32), axis=-1) - 1
 
     pz = jnp.where(valid, pitch, 0.0)
-    plo = jnp.where(valid, pitch, jnp.inf)
-    phi = jnp.where(valid, pitch, -jnp.inf)
-
-    def segs(vals, g, mode):
-        f = {"sum": jax.ops.segment_sum, "max": jax.ops.segment_max,
-             "min": jax.ops.segment_min}[mode]
-        return f(vals, g, num_segments=k)
-
-    sum_vol = jax.vmap(lambda v, g: segs(v, g, "sum"))(vol, gid)
-    sum_pv = jax.vmap(lambda v, g: segs(v, g, "sum"))(pz * vol, gid)
-    max_vol = jax.vmap(lambda v, g: segs(v, g, "max"))(vol, gid)
-    min_p = jax.vmap(lambda v, g: segs(v, g, "min"))(plo, gid)
-    max_p = jax.vmap(lambda v, g: segs(v, g, "max"))(phi, gid)
-    count = jax.vmap(lambda v, g: segs(v, g, "sum"))(
-        valid.astype(jnp.float32), gid)
+    oh_g = (gid[:, :, None] == lane[None, None, :]).astype(jnp.float32)
+    sums = jnp.einsum("fjg,fjc->fgc", oh_g,
+                      jnp.stack([vol, pz * vol, valid.astype(fdt)], axis=-1))
+    sum_vol, sum_pv, count = sums[..., 0], sums[..., 1], sums[..., 2]
+    in_g = oh_g > 0.5  # (F, j, g) membership
+    max_vol = jnp.max(jnp.where(in_g, vol[:, :, None], 0.0), axis=1)
+    min_p = jnp.min(jnp.where(in_g & valid[:, :, None],
+                              pitch[:, :, None], jnp.inf), axis=1)
+    max_p = jnp.max(jnp.where(in_g & valid[:, :, None],
+                              pitch[:, :, None], -jnp.inf), axis=1)
     # first (lowest-pitch) element attaining the group max volume
-    is_max = vol >= jnp.take_along_axis(max_vol, gid, axis=-1) - 0.0
-    pmax = jnp.where(valid & is_max, pitch, jnp.inf)
-    pitch_at_max = jax.vmap(lambda v, g: segs(v, g, "min"))(pmax, gid)
+    maxv_of_lane = jnp.einsum("fjg,fg->fj", oh_g, max_vol)
+    is_max = vol >= maxv_of_lane
+    pitch_at_max = jnp.min(
+        jnp.where(in_g & (valid & is_max)[:, :, None],
+                  pitch[:, :, None], jnp.inf), axis=1)
 
     if volume_method == 0:  # MAX_VOLUME
         gvol = max_vol
@@ -131,9 +125,21 @@ def _frame_local(freq, mag_db, loud_pitches, loud_spl, *, d: float,
     tpitch = jnp.take_along_axis(key, order, axis=-1)
     tvol = jnp.take_along_axis(jnp.where(keep, gvol, 0.0), order, axis=-1)
 
-    # perceived-loudness order (60 phon): stable descending vol/loudness
-    spl = jnp.interp(jnp.where(jnp.isfinite(tpitch), tpitch, loud_pitches[-1]),
-                     loud_pitches, loud_spl)
+    # perceived-loudness order (60 phon): stable descending vol/loudness.
+    # interp over the 29-point ISO table via compare-all + one-hot matmul
+    # (jnp.interp lowers to general gathers)
+    x = jnp.where(jnp.isfinite(tpitch), tpitch, loud_pitches[-1])
+    x = jnp.clip(x, loud_pitches[0], loud_pitches[-1])
+    nlp = loud_pitches.shape[0]
+    seg = jnp.clip(jnp.sum(x[..., None] >= loud_pitches[None, None, :],
+                           axis=-1) - 1, 0, nlp - 2)  # (F, k) segment idx
+    oh_s = (seg[..., None] == jnp.arange(nlp - 1)[None, None, :]).astype(fdt)
+    x0 = jnp.einsum("fks,s->fk", oh_s, loud_pitches[:-1])
+    x1 = jnp.einsum("fks,s->fk", oh_s, loud_pitches[1:])
+    y0 = jnp.einsum("fks,s->fk", oh_s, loud_spl[:-1])
+    y1 = jnp.einsum("fks,s->fk", oh_s, loud_spl[1:])
+    tfr = jnp.where(x1 > x0, (x - x0) / jnp.maximum(x1 - x0, 1e-30), 0.0)
+    spl = y0 + tfr * (y1 - y0)
     w = tvol / spl
     loud_order = jnp.argsort(-w, axis=-1, stable=True)
     volume = analysis_volume * tvol
@@ -414,12 +420,18 @@ def _match_parallel(tpitch, tvalid, maxd, Q: int):
     for i in range(B):
         c = jnp.maximum(v, lb2[:, :, i:i + 1])
         v = c + (c < ub2[:, :, i:i + 1]).astype(jnp.int32)
+    # chain the per-block pointer maps: one-hot dot instead of a gather
+    # (x stays one-hot over the Q+1 grid; v rows are the staircase tables)
+    qgrid = jnp.arange(Q + 1, dtype=jnp.int32)
     x = jnp.zeros((F,), jnp.int32)
     xs_in = []
     for b in range(nb):
         xs_in.append(x)
-        x = jnp.take_along_axis(v[:, b, :], jnp.clip(x, 0, Q)[:, None],
-                                axis=1)[:, 0]
+        oh_x = (jnp.clip(x, 0, Q)[:, None] == qgrid[None, :]).astype(
+            jnp.float32)
+        x = jnp.round(jnp.einsum("fq,fq->f", oh_x,
+                                 v[:, b, :].astype(jnp.float32))
+                      ).astype(jnp.int32)
     vv = jnp.stack(xs_in, axis=1)  # (F, nb)
     cs_cols, m_cols = [], []
     for i in range(B):
