@@ -193,16 +193,16 @@ def _fused_single_dispatch(fp, ip, up, gains, codes, window, carrier, edges,
     return stereo, mix, dropped
 
 
-def run_offline_chain_device(bank: voicebank.VoiceBank, n_samples: int,
-                             rconfig: resynth_mod.ResynthConfig,
-                             vparams: vocoder_mod.VocoderParams, carrier,
-                             *, block_size: int = 1 << 15,
-                             draws=None) -> OfflineChainResult:
-    """Single-dispatch offline chain: the device-resident tracker
-    (analysis/device_tracker.py) replaces the host pitch pipeline, so the
-    whole synth->resynth->vocode graph runs as ONE device program with zero
-    host round trips. Supported config subset: no autotune, no harmonize
-    (run_offline_chain covers the rest).
+def prepare_offline_chain_device(bank: voicebank.VoiceBank, n_samples: int,
+                                 rconfig: resynth_mod.ResynthConfig,
+                                 vparams: vocoder_mod.VocoderParams, carrier,
+                                 *, block_size: int = 1 << 15, draws=None):
+    """Build the device-resident argument set for the single-dispatch chain
+    and return (step, n_frames): `step()` dispatches ONE fused device program
+    (synth -> STFT -> peaks -> tracker -> render + vocoder) over the
+    prestaged arrays and returns (stereo, vocoded_mix, dropped) device
+    arrays without any host transfer. This is the production serving loop:
+    call step() back to back and drain outputs asynchronously.
 
     draws: optional (pan_draws, phase_draws) device-resident pools (reuse
     them across calls to skip the H2D); defaults to host numpy pools matching
@@ -245,13 +245,16 @@ def run_offline_chain_device(bank: voicebank.VoiceBank, n_samples: int,
                  np.random.default_rng(0).uniform(0.0, 2.0, cap))
     pan_draws, phase_draws = draws
 
-    stereo, mix, dropped = _fused_single_dispatch(
+    import jax
+
+    all_args = jax.device_put((
         *args, jnp.asarray(window, wdt), carrier_dev, jnp.asarray(edges, wdt),
         jnp.asarray(bm_car, wdt), jnp.asarray(rows),
         jnp.asarray(np.asarray(loudness.PITCHES), wdt),
         jnp.asarray(np.asarray(loudness.ELVS[li]), wdt),
         jnp.asarray(pan_draws, jnp.float32),
-        jnp.asarray(phase_draws, jnp.float32),
+        jnp.asarray(phase_draws, jnp.float32)))
+    kw = dict(
         n=n_samples, dtype=dtype, window_size=rconfig.window_size,
         stride=rconfig.stride, fft_len=fft_len, k=k, sample_rate=sr,
         mod_window=W, voc_stride=S, car_fft=car_fft,
@@ -277,5 +280,26 @@ def run_offline_chain_device(bank: voicebank.VoiceBank, n_samples: int,
         sustain=float(np.asarray(a.sustain)),
         release=float(np.max(np.asarray(a.release))),
         render_stride=rcfg.stride, start_sample=rcfg.start_sample, **statics)
+
+    def step():
+        return _fused_single_dispatch(*all_args, **kw)
+
+    return step, n_frames
+
+
+def run_offline_chain_device(bank: voicebank.VoiceBank, n_samples: int,
+                             rconfig: resynth_mod.ResynthConfig,
+                             vparams: vocoder_mod.VocoderParams, carrier,
+                             *, block_size: int = 1 << 15,
+                             draws=None) -> OfflineChainResult:
+    """Single-dispatch offline chain: the device-resident tracker
+    (analysis/device_tracker.py) replaces the host pitch pipeline, so the
+    whole synth->resynth->vocode graph runs as ONE device program with zero
+    host round trips. Supported config subset: no autotune, no harmonize
+    (run_offline_chain covers the rest)."""
+    step, n_frames = prepare_offline_chain_device(
+        bank, n_samples, rconfig, vparams, carrier,
+        block_size=block_size, draws=draws)
+    stereo, mix, dropped = step()
     return OfflineChainResult(resynth=stereo, vocoded=mix,
                               n_frames=n_frames, dropped=dropped)

@@ -231,16 +231,20 @@ def _render_slots(table, *, stride: int, n_channels: int, dtype: str):
         )
         rel = top * (1.0 - jnp.clip((trm + 1.0) / R, 0.0, 1.0))
         env = jnp.where(tp < 0, 0.0, jnp.where(trm < 0, pressed, rel))
-        inst_inc = incf * jnp.exp(lam * (k + 0.5))
-        aliasing = oscillators.freq_aliasing_multiplicator(inst_inc)
+        # anti-alias gain at the frame-midpoint increment (a per-slot scalar):
+        # within one ~90 ms frame the increment moves a fraction of a
+        # semitone, and the gain is exactly 1 below ~0.45*Nyquist anyway —
+        # per-sample evaluation would cost one exp per lane-sample
+        mid_inc = incf * jnp.exp(lam * (S * 0.5))
+        aliasing = oscillators.freq_aliasing_multiplicator(mid_inc)
         sig = vol * env * aliasing * oscillators.sine(phases)
         return oscillators.mixdown(sig, gains)
 
     # chunked map: lax.map alone would run n_frames tiny sequential device
     # steps (per-step dispatch dominates); vmap alone would materialize
-    # (n_frames, P, stride) intermediates (~GBs). 64-frame chunks keep
-    # intermediates ~100 MB while cutting step count ~64x.
-    C = 64
+    # (n_frames, P, stride) intermediates (~GBs). 128-frame chunks keep
+    # intermediates a few hundred MB while cutting step count ~128x.
+    C = 128
     n = table.shape[0]
     pad = (-n) % C
     tp = jnp.pad(table, ((0, pad), (0, 0), (0, 0)))
