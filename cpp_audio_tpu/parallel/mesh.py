@@ -125,3 +125,160 @@ def render_schedule_sharded(schedule: NoteSchedule, n_samples: int,
     return render_bank_sharded(
         bank, n_samples, block_size=config.block_size, dtype=config.dtype, mesh=mesh
     )
+
+
+def make_sharded_chain(mesh: Mesh, n_samples: int, rconfig, vparams,
+                       *, block_size: int = 1 << 15, axis: str = "v"):
+    """The FULL offline chain (synth -> STFT/peaks -> tracker -> tracked
+    render + vocoder) as one sharded program over `mesh`:
+
+      * synth: voice-axis data parallel, mono mixdown = `psum` over ICI
+        (the reference's "+= voice" bus, gen.crtp.h:350-378);
+      * STFT + peak extraction: frame-axis parallel (sequence parallelism —
+        analysis frames are independent), peaks `all_gather`ed (tiny
+        (frames, k) arrays ride ICI);
+      * pitch tracker: replicated (control-sized work, (frames, lanes) ops);
+      * tracked-note slot render: frame-axis parallel again (table rows are
+        self-contained per frame), output `all_gather`ed;
+      * vocoder: replicated fast path.
+
+    Returns (step(args...), prepare(bank) -> args): jit-compiled shard_map
+    over the mesh. Only the no-autotune/no-harmonize config subset (same as
+    chain.run_offline_chain_device).
+    """
+    import jax.numpy as jnp
+
+    from ..analysis import device_tracker, resynth as resynth_mod
+    from ..analysis import vocoder as vocoder_mod
+    from ..models import resynth_bank
+    from ..ops import stft as stft_ops
+    from ..utils import loudness
+
+    n_dev = mesh.devices.size
+    sr = rconfig.sample_rate
+    window = stft_ops.gaussian_window(rconfig.window_size, sigmas=4.0)
+    fft_len = stft_ops.fft_length_for(rconfig.window_size)
+    k = rconfig.max_voices + 1
+    n_frames = max(0, (n_samples - rconfig.window_size) // rconfig.stride + 1)
+    # frame counts padded so every device gets equal frame shards
+    Fp = ((n_frames + n_dev - 1) // n_dev) * n_dev
+    total_frames = ((n_frames + 8 + n_dev - 1) // n_dev) * n_dev
+    rcfg = resynth_mod._render_config(rconfig)
+    a = rcfg.ahdsr
+    li = loudness.phons_to_index(60.0)
+    wdt = jnp.float32
+
+    S = vparams.stride
+    W = vparams.modulator_window
+    car_fft = stft_ops.fft_length_for(2 * S)
+    edges = np.asarray(vparams.band_freqs())
+    bm_car = vocoder_mod._band_matrix(edges, car_fft // 2 + 1, sr / car_fft)
+    n_mod_frames = max(0, (n_samples - W) // S + 1)
+    n_car_frames = max(0, (n_samples - 2 * S) // S + 1)
+    offset = max(0, -(-(W - 2 * S) // S))
+    vrows = np.clip(np.arange(n_car_frames) - offset, 0,
+                    max(n_mod_frames - 1, 0))
+
+    tr_kw = dict(
+        total_frames=total_frames, stride=rcfg.stride, sample_rate=float(sr),
+        max_voices=rconfig.max_voices, n_slots=rcfg.n_slots,
+        nearby_distance=rconfig.nearby_distance_tones,
+        min_volume=rconfig.min_volume,
+        max_track_pitches=rconfig.max_track_pitches,
+        pitch_method={"INTERVAL_CENTER": 0, "MAX_VOLUME": 1,
+                      "PONDERATE_BY_VOLUME": 2}[rconfig.pitch_method.name],
+        volume_method={"MAX_VOLUME": 0, "SUM_VOLUMES": 1}[
+            rconfig.volume_method.name],
+        analysis_volume=rconfig.analysis_volume,
+        shift_pre=rconfig.pitch_shift_pre_autotune,
+        shift_post=rconfig.pitch_shift_post_autotune,
+        stereo_spread=rconfig.stereo_spread,
+        attack=float(np.max(np.asarray(a.attack))),
+        hold=float(np.max(np.asarray(a.hold))),
+        decay=float(np.max(np.asarray(a.decay))),
+        sustain=float(np.asarray(a.sustain)),
+        release=float(np.max(np.asarray(a.release))))
+
+    def shard_fn(fp, ip, up, gains, codes, starts_shard, carrier, loud_p,
+                 loud_s, pan_draws, phase_draws, **statics):
+        # 1. voice-sharded synth; the output bus is an ICI all-reduce
+        out = voicebank.voicebank_blocks_impl(fp, ip, up, gains, codes,
+                                              out_dtype="float32", **statics)
+        mono = jax.lax.psum(
+            out.reshape(-1, out.shape[-1])[:n_samples].sum(axis=1), axis)
+
+        # 2. frame-sharded STFT + device top-k peaks
+        win = jnp.asarray(window, wdt)
+        idx = starts_shard[:, None] + jnp.arange(rconfig.window_size)[None, :]
+        frames = mono[idx] * win[None, :]
+        scale = 2.0 / jnp.sum(win)
+        spec = jnp.fft.rfft(frames, n=fft_len)
+        sq = (jnp.abs(spec) ** 2 * scale**2).astype(wdt)
+        freq_sh, mag_sh = stft_ops._top_peaks(sq, sample_rate=sr,
+                                              fft_length=fft_len, k=k)
+        freq = jax.lax.all_gather(freq_sh, axis).reshape(Fp, -1)[:n_frames]
+        mag = jax.lax.all_gather(mag_sh, axis).reshape(Fp, -1)[:n_frames]
+
+        # 3. replicated tracker -> (total_frames, P, 16) control table
+        table, dropped = device_tracker.build_tables_device(
+            freq, mag, loud_p, loud_s, pan_draws, phase_draws, **tr_kw)
+
+        # 4. frame-sharded tracked-note render
+        Fl = total_frames // n_dev
+        me = jax.lax.axis_index(axis)
+        my_rows = jax.lax.dynamic_slice_in_dim(table, me * Fl, Fl, axis=0)
+        out_rows = resynth_bank._render_slots(my_rows, stride=rcfg.stride,
+                                              n_channels=2, dtype="float32")
+        stereo = jax.lax.all_gather(out_rows, axis).reshape(
+            total_frames * rcfg.stride, -1)[:, :2]
+        stereo = jnp.pad(stereo, ((rcfg.start_sample, 0), (0, 0)))
+
+        # 5. replicated vocoder fast path on the mono bus
+        amps = vocoder_mod._modulator_band_amps_fast(
+            mono, jnp.asarray(edges, wdt), window=W, stride=S,
+            n_frames=n_mod_frames, sample_rate=sr)
+        voc = vocoder_mod._carrier_vocode(
+            carrier, amps[jnp.asarray(vrows)], jnp.asarray(bm_car, wdt),
+            stride=S, fft_len=car_fft)
+        return stereo, voc, dropped
+
+    def prepare(bank):
+        args, statics = voicebank.prepare_bank_arrays(
+            bank, n_samples, block_size, "float32")
+        cap = n_frames * rconfig.max_voices + 16
+        pan = np.random.default_rng(rconfig.seed).uniform(-1, 1, cap)
+        phase = np.random.default_rng(0).uniform(0, 2, cap)
+        starts = (np.arange(Fp) * rconfig.stride).clip(
+            0, max(n_samples - rconfig.window_size, 0))
+        import jax.numpy as jnp
+
+        fixed = (jnp.asarray(starts, np.int32),)
+        consts = (jnp.asarray(np.asarray(loudness.PITCHES), wdt),
+                  jnp.asarray(np.asarray(loudness.ELVS[li]), wdt),
+                  jnp.asarray(pan, jnp.float32),
+                  jnp.asarray(phase, jnp.float32))
+        return args, fixed, consts, statics
+
+    def build(bank, carrier):
+        import functools
+
+        import jax.numpy as jnp
+
+        args, fixed, consts, statics = prepare(bank)
+        fn = jax.shard_map(
+            functools.partial(shard_fn, **statics), mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis),
+                      P(axis), P(), P(), P(), P(), P()),
+            out_specs=(P(), P(), P()),
+            # the replicated tracker mixes all_gather'ed (varying) inputs
+            # into an unvarying scan carry — sound here, so skip vma typing
+            check_vma=False)
+        jfn = jax.jit(fn)
+        carrier_dev = jnp.asarray(carrier, wdt)[:n_samples]
+
+        def step():
+            return jfn(*args, *fixed, carrier_dev, *consts)
+
+        return step
+
+    return build

@@ -54,3 +54,48 @@ def test_sharded_stft_matches_single():
     single = np.asarray(stft_ops.stft_sqmag(sig, w, 1000))
     sharded = np.asarray(pmesh.stft_sqmag_sharded(sig, w, 1000))
     np.testing.assert_allclose(sharded, single[: len(sharded)], rtol=2e-4, atol=1e-8)
+
+
+def test_sharded_full_chain_matches_single_device():
+    """Voice-sharded synth + frame-sharded STFT/render + replicated tracker
+    must reproduce the single-device fused chain."""
+    from cpp_audio_tpu.analysis import chain, resynth, vocoder
+
+    sr = 44100
+    n = sr * 2
+    rng = np.random.default_rng(3)
+    notes = []
+    for i in range(8):
+        press = int(rng.uniform(0, n * 0.4))
+        release = press + int(rng.uniform(sr // 4, n // 2))
+        notes.append(events.Note(i, press, release,
+                                 float(rng.uniform(110, 1760)),
+                                 float(rng.uniform(0.3, 1.0)),
+                                 float(rng.uniform(-1, 1))))
+    sch = voices.schedule_from_notes(notes, pad_to=8)
+    cfg = sine_synth.SineSynthConfig(
+        sample_rate=sr, block_size=4096, dtype="float32",
+        ahdsr=envelopes.AHDSR(attack=441, hold=0, decay=1000,
+                              release=2205, sustain=0.7))
+    bank = sine_synth.bank_from_schedule(sch, cfg)
+    rcfg = resynth.ResynthConfig(sample_rate=sr, analysis_volume=1.0,
+                                 dtype="float32")
+    vparams = vocoder.VocoderParams(sample_rate=sr)
+    carrier = np.sign(np.sin(2 * np.pi * 110.0 * np.arange(n) / sr))
+
+    single = chain.run_offline_chain_device(bank, n, rcfg, vparams, carrier,
+                                            block_size=cfg.block_size)
+    m = pmesh.default_mesh()
+    build = pmesh.make_sharded_chain(m, n, rcfg, vparams,
+                                     block_size=cfg.block_size)
+    stereo, voc, dropped = build(bank, carrier)()
+
+    a = np.asarray(single.resynth)
+    b = np.asarray(stereo)[: a.shape[0]]
+    peak = max(np.abs(a).max(), 1e-9)
+    assert np.abs(a - b[: len(a)]).max() < 1e-3 * peak + 1e-6
+    va = np.asarray(single.vocoded)
+    vb = np.asarray(voc)[: len(va)]
+    vpeak = max(np.abs(va).max(), 1e-9)
+    assert np.abs(va - vb[: len(va)]).max() < 1e-3 * vpeak + 1e-6
+    assert int(dropped) == int(single.dropped)
