@@ -303,3 +303,96 @@ def run_offline_chain_device(bank: voicebank.VoiceBank, n_samples: int,
     stereo, mix, dropped = step()
     return OfflineChainResult(resynth=stereo, vocoded=mix,
                               n_frames=n_frames, dropped=dropped)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n", "dtype", "window_size", "stride", "fft_len", "k", "sample_rate",
+    "use_matmul_dft", "total_frames", "max_voices", "n_slots",
+    "nearby_distance", "min_volume", "max_track_pitches", "pitch_method",
+    "volume_method", "analysis_volume", "shift_pre", "shift_post",
+    "stereo_spread", "attack", "hold", "decay", "sustain", "release",
+    "render_stride", "start_sample"))
+def _fused_resynth_from_signal(mono, window, loud_pitches, loud_spl,
+                               pan_draws, phase_draws, **kw):
+    """Single-dispatch analysis->resynthesis of a PROVIDED mono signal
+    (the rt.resynth.job WAV path): STFT -> device peaks -> device tracker ->
+    tracked-note render, one XLA program, no host round trips."""
+    from . import device_tracker
+
+    mono = mono[: kw["n"]]
+    sq = stft_ops._stft_sqmag(mono, window.astype(mono.dtype),
+                              window_size=kw["window_size"],
+                              stride=kw["stride"], fft_length=kw["fft_len"],
+                              use_matmul_dft=kw["use_matmul_dft"])
+    freq, mag = stft_ops._top_peaks(sq, sample_rate=kw["sample_rate"],
+                                    fft_length=kw["fft_len"], k=kw["k"])
+    table, dropped = device_tracker.build_tables_device(
+        freq, mag, loud_pitches, loud_spl, pan_draws, phase_draws,
+        total_frames=kw["total_frames"], stride=kw["render_stride"],
+        sample_rate=kw["sample_rate"], max_voices=kw["max_voices"],
+        n_slots=kw["n_slots"], nearby_distance=kw["nearby_distance"],
+        min_volume=kw["min_volume"],
+        max_track_pitches=kw["max_track_pitches"],
+        pitch_method=kw["pitch_method"], volume_method=kw["volume_method"],
+        analysis_volume=kw["analysis_volume"], shift_pre=kw["shift_pre"],
+        shift_post=kw["shift_post"], stereo_spread=kw["stereo_spread"],
+        attack=kw["attack"], hold=kw["hold"], decay=kw["decay"],
+        sustain=kw["sustain"], release=kw["release"])
+    out = resynth_bank._render_slots(table, stride=kw["render_stride"],
+                                     n_channels=2, dtype=kw["dtype"])
+    body = out.reshape(kw["total_frames"] * kw["render_stride"], -1)[:, :2]
+    return jnp.pad(body, ((kw["start_sample"], 0), (0, 0))), dropped
+
+
+def resynthesize_signal_device(signal, rconfig) -> "jnp.ndarray":
+    """Device-resident resynthesis of a mono signal (one dispatch).
+
+    Same config subset as run_offline_chain_device (no autotune/harmonize).
+    Returns the stereo jax array (caller np.asarray()s it to fetch).
+    """
+    if rconfig.use_autotune or rconfig.pitch_harmonize_pre_autotune or \
+            rconfig.pitch_harmonize_post_autotune:
+        raise NotImplementedError("autotune/harmonize: use resynthesize()")
+    from ..utils import loudness
+
+    sr = rconfig.sample_rate
+    n = int(np.shape(signal)[0])
+    window = stft_ops.gaussian_window(rconfig.window_size, sigmas=4.0)
+    fft_len = stft_ops.fft_length_for(rconfig.window_size)
+    k = rconfig.max_voices + 1
+    n_frames = max(0, (n - rconfig.window_size) // rconfig.stride + 1)
+    total_frames = n_frames + 8
+    rcfg = resynth_mod._render_config(rconfig)
+    a = rcfg.ahdsr
+    li = loudness.phons_to_index(60.0)
+    cap = n_frames * rconfig.max_voices + 16
+    pan = np.random.default_rng(rconfig.seed).uniform(-1.0, 1.0, cap)
+    phase = np.random.default_rng(0).uniform(0.0, 2.0, cap)
+    wdt = jnp.float32 if rconfig.dtype == "float32" else jnp.float64
+    stereo, _dropped = _fused_resynth_from_signal(
+        jnp.asarray(signal, wdt), jnp.asarray(window, wdt),
+        jnp.asarray(np.asarray(loudness.PITCHES), wdt),
+        jnp.asarray(np.asarray(loudness.ELVS[li]), wdt),
+        jnp.asarray(pan, jnp.float32), jnp.asarray(phase, jnp.float32),
+        n=n, dtype=rconfig.dtype, window_size=rconfig.window_size,
+        stride=rconfig.stride, fft_len=fft_len, k=k, sample_rate=sr,
+        use_matmul_dft=stft_ops.use_matmul_dft_default(wdt),
+        total_frames=total_frames, max_voices=rconfig.max_voices,
+        n_slots=rcfg.n_slots, nearby_distance=rconfig.nearby_distance_tones,
+        min_volume=rconfig.min_volume,
+        max_track_pitches=rconfig.max_track_pitches,
+        pitch_method={"INTERVAL_CENTER": 0, "MAX_VOLUME": 1,
+                      "PONDERATE_BY_VOLUME": 2}[rconfig.pitch_method.name],
+        volume_method={"MAX_VOLUME": 0, "SUM_VOLUMES": 1}[
+            rconfig.volume_method.name],
+        analysis_volume=rconfig.analysis_volume,
+        shift_pre=rconfig.pitch_shift_pre_autotune,
+        shift_post=rconfig.pitch_shift_post_autotune,
+        stereo_spread=rconfig.stereo_spread,
+        attack=float(np.max(np.asarray(a.attack))),
+        hold=float(np.max(np.asarray(a.hold))),
+        decay=float(np.max(np.asarray(a.decay))),
+        sustain=float(np.asarray(a.sustain)),
+        release=float(np.max(np.asarray(a.release))),
+        render_stride=rcfg.stride, start_sample=rcfg.start_sample)
+    return stereo

@@ -339,10 +339,25 @@ def build_tables_native(freq, mag_db, config: ResynthConfig, total_frames: int,
 
 
 def resynthesize(signal, config: ResynthConfig, *, device_out: bool = False,
-                 prefer_native: bool = True) -> np.ndarray:
-    """Full offline chain: mono signal -> stereo resynthesis."""
+                 prefer_native: bool = True,
+                 implementation: str = "auto") -> np.ndarray:
+    """Full offline chain: mono signal -> stereo resynthesis.
+
+    implementation: 'auto' takes the fully device-resident single-dispatch
+    path (frame-parallel tracker) when the config subset allows it, else the
+    native C++ tracker, else pure python; 'device'/'native'/'python' force.
+    """
     rcfg = _render_config(config)
-    if prefer_native:
+    if not prefer_native and implementation == "auto":
+        implementation = "python"
+    device_ok = not (config.use_autotune or config.pitch_harmonize_pre_autotune
+                     or config.pitch_harmonize_post_autotune)
+    if implementation == "device" or (implementation == "auto" and device_ok):
+        from . import chain
+
+        out = chain.resynthesize_signal_device(signal, config)
+        return out if device_out else np.asarray(out)
+    if implementation in ("auto", "native"):
         from .. import native as nat
 
         if nat.available():
@@ -352,7 +367,9 @@ def resynthesize(signal, config: ResynthConfig, *, device_out: bool = False,
                                         config, n_frames + 8, rcfg)
             return resynth_bank.render_table(table, rcfg, device_out=device_out)
     peaks = analyze(signal, config)
-    notes, _stats, _dropped = track(peaks, config, prefer_native=prefer_native)
+    notes, _stats, _dropped = track(
+        peaks, config,
+        prefer_native=prefer_native and implementation != "python")
     return resynth_bank.render_tracked(notes, len(peaks), rcfg,
                                        device_out=device_out)
 

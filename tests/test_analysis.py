@@ -359,6 +359,11 @@ class TestFusedNativeTables:
         sr = 44100
         cfg = resynth.ResynthConfig(sample_rate=sr, seed=5)
         sig = self._signal(sr)
-        a = np.asarray(resynth.resynthesize(sig, cfg, prefer_native=True))
-        b = np.asarray(resynth.resynthesize(sig, cfg, prefer_native=False))
+        a = np.asarray(resynth.resynthesize(sig, cfg, implementation="native"))
+        b = np.asarray(resynth.resynthesize(sig, cfg, implementation="python"))
         np.testing.assert_allclose(a, b, atol=1e-6)
+        # the default (device single-dispatch) path agrees to f32 recurrence
+        # tolerance
+        c = np.asarray(resynth.resynthesize(sig, cfg))
+        peak = max(np.abs(a).max(), 1e-9)
+        assert np.abs(c - a).max() < 2e-3 * peak

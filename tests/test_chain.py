@@ -47,7 +47,8 @@ def test_fused_chain_matches_separate_stages():
     out = voicebank.render_bank(bank, n, block_size=cfg.block_size,
                                 dtype="float32", use_pallas="never")
     mono = out[:n].sum(axis=1)
-    r_sep = np.asarray(resynth.resynthesize(mono, rcfg))
+    r_sep = np.asarray(resynth.resynthesize(mono, rcfg,
+                                            implementation="native"))
     v_sep = np.asarray(vocoder.vocode(mono, carrier, vparams))
 
     r_fused = np.asarray(res.resynth)
@@ -80,3 +81,26 @@ def test_single_dispatch_chain_matches_host_chain():
     peak = max(float(np.max(np.abs(r_h))), 1e-9)
     assert peak > 1e-3
     assert float(np.max(np.abs(r_d - r_h))) / peak < 2e-3
+
+
+def test_resynthesize_signal_device_matches_host():
+    """Single-dispatch WAV-input resynthesis == native/host tracker path."""
+    import numpy as np
+
+    from cpp_audio_tpu.analysis import chain, resynth
+
+    sr = 44100
+    n = sr * 2
+    t = np.arange(n) / sr
+    sig = np.zeros(n)
+    for f0, s0, s1 in [(220, 0.1, 0.9), (440, 0.4, 1.6), (660, 1.0, 1.9)]:
+        i0, i1 = int(s0 * sr), int(s1 * sr)
+        sig[i0:i1] += 0.2 * np.hanning(i1 - i0) * np.sin(
+            2 * np.pi * f0 * t[: i1 - i0])
+    cfg = resynth.ResynthConfig(sample_rate=sr, analysis_volume=1.0,
+                                dtype="float32")
+    dev = np.asarray(chain.resynthesize_signal_device(sig, cfg))
+    host = resynth.resynthesize(sig, cfg, prefer_native=False)
+    m = min(len(dev), len(host))
+    peak = max(np.abs(host).max(), 1e-9)
+    assert np.abs(dev[:m] - host[:m]).max() < 2e-3 * peak
