@@ -199,9 +199,28 @@ def _build_slot_tables(notes: list[TrackedNote], n_frames: int,
     return table
 
 
-@functools.partial(jax.jit, static_argnames=("stride", "n_channels", "dtype"))
-def _render_slots(table, *, stride: int, n_channels: int, dtype: str):
-    """(n_frames, P, N_FIELDS) -> (n_frames, stride, C)."""
+@functools.partial(jax.jit, static_argnames=("stride", "n_channels", "dtype",
+                                             "split"))
+def _render_slots(table, *, stride: int, n_channels: int, dtype: str,
+                  split: int = 64):
+    """(n_frames, P, N_FIELDS) -> (n_frames, stride, C).
+
+    Slot tables pack active rows first (both the host builders and the
+    device tracker), so when P > `split` the upper slots are usually all
+    empty: render them under a lax.cond that skips the work entirely unless
+    some row is live (polyphony above `split` voices)."""
+    if table.shape[1] > split:
+        lo = _render_slots(table[:, :split], stride=stride,
+                           n_channels=n_channels, dtype=dtype, split=split)
+        hi_tab = table[:, split:]
+        live = jnp.any((hi_tab[:, :, _F_VTGT] != 0)
+                       | (hi_tab[:, :, _F_VB] != 0))
+        hi = jax.lax.cond(
+            live,
+            lambda t: _render_slots(t, stride=stride, n_channels=n_channels,
+                                    dtype=dtype, split=split),
+            lambda t: jnp.zeros_like(lo), hi_tab)
+        return lo + hi
     wdt = jnp.dtype(dtype)
     S = stride
     k = jnp.arange(S, dtype=wdt)[None, :]
