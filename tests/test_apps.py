@@ -109,3 +109,34 @@ class TestResynthLiveApp:
         # the tone is reproduced once the first window completes
         mono = d.sum(axis=1)
         assert np.max(np.abs(mono[len(mono) // 2:])) > 1e-3
+
+
+class TestTuneEventStreamCLI:
+    """The tune CLI's event-stream modes (reference main.tune.cpp streams)."""
+
+    def test_rain_mode(self, tmp_path):
+        out = tmp_path / "rain.wav"
+        assert tune_app.main(["--rain", "0.5", str(out)]) == 0
+        data, sr = wavio.read_wav(out)
+        assert np.abs(data).max() > 1e-4
+
+    def test_sonify_mode(self, tmp_path):
+        src = tmp_path / "blob.bin"
+        src.write_bytes(bytes(range(64)) * 4)
+        out = tmp_path / "sonified.wav"
+        assert tune_app.main(["--sonify", str(src), str(out)]) == 0
+        data, sr = wavio.read_wav(out)
+        assert np.abs(data).max() > 1e-4
+
+    def test_two_voice_and_loop(self, tmp_path):
+        out = tmp_path / "duo.wav"
+        assert tune_app.main(["do mi", str(out), "--score2", "sol si",
+                              "--octave2", "3", "--loop", "2",
+                              "--loop-pitch-offset", "2"]) == 0
+        d1, sr = wavio.read_wav(out)
+        # the loop doubles the length vs a single pass
+        out2 = tmp_path / "single.wav"
+        assert tune_app.main(["do mi", str(out2)]) == 0
+        d2, _ = wavio.read_wav(out2)
+        # one extra loop iteration = one score period (2 notes) longer
+        assert len(d1) >= len(d2) + 10000
