@@ -396,3 +396,141 @@ def resynthesize_signal_device(signal, rconfig) -> "jnp.ndarray":
         release=float(np.max(np.asarray(a.release))),
         render_stride=rcfg.stride, start_sample=rcfg.start_sample)
     return stereo
+
+
+def prepare_offline_chain_device_batch(banks, n_samples: int,
+                                       rconfig: resynth_mod.ResynthConfig,
+                                       vparams: vocoder_mod.VocoderParams,
+                                       carrier, *, block_size: int = 1 << 15,
+                                       draws=None):
+    """Batched serving: render B independent jobs per dispatch.
+
+    Same chain as prepare_offline_chain_device, vmapped over jobs — the
+    tracker's many small (frames, lanes) ops are latency-bound on one job, so
+    batching raises per-chip throughput well beyond B-fold amortization of
+    dispatch cost. The violation fallback and the upper-slot render cond are
+    hoisted above the vmap (a cond under vmap executes both branches).
+
+    banks: list of VoiceBank (same n_samples/config per job).
+    carrier: (n,) shared or (B, n) per-job.
+    Returns (step, n_frames); step() -> (stereo (B, T, 2), vocoded (B, m),
+    dropped (B,)).
+    """
+    if rconfig.use_autotune or rconfig.pitch_harmonize_pre_autotune or \
+            rconfig.pitch_harmonize_post_autotune:
+        raise NotImplementedError("device tracker: autotune/harmonize "
+                                  "configs run via run_offline_chain")
+    import jax
+
+    from ..utils import loudness
+    from . import device_tracker
+
+    B = len(banks)
+    sr = rconfig.sample_rate
+    dtype = rconfig.dtype
+    statics = None
+    arrs = [[] for _ in range(5)]
+    for bank in banks:
+        args, statics = voicebank.prepare_bank_arrays(bank, n_samples,
+                                                      block_size, dtype)
+        for i, a in enumerate(args):
+            arrs[i].append(np.asarray(a))
+    batched_args = [jnp.asarray(np.stack(a)) for a in arrs]
+
+    window = stft_ops.gaussian_window(rconfig.window_size, sigmas=4.0)
+    fft_len = stft_ops.fft_length_for(rconfig.window_size)
+    k = rconfig.max_voices + 1
+    S = vparams.stride
+    W = vparams.modulator_window
+    car_fft = stft_ops.fft_length_for(2 * S)
+    edges = vparams.band_freqs()
+    bm_car = vocoder_mod._band_matrix(edges, car_fft // 2 + 1, sr / car_fft)
+    n_mod_frames = max(0, (n_samples - W) // S + 1)
+    n_car_frames = max(0, (n_samples - 2 * S) // S + 1)
+    offset = max(0, -(-(W - 2 * S) // S))
+    rows = np.clip(np.arange(n_car_frames) - offset, 0,
+                   max(n_mod_frames - 1, 0))
+    wdt = jnp.float32 if dtype == "float32" else jnp.float64
+    carrier = np.asarray(carrier)
+    if carrier.ndim == 1:
+        carrier = np.broadcast_to(carrier[:n_samples], (B, n_samples))
+    carrier_dev = jnp.asarray(carrier[:, :n_samples], wdt)
+
+    n_frames = max(0, (n_samples - rconfig.window_size) // rconfig.stride + 1)
+    total_frames = n_frames + 8
+    rcfg = resynth_mod._render_config(rconfig)
+    a = rcfg.ahdsr
+    li = loudness.phons_to_index(60.0)
+    if draws is None:
+        cap = n_frames * rconfig.max_voices + 16
+        draws = (np.random.default_rng(rconfig.seed).uniform(-1.0, 1.0, cap),
+                 np.random.default_rng(0).uniform(0.0, 2.0, cap))
+    pan_draws = jnp.asarray(draws[0], jnp.float32)
+    phase_draws = jnp.asarray(draws[1], jnp.float32)
+    window_dev = jnp.asarray(window, wdt)
+    edges_dev = jnp.asarray(edges, wdt)
+    bm_dev = jnp.asarray(bm_car, wdt)
+    rows_dev = jnp.asarray(rows)
+    loud_p = jnp.asarray(np.asarray(loudness.PITCHES), wdt)
+    loud_s = jnp.asarray(np.asarray(loudness.ELVS[li]), wdt)
+
+    av_kw = dict(n=n_samples, dtype=dtype, window_size=rconfig.window_size,
+                 stride=rconfig.stride, fft_len=fft_len, k=k, sample_rate=sr,
+                 mod_window=W, voc_stride=S, car_fft=car_fft,
+                 n_mod_frames=n_mod_frames,
+                 vol_mod=float(vparams.volume_modulator),
+                 vol_car=float(vparams.volume_carrier),
+                 vol_voc=float(vparams.volume_vocoded),
+                 use_matmul_dft=stft_ops.use_matmul_dft_default(wdt),
+                 **statics)
+    tr_kw = dict(
+        total_frames=total_frames, stride=rcfg.stride, sample_rate=float(sr),
+        max_voices=rconfig.max_voices, n_slots=rcfg.n_slots,
+        nearby_distance=rconfig.nearby_distance_tones,
+        min_volume=rconfig.min_volume,
+        max_track_pitches=rconfig.max_track_pitches,
+        pitch_method={"INTERVAL_CENTER": 0, "MAX_VOLUME": 1,
+                      "PONDERATE_BY_VOLUME": 2}[rconfig.pitch_method.name],
+        volume_method={"MAX_VOLUME": 0, "SUM_VOLUMES": 1}[
+            rconfig.volume_method.name],
+        analysis_volume=rconfig.analysis_volume,
+        shift_pre=rconfig.pitch_shift_pre_autotune,
+        shift_post=rconfig.pitch_shift_post_autotune,
+        stereo_spread=rconfig.stereo_spread,
+        attack=float(np.max(np.asarray(a.attack))),
+        hold=float(np.max(np.asarray(a.hold))),
+        decay=float(np.max(np.asarray(a.decay))),
+        sustain=float(np.asarray(a.sustain)),
+        release=float(np.max(np.asarray(a.release))))
+
+    from ..models.resynth_bank import _F_VB, _F_VTGT
+
+    @jax.jit
+    def batch_step(fp, ip, up, gains, codes, car):
+        freq, mag, mix = jax.vmap(
+            lambda f_, i_, u_, g_, c_, cr_: _fused_analyze_vocode(
+                f_, i_, u_, g_, c_, window_dev, cr_, edges_dev, bm_dev,
+                rows_dev, **av_kw)
+        )(fp, ip, up, gains, codes, car)
+        table, dropped = device_tracker.build_tables_device_batch(
+            freq, mag, loud_p, loud_s, pan_draws, phase_draws, **tr_kw)
+        split = 64
+        lo = jax.vmap(lambda t: resynth_bank._render_slots(
+            t[:, :split], stride=rcfg.stride, n_channels=2, dtype=dtype,
+            split=split))(table)
+        hi_tab = table[:, :, split:]
+        live = jnp.any((hi_tab[..., _F_VTGT] != 0) | (hi_tab[..., _F_VB] != 0))
+        hi = jax.lax.cond(
+            live,
+            lambda t: jax.vmap(lambda tt: resynth_bank._render_slots(
+                tt, stride=rcfg.stride, n_channels=2, dtype=dtype,
+                split=split))(t),
+            lambda t: jnp.zeros_like(lo), hi_tab)
+        out = (lo + hi).reshape(B, total_frames * rcfg.stride, -1)[:, :, :2]
+        stereo = jnp.pad(out, ((0, 0), (rcfg.start_sample, 0), (0, 0)))
+        return stereo, mix, dropped
+
+    def step():
+        return batch_step(*batched_args, carrier_dev)
+
+    return step, n_frames

@@ -703,23 +703,9 @@ def _build_tables_parallel(tpitch, volume, loud_order, is_data, pan_draws,
     return table, viol
 
 
-def build_tables_device(freq, mag_db, loud_pitches, loud_spl, pan_draws,
-                        phase_draws, *, total_frames: int, stride: int,
-                        sample_rate: float, max_voices: int, n_slots: int,
-                        nearby_distance: float, min_volume: float,
-                        max_track_pitches: float, pitch_method: int,
-                        volume_method: int, analysis_volume: float,
-                        shift_pre: float, shift_post: float,
-                        stereo_spread: float, attack: float, hold: float,
-                        decay: float, sustain: float, release: float,
-                        _force_scan: bool = False):
-    """(F, k) device peak arrays -> ((total_frames, n_slots, 16) table,
-    dropped-NoteOn count), entirely on device (jit-traceable)."""
+def _prep_lanes(freq, mag_db, loud_pitches, loud_spl, kw):
+    """Lane padding + frame-local pipeline + tail-frame padding."""
     F, k = freq.shape
-    P = n_slots
-    Q = 128
-    if max_voices > Q - 1:
-        raise ValueError(f"device tracker supports max_voices <= {Q - 1}")
     if k % 8:  # tracker lanes work in blocks of 8
         padk = 8 - k % 8
         freq = jnp.pad(freq, ((0, 0), (0, padk)))
@@ -727,26 +713,118 @@ def build_tables_device(freq, mag_db, loud_pitches, loud_spl, pan_draws,
                          constant_values=-jnp.inf)
         k += padk
     tpitch, volume, loud_order = _frame_local(
-        freq, mag_db, loud_pitches, loud_spl, d=nearby_distance,
-        min_volume=min_volume, pitch_method=pitch_method,
-        volume_method=volume_method, shift_pre=shift_pre,
-        shift_post=shift_post, analysis_volume=analysis_volume)
-
-    # extend xs through the render tail (no analysis data there: no events,
+        freq, mag_db, loud_pitches, loud_spl, d=kw["nearby_distance"],
+        min_volume=kw["min_volume"], pitch_method=kw["pitch_method"],
+        volume_method=kw["volume_method"], shift_pre=kw["shift_pre"],
+        shift_post=kw["shift_post"], analysis_volume=kw["analysis_volume"])
+    # extend through the render tail (no analysis data there: no events,
     # recurrences keep running — matches the host packer's f1 windows)
-    pad = total_frames - F
+    pad = kw["total_frames"] - F
     if pad > 0:
         tpitch = jnp.pad(tpitch, ((0, pad), (0, 0)), constant_values=jnp.inf)
         volume = jnp.pad(volume, ((0, pad), (0, 0)))
         loud_order = jnp.pad(loud_order, ((0, pad), (0, 0)))
-    is_data = jnp.arange(total_frames) < F
+    is_data = jnp.arange(kw["total_frames"]) < F
+    return tpitch, volume, loud_order, is_data, k
 
-    statics = (float(stride), float(sample_rate), float(max_track_pitches),
-               int(max_voices), float(attack), float(hold), float(decay),
-               float(sustain), float(release), float(stereo_spread),
-               int(total_frames), jnp.asarray(pan_draws, jnp.float32),
+
+def _parallel_tables(tpitch, volume, loud_order, is_data, pan_draws,
+                     phase_draws, kw, k, n_data_frames):
+    """(table, violation) via the frame-parallel tracker."""
+    sr_f = float(kw["sample_rate"])
+    min_dt = sr_f / 1000.0
+    release_eff = max(float(kw["release"]), min_dt, 1.0)
+    # release length R is floored at 2.5 periods of the note; the lowest
+    # peak an STFT can produce is ~bin 1 (a few Hz), so budget tails for
+    # a 2 Hz ghost note, capped at 32 frames (longer tails: rare configs,
+    # exact fallback via the violation predicate)
+    min_change_floor = 2.5 * sr_f / 2.0
+    total_frames = kw["total_frames"]
+    t_max = int(min(total_frames, 32,
+                    np.ceil(max(release_eff, min_change_floor)
+                            / float(kw["stride"])) + 2))
+    t_max = max(t_max, min(total_frames - n_data_frames, 32), 1)
+    return _build_tables_parallel(
+        tpitch, volume.astype(jnp.float32), loud_order, is_data,
+        jnp.asarray(pan_draws, jnp.float32),
+        jnp.asarray(phase_draws, jnp.float32),
+        S=float(kw["stride"]), sr=sr_f, maxd=float(kw["max_track_pitches"]),
+        max_voices=int(kw["max_voices"]), P=kw["n_slots"], Q=128,
+        attack=float(kw["attack"]), hold=float(kw["hold"]),
+        decay=float(kw["decay"]), sustain=float(kw["sustain"]),
+        release=float(kw["release"]),
+        stereo_spread=float(kw["stereo_spread"]),
+        total_frames=int(total_frames), t_max=t_max)
+
+
+def _scan_tables(tpitch, volume, loud_order, is_data, pan_draws,
+                 phase_draws, kw, k):
+    """(table, dropped) via the sequential scan tracker."""
+    P = kw["n_slots"]
+    Q = 128
+    total_frames = kw["total_frames"]
+    statics = (float(kw["stride"]), float(kw["sample_rate"]),
+               float(kw["max_track_pitches"]), int(kw["max_voices"]),
+               float(kw["attack"]), float(kw["hold"]), float(kw["decay"]),
+               float(kw["sustain"]), float(kw["release"]),
+               float(kw["stereo_spread"]), int(total_frames),
+               jnp.asarray(pan_draws, jnp.float32),
                jnp.asarray(phase_draws, jnp.float32))
+    carry0 = _scan_carry0(P, Q, tpitch.dtype)
+    step = functools.partial(_track_step, k=k, P=P, Q=Q, statics=statics)
+    xs = (tpitch, volume, loud_order,
+          jnp.arange(total_frames, dtype=jnp.int32), is_data)
+    carry, table = jax.lax.scan(step, carry0, xs, unroll=_SCAN_UNROLL)
+    return table, carry[-1]
 
+
+_TRACKER_KW_NAMES = (
+    "total_frames", "stride", "sample_rate", "max_voices", "n_slots",
+    "nearby_distance", "min_volume", "max_track_pitches", "pitch_method",
+    "volume_method", "analysis_volume", "shift_pre", "shift_post",
+    "stereo_spread", "attack", "hold", "decay", "sustain", "release")
+
+
+def build_tables_device_batch(freq, mag_db, loud_pitches, loud_spl,
+                              pan_draws, phase_draws, **kw):
+    """Batched-serving variant: freq/mag are (B, F, k); returns
+    ((B, total_frames, n_slots, 16), (B,) dropped).
+
+    The frame-parallel tracker vmaps over jobs; the violation cond is
+    hoisted ABOVE the vmap (any job violating sends the whole batch down the
+    vmapped scan — under vmap a cond would execute both branches for every
+    job). Requires min_volume > 0 (same subset as the parallel path).
+    """
+    if kw["min_volume"] <= 0:
+        raise NotImplementedError("batched tracker requires min_volume > 0")
+    B, F, _ = freq.shape
+    n_data = F
+
+    def prep_one(fr, mg):
+        return _prep_lanes(fr, mg, loud_pitches, loud_spl, kw)[:4]
+
+    tpitch, volume, loud_order, is_data = jax.vmap(prep_one)(freq, mag_db)
+    k = tpitch.shape[-1]
+    is_data0 = is_data[0]
+
+    def par_one(tp, vo, lo):
+        return _parallel_tables(tp, vo, lo, is_data0, pan_draws,
+                                phase_draws, kw, k, n_data)
+
+    tables, viols = jax.vmap(par_one)(tpitch, volume, loud_order)
+
+    def scan_all(_):
+        return jax.vmap(
+            lambda tp, vo, lo: _scan_tables(tp, vo, lo, is_data0, pan_draws,
+                                            phase_draws, kw, k)
+        )(tpitch, volume, loud_order)
+
+    return jax.lax.cond(
+        jnp.any(viols), scan_all,
+        lambda _: (tables, jnp.zeros((B,), jnp.int32)), None)
+
+
+def _scan_carry0(P, Q, pitch_dtype):
     st = (jnp.zeros((P,), jnp.int32),                    # state
           jnp.zeros((P,), jnp.int32),                    # f1
           jnp.zeros((P,), jnp.float32),                  # press
@@ -763,42 +841,39 @@ def build_tables_device(freq, mag_db, loud_pitches, loud_spl, pan_draws,
           jnp.zeros((P,), jnp.float32),                  # previnc
           jnp.zeros((P,), jnp.float32),                  # curinc
           jnp.zeros((P,), jnp.float32))                  # curvol
-    carry0 = (jnp.full((Q,), jnp.inf, tpitch.dtype),
-              jnp.full((Q,), -1, jnp.int32),
-              st, jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    return (jnp.full((Q,), jnp.inf, pitch_dtype),
+            jnp.full((Q,), -1, jnp.int32),
+            st, jnp.int32(0), jnp.int32(0), jnp.int32(0))
 
-    step = functools.partial(_track_step, k=k, P=P, Q=Q, statics=statics)
-    xs = (tpitch, volume, loud_order,
-          jnp.arange(total_frames, dtype=jnp.int32), is_data)
+
+def build_tables_device(freq, mag_db, loud_pitches, loud_spl, pan_draws,
+                        phase_draws, *, total_frames: int, stride: int,
+                        sample_rate: float, max_voices: int, n_slots: int,
+                        nearby_distance: float, min_volume: float,
+                        max_track_pitches: float, pitch_method: int,
+                        volume_method: int, analysis_volume: float,
+                        shift_pre: float, shift_post: float,
+                        stereo_spread: float, attack: float, hold: float,
+                        decay: float, sustain: float, release: float,
+                        _force_scan: bool = False):
+    """(F, k) device peak arrays -> ((total_frames, n_slots, 16) table,
+    dropped-NoteOn count), entirely on device (jit-traceable)."""
+    F = freq.shape[0]
+    if max_voices > 127:
+        raise ValueError("device tracker supports max_voices <= 127")
+    kw = {n: v for n, v in locals().items() if n in _TRACKER_KW_NAMES}
+    tpitch, volume, loud_order, is_data, k = _prep_lanes(
+        freq, mag_db, loud_pitches, loud_spl, kw)
 
     def _scan_path(_):
-        carry, table = jax.lax.scan(step, carry0, xs, unroll=_SCAN_UNROLL)
-        return table, carry[-1]
+        return _scan_tables(tpitch, volume, loud_order, is_data, pan_draws,
+                            phase_draws, kw, k)
 
     if min_volume > 0 and not _force_scan:
         # frame-parallel fast path; exact-violation predicate falls back to
         # the scan (lax.cond compiles both, runs one)
-        sr_f = float(sample_rate)
-        min_dt = sr_f / 1000.0
-        release_eff = max(float(release), min_dt, 1.0)
-        # release length R is floored at 2.5 periods of the note; the lowest
-        # peak an STFT can produce is ~bin 1 (a few Hz), so budget tails for
-        # a 2 Hz ghost note, capped at 32 frames (longer tails: rare configs,
-        # exact fallback via the violation predicate)
-        min_change_floor = 2.5 * sr_f / 2.0
-        t_max = int(min(total_frames, 32,
-                        np.ceil(max(release_eff, min_change_floor)
-                                / float(stride)) + 2))
-        t_max = max(t_max, min(total_frames - F, 32), 1)
-        tbl_p, viol = _build_tables_parallel(
-            tpitch, volume.astype(jnp.float32), loud_order, is_data,
-            jnp.asarray(pan_draws, jnp.float32),
-            jnp.asarray(phase_draws, jnp.float32),
-            S=float(stride), sr=sr_f, maxd=float(max_track_pitches),
-            max_voices=int(max_voices), P=P, Q=Q, attack=float(attack),
-            hold=float(hold), decay=float(decay), sustain=float(sustain),
-            release=float(release), stereo_spread=float(stereo_spread),
-            total_frames=int(total_frames), t_max=t_max)
+        tbl_p, viol = _parallel_tables(tpitch, volume, loud_order, is_data,
+                                       pan_draws, phase_draws, kw, k, F)
         return jax.lax.cond(viol, _scan_path,
                             lambda _: (tbl_p, jnp.int32(0)), None)
     return _scan_path(None)

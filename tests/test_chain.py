@@ -104,3 +104,51 @@ def test_resynthesize_signal_device_matches_host():
     m = min(len(dev), len(host))
     peak = max(np.abs(host).max(), 1e-9)
     assert np.abs(dev[:m] - host[:m]).max() < 2e-3 * peak
+
+
+def test_batched_chain_matches_single():
+    """prepare_offline_chain_device_batch == per-job single-dispatch chain."""
+    import numpy as np
+
+    from cpp_audio_tpu.analysis import chain, resynth, vocoder
+    from cpp_audio_tpu.core import events, voices
+    from cpp_audio_tpu.models import sine_synth
+    from cpp_audio_tpu.ops import envelopes
+
+    sr = 44100
+    n = sr * 2
+    banks = []
+    for seed in (1, 2):
+        rng = np.random.default_rng(seed)
+        notes = [events.Note(i, int(rng.uniform(0, n * 0.4)),
+                             int(rng.uniform(n * 0.5, n * 0.9)),
+                             float(rng.uniform(110, 1760)),
+                             float(rng.uniform(0.3, 1.0)),
+                             float(rng.uniform(-1, 1))) for i in range(6)]
+        sch = voices.schedule_from_notes(notes, pad_to=8)
+        cfg = sine_synth.SineSynthConfig(
+            sample_rate=sr, block_size=4096, dtype="float32",
+            ahdsr=envelopes.AHDSR(attack=441, hold=0, decay=1000,
+                                  release=2205, sustain=0.7))
+        banks.append(sine_synth.bank_from_schedule(sch, cfg))
+    rcfg = resynth.ResynthConfig(sample_rate=sr, analysis_volume=1.0,
+                                 dtype="float32")
+    vparams = vocoder.VocoderParams(sample_rate=sr)
+    carrier = np.sign(np.sin(2 * np.pi * 110.0 * np.arange(n) / sr))
+
+    step, _ = chain.prepare_offline_chain_device_batch(
+        banks, n, rcfg, vparams, carrier, block_size=4096)
+    stereo, voc, dropped = step()
+    for b, bank in enumerate(banks):
+        single = chain.run_offline_chain_device(bank, n, rcfg, vparams,
+                                                carrier, block_size=4096)
+        a = np.asarray(single.resynth)
+        bb = np.asarray(stereo[b])[: len(a)]
+        peak = max(np.abs(a).max(), 1e-9)
+        # cross-implementation f32 tolerance (vmap reassociates einsums)
+        assert np.abs(a - bb).max() < 1e-3 * peak + 1e-7
+        va = np.asarray(single.vocoded)
+        vb = np.asarray(voc[b])[: len(va)]
+        # f32 FFT reassociation under vmap on multi-million-point transforms
+        assert np.abs(va - vb).max() < 1e-3 * max(np.abs(va).max(), 1e-9) + 1e-7
+        assert int(dropped[b]) == int(single.dropped)

@@ -206,3 +206,45 @@ class TestParallelTracker:
             *args, **dict(kw, min_volume=0.0))
         assert int(d_a) == int(d_b) > 0  # drops happened -> scan path used
         np.testing.assert_allclose(np.asarray(t_a), np.asarray(t_b))
+
+
+def test_batched_tracker_matches_single():
+    """build_tables_device_batch == per-job build_tables_device."""
+    from cpp_audio_tpu.utils import loudness as ld
+
+    rng = np.random.default_rng(11)
+    B, F, k = 3, 30, 16
+    freqs, mags = [], []
+    for b in range(B):
+        freq = np.full((F, k), np.nan)
+        mag = np.full((F, k), -np.inf)
+        for _ in range(5):
+            f0 = rng.uniform(100, 2000)
+            s = int(rng.integers(0, F - 4)); e = s + int(rng.integers(2, F - s))
+            for fr in range(s, e):
+                j = int(rng.integers(0, k))
+                freq[fr, j] = f0
+                mag[fr, j] = rng.uniform(-40, -10)
+        order = np.argsort(np.where(np.isfinite(freq), freq, np.inf), axis=1)
+        freqs.append(np.take_along_axis(freq, order, 1))
+        mags.append(np.take_along_axis(mag, order, 1))
+    li = ld.phons_to_index(60.0)
+    cap = F * 12 + 16
+    pan = np.random.default_rng(1).uniform(-1, 1, cap)
+    phase = np.random.default_rng(2).uniform(0, 2, cap)
+    kw = dict(total_frames=F + 6, stride=512, sample_rate=44100.0,
+              max_voices=12, n_slots=32, nearby_distance=0.5,
+              min_volume=1e-6, max_track_pitches=1.0, pitch_method=2,
+              volume_method=1, analysis_volume=1.0, shift_pre=0.0,
+              shift_post=0.0, stereo_spread=0.8, attack=441.0, hold=0.0,
+              decay=800.0, sustain=0.7, release=2000.0)
+    lp = np.asarray(ld.PITCHES, np.float64)
+    ls = np.asarray(ld.ELVS[li], np.float64)
+    tb, db = device_tracker.build_tables_device_batch(
+        np.stack(freqs), np.stack(mags), lp, ls, pan, phase, **kw)
+    for b in range(B):
+        ts, ds = device_tracker.build_tables_device(
+            freqs[b], mags[b], lp, ls, pan, phase, **kw)
+        np.testing.assert_allclose(np.asarray(tb)[b], np.asarray(ts),
+                                   atol=1e-6)
+        assert int(db[b]) == int(ds)
