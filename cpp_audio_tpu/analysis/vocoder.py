@@ -101,13 +101,30 @@ def _modulator_band_amps_fast(signal, edges, *, window: int, stride: int,
     n_fft = 1
     while n_fft < n:
         n_fft *= 2
-    X = jnp.fft.rfft(signal, n=n_fft)
-    hz = jnp.arange(X.shape[0], dtype=jnp.float64 if X.dtype == jnp.complex128
-                    else jnp.float32) * (sample_rate / n_fft)
-    mask = (hz[None, :] > edges[:-1, None]) & (hz[None, :] <= edges[1:, None])
-    Y = X[None, :] * mask  # (bands, bins) — keep the FFT on the LAST axis
-    y = jnp.fft.irfft(Y, n=n_fft, axis=-1)[:, :n]  # (bands, n) band-passed
-    e = cumsum_chunked((y * y).T, axis=0)
+    # Work on the FULL complex spectrum with symmetric masks and pack TWO
+    # real band signals per complex ifft (ifft(A + iB) = y_a + i y_b for
+    # hermitian A, B): irfft's hermitian-extension lowers to whole-spectrum
+    # `reverse` passes that cost more than the FFTs themselves on TPU.
+    fdt = signal.dtype
+    cdt = jnp.complex128 if fdt == jnp.float64 else jnp.complex64
+    X = jnp.fft.fft(signal.astype(cdt), n=n_fft)
+    idx = jnp.arange(n_fft)
+    folded = jnp.minimum(idx, n_fft - idx).astype(fdt)
+    hz = folded * (sample_rate / n_fft)
+    n_bands = edges.shape[0] - 1
+    ys = []
+    for p in range(0, n_bands, 2):
+        mask_a = ((hz > edges[p]) & (hz <= edges[p + 1])).astype(fdt)
+        if p + 1 < n_bands:
+            mask_b = ((hz > edges[p + 1]) & (hz <= edges[p + 2])).astype(fdt)
+            z = jnp.fft.ifft(X * (mask_a + 1j * mask_b))
+            ys.append(jnp.real(z)[:n])
+            ys.append(jnp.imag(z)[:n])
+        else:
+            z = jnp.fft.ifft(X * mask_a)
+            ys.append(jnp.real(z)[:n])
+    y = jnp.stack(ys, axis=-1)  # (n, bands)
+    e = cumsum_chunked(y * y, axis=0)
     starts = jnp.arange(n_frames) * stride
     ends = jnp.minimum(starts + window, n - 1)
     band_e = e[ends] - e[starts]  # (n_frames, bands)
