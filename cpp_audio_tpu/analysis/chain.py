@@ -76,6 +76,31 @@ def _fused_analyze_vocode(fp, ip, up, gains, codes, window, carrier, edges,
     return freq, mag, mix
 
 
+def tracker_config_kwargs(rconfig, rcfg) -> dict:
+    """The device tracker's config-derived kwargs (shared by every fused
+    path; the context-dependent total_frames / stride / sample_rate keys are
+    supplied by each caller)."""
+    a = rcfg.ahdsr
+    return dict(
+        max_voices=rconfig.max_voices, n_slots=rcfg.n_slots,
+        nearby_distance=rconfig.nearby_distance_tones,
+        min_volume=rconfig.min_volume,
+        max_track_pitches=rconfig.max_track_pitches,
+        pitch_method={"INTERVAL_CENTER": 0, "MAX_VOLUME": 1,
+                      "PONDERATE_BY_VOLUME": 2}[rconfig.pitch_method.name],
+        volume_method={"MAX_VOLUME": 0, "SUM_VOLUMES": 1}[
+            rconfig.volume_method.name],
+        analysis_volume=rconfig.analysis_volume,
+        shift_pre=rconfig.pitch_shift_pre_autotune,
+        shift_post=rconfig.pitch_shift_post_autotune,
+        stereo_spread=rconfig.stereo_spread,
+        attack=float(np.max(np.asarray(a.attack))),
+        hold=float(np.max(np.asarray(a.hold))),
+        decay=float(np.max(np.asarray(a.decay))),
+        sustain=float(np.asarray(a.sustain)),
+        release=float(np.max(np.asarray(a.release))))
+
+
 @dataclass
 class OfflineChainResult:
     resynth: object       # (samples, 2) device array
@@ -262,24 +287,9 @@ def prepare_offline_chain_device(bank: voicebank.VoiceBank, n_samples: int,
         vol_car=float(vparams.volume_carrier),
         vol_voc=float(vparams.volume_vocoded),
         use_matmul_dft=stft_ops.use_matmul_dft_default(wdt),
-        total_frames=total_frames, max_voices=rconfig.max_voices,
-        n_slots=rcfg.n_slots, nearby_distance=rconfig.nearby_distance_tones,
-        min_volume=rconfig.min_volume,
-        max_track_pitches=rconfig.max_track_pitches,
-        pitch_method={"INTERVAL_CENTER": 0, "MAX_VOLUME": 1,
-                      "PONDERATE_BY_VOLUME": 2}[rconfig.pitch_method.name],
-        volume_method={"MAX_VOLUME": 0, "SUM_VOLUMES": 1}[
-            rconfig.volume_method.name],
-        analysis_volume=rconfig.analysis_volume,
-        shift_pre=rconfig.pitch_shift_pre_autotune,
-        shift_post=rconfig.pitch_shift_post_autotune,
-        stereo_spread=rconfig.stereo_spread,
-        attack=float(np.max(np.asarray(a.attack))),
-        hold=float(np.max(np.asarray(a.hold))),
-        decay=float(np.max(np.asarray(a.decay))),
-        sustain=float(np.asarray(a.sustain)),
-        release=float(np.max(np.asarray(a.release))),
-        render_stride=rcfg.stride, start_sample=rcfg.start_sample, **statics)
+        total_frames=total_frames, render_stride=rcfg.stride,
+        start_sample=rcfg.start_sample,
+        **tracker_config_kwargs(rconfig, rcfg), **statics)
 
     def step():
         return _fused_single_dispatch(*all_args, **kw)
@@ -377,24 +387,9 @@ def resynthesize_signal_device(signal, rconfig) -> "jnp.ndarray":
         n=n, dtype=rconfig.dtype, window_size=rconfig.window_size,
         stride=rconfig.stride, fft_len=fft_len, k=k, sample_rate=sr,
         use_matmul_dft=stft_ops.use_matmul_dft_default(wdt),
-        total_frames=total_frames, max_voices=rconfig.max_voices,
-        n_slots=rcfg.n_slots, nearby_distance=rconfig.nearby_distance_tones,
-        min_volume=rconfig.min_volume,
-        max_track_pitches=rconfig.max_track_pitches,
-        pitch_method={"INTERVAL_CENTER": 0, "MAX_VOLUME": 1,
-                      "PONDERATE_BY_VOLUME": 2}[rconfig.pitch_method.name],
-        volume_method={"MAX_VOLUME": 0, "SUM_VOLUMES": 1}[
-            rconfig.volume_method.name],
-        analysis_volume=rconfig.analysis_volume,
-        shift_pre=rconfig.pitch_shift_pre_autotune,
-        shift_post=rconfig.pitch_shift_post_autotune,
-        stereo_spread=rconfig.stereo_spread,
-        attack=float(np.max(np.asarray(a.attack))),
-        hold=float(np.max(np.asarray(a.hold))),
-        decay=float(np.max(np.asarray(a.decay))),
-        sustain=float(np.asarray(a.sustain)),
-        release=float(np.max(np.asarray(a.release))),
-        render_stride=rcfg.stride, start_sample=rcfg.start_sample)
+        total_frames=total_frames, render_stride=rcfg.stride,
+        start_sample=rcfg.start_sample,
+        **tracker_config_kwargs(rconfig, rcfg))
     return stereo
 
 
@@ -485,23 +480,7 @@ def prepare_offline_chain_device_batch(banks, n_samples: int,
                  **statics)
     tr_kw = dict(
         total_frames=total_frames, stride=rcfg.stride, sample_rate=float(sr),
-        max_voices=rconfig.max_voices, n_slots=rcfg.n_slots,
-        nearby_distance=rconfig.nearby_distance_tones,
-        min_volume=rconfig.min_volume,
-        max_track_pitches=rconfig.max_track_pitches,
-        pitch_method={"INTERVAL_CENTER": 0, "MAX_VOLUME": 1,
-                      "PONDERATE_BY_VOLUME": 2}[rconfig.pitch_method.name],
-        volume_method={"MAX_VOLUME": 0, "SUM_VOLUMES": 1}[
-            rconfig.volume_method.name],
-        analysis_volume=rconfig.analysis_volume,
-        shift_pre=rconfig.pitch_shift_pre_autotune,
-        shift_post=rconfig.pitch_shift_post_autotune,
-        stereo_spread=rconfig.stereo_spread,
-        attack=float(np.max(np.asarray(a.attack))),
-        hold=float(np.max(np.asarray(a.hold))),
-        decay=float(np.max(np.asarray(a.decay))),
-        sustain=float(np.asarray(a.sustain)),
-        release=float(np.max(np.asarray(a.release))))
+        **tracker_config_kwargs(rconfig, rcfg))
 
     from ..models.resynth_bank import _F_VB, _F_VTGT
 

@@ -179,25 +179,11 @@ def make_sharded_chain(mesh: Mesh, n_samples: int, rconfig, vparams,
     vrows = np.clip(np.arange(n_car_frames) - offset, 0,
                     max(n_mod_frames - 1, 0))
 
+    from ..analysis.chain import tracker_config_kwargs
+
     tr_kw = dict(
         total_frames=total_frames, stride=rcfg.stride, sample_rate=float(sr),
-        max_voices=rconfig.max_voices, n_slots=rcfg.n_slots,
-        nearby_distance=rconfig.nearby_distance_tones,
-        min_volume=rconfig.min_volume,
-        max_track_pitches=rconfig.max_track_pitches,
-        pitch_method={"INTERVAL_CENTER": 0, "MAX_VOLUME": 1,
-                      "PONDERATE_BY_VOLUME": 2}[rconfig.pitch_method.name],
-        volume_method={"MAX_VOLUME": 0, "SUM_VOLUMES": 1}[
-            rconfig.volume_method.name],
-        analysis_volume=rconfig.analysis_volume,
-        shift_pre=rconfig.pitch_shift_pre_autotune,
-        shift_post=rconfig.pitch_shift_post_autotune,
-        stereo_spread=rconfig.stereo_spread,
-        attack=float(np.max(np.asarray(a.attack))),
-        hold=float(np.max(np.asarray(a.hold))),
-        decay=float(np.max(np.asarray(a.decay))),
-        sustain=float(np.asarray(a.sustain)),
-        release=float(np.max(np.asarray(a.release))))
+        **tracker_config_kwargs(rconfig, rcfg))
 
     def shard_fn(fp, ip, up, gains, codes, starts_shard, carrier, loud_p,
                  loud_s, pan_draws, phase_draws, **statics):

@@ -248,3 +248,48 @@ def test_batched_tracker_matches_single():
         np.testing.assert_allclose(np.asarray(tb)[b], np.asarray(ts),
                                    atol=1e-6)
         assert int(db[b]) == int(ds)
+
+
+def test_parallel_tracker_crossing_glides():
+    """Two gliding tones that CROSS in pitch: the two-pointer matching and
+    chain identity must agree between the parallel and scan paths."""
+    from cpp_audio_tpu.models import resynth_bank
+    from cpp_audio_tpu.utils import loudness as ld
+    import jax.numpy as jnp
+
+    F, k = 60, 16
+    freq = np.full((F, k), np.nan)
+    mag = np.full((F, k), -np.inf)
+    for fr in range(F):
+        a = 300.0 * 2 ** (fr / 60.0)     # rising
+        b = 600.0 * 2 ** (-fr / 60.0)    # falling (crosses near fr=30)
+        pair = sorted([(a, -15.0), (b, -18.0)])
+        for j, (f0, m0) in enumerate(pair):
+            freq[fr, j] = f0
+            mag[fr, j] = m0
+    li = ld.phons_to_index(60.0)
+    cap = F * 12 + 16
+    pan = np.random.default_rng(1).uniform(-1, 1, cap)
+    phase = np.random.default_rng(2).uniform(0, 2, cap)
+    kw = dict(total_frames=F + 6, stride=512, sample_rate=44100.0,
+              max_voices=12, n_slots=32, nearby_distance=0.1,
+              min_volume=1e-6, max_track_pitches=2.0, pitch_method=2,
+              volume_method=1, analysis_volume=1.0, shift_pre=0.0,
+              shift_post=0.0, stereo_spread=0.8, attack=441.0, hold=0.0,
+              decay=800.0, sustain=0.7, release=2000.0)
+    lp = np.asarray(ld.PITCHES, np.float64)
+    ls = np.asarray(ld.ELVS[li], np.float64)
+    t_par, d_par = device_tracker.build_tables_device(freq, mag, lp, ls,
+                                                      pan, phase, **kw)
+    t_scan, d_scan = device_tracker.build_tables_device(
+        freq, mag, lp, ls, pan, phase, _force_scan=True, **kw)
+    assert int(d_par) == int(d_scan) == 0
+    ra = np.asarray(resynth_bank._render_slots(
+        jnp.asarray(t_par, jnp.float32), stride=512, n_channels=2,
+        dtype="float32")).reshape(-1, 2)
+    rb = np.asarray(resynth_bank._render_slots(
+        jnp.asarray(t_scan, jnp.float32), stride=512, n_channels=2,
+        dtype="float32")).reshape(-1, 2)
+    peak = max(np.abs(rb).max(), 1e-9)
+    assert peak > 1e-4
+    assert np.abs(ra - rb).max() < 2e-3 * peak
