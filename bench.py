@@ -43,7 +43,7 @@ def make_synth_workload(sr, n, seed=42):
         sample_rate=sr,
         ahdsr=envelopes.AHDSR(attack=441, hold=100, decay=2000, release=8820,
                               sustain=0.7),
-        block_size=1 << 15,
+        block_size=1 << 16,
         dtype="float32",
     )
     return sch, cfg

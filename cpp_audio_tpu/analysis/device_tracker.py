@@ -662,41 +662,50 @@ def _build_tables_parallel(tpitch, volume, loud_order, is_data, pan_draws,
     t_need = jnp.where(end, f1 - (f_iota + 1), 0)
     viol |= jnp.any(t_need > t_max)
 
-    # per tail offset t: shift end-lane rows down to frame f_end + 1 + t
-    def shift_down(a, n, fill):
-        return jnp.concatenate(
-            [jnp.full((n,) + a.shape[1:], fill, a.dtype), a[:F - n]], axis=0)
+    # Tail rows for ALL t offsets at once: stack the t shifted views of each
+    # end-lane array (one concat per source), then compute every row field
+    # as a single batched (t_max, F, k) op — a per-t python loop would emit
+    # ~18 small ops per offset.
+    def shifted_stack(a, fill):
+        ap = jnp.concatenate(
+            [jnp.full((t_max,) + a.shape[1:], fill, a.dtype), a[:F - 1]],
+            axis=0)
+        return jnp.stack([ap[t_max - 1 - t: t_max - 1 - t + F]
+                          for t in range(t_max)], axis=0)  # (t_max, F, k)
 
-    tail_masks, tail_rows = [], []
-    for t in range(t_max):
-        m_t = shift_down(end & (t < t_need), 1 + t, False)
-        sh = lambda a: shift_down(a, 1 + t, 0)
-        gS = fS  # (F, 1) frame g sample offset
-        inc_e = sh(inc_to)
-        # t * (S*inc mod 2) mod 2 == t*S*inc mod 2 for integer t, and keeps
-        # every operand small enough for f32
-        step_m = jnp.mod(np.float32(S) * inc_e, 2.0)
-        phase_g = jnp.mod(sh(jnp.mod(phase_start + dphi_m, 2.0))
-                          + np.float32(t) * step_m, 2.0)
-        q_e = sh(q_loc)
-        qp = jnp.power(q_e, np.float32(t + 1))
-        volb_g = qp * sh(volb_start) + (1.0 - qp) * sh(c_loc)
-        rows_t = jnp.stack([
-            inc_e, jnp.zeros((F, k), f32), phase_g.astype(f32), sh(c_loc),
-            volb_g.astype(f32), sh(alpha),
-            gS - sh(press),
-            jnp.maximum(gS - sh(rel), -np.float32(FAR)),
-            sh(top_tail), sh(A_n), jnp.full((F, k), hold_eff, f32), sh(D_n),
-            jnp.full((F, k), sus, f32), sh(R_n), sh(gl_n), sh(gr_n),
-        ], axis=-1)
-        tail_masks.append(m_t)
-        tail_rows.append(rows_t)
-    tm = jnp.stack(tail_masks, axis=1).reshape(F, t_max * k)
+    t_iota = jnp.arange(t_max, dtype=f32)[:, None, None]
+    # mask: t < t_need of the END lane, shifted to frame f_end + 1 + t
+    m_all = shifted_stack(end, False) & (
+        t_iota < shifted_stack(t_need.astype(f32), 0.0))
+    inc_e = shifted_stack(inc_to, 0.0)
+    step_m = jnp.mod(np.float32(S) * inc_e, 2.0)
+    # t * (S*inc mod 2) mod 2 == t*S*inc mod 2 for integer t, and keeps
+    # every operand small enough for f32
+    phase_g = jnp.mod(shifted_stack(jnp.mod(phase_start + dphi_m, 2.0), 0.0)
+                      + t_iota * step_m, 2.0)
+    q_e = shifted_stack(q_loc, 0.0)
+    qp = jnp.power(q_e, t_iota + 1.0)
+    c_e = shifted_stack(c_loc, 0.0)
+    volb_g = qp * shifted_stack(volb_start, 0.0) + (1.0 - qp) * c_e
+    gS = fS[None]  # (1, F, 1) frame g sample offset
+    zeros_tfk = jnp.zeros((t_max, F, k), f32)
+    rows_all = jnp.stack([
+        inc_e, zeros_tfk, phase_g.astype(f32), c_e, volb_g.astype(f32),
+        shifted_stack(alpha, 0.0),
+        jnp.broadcast_to(gS, (t_max, F, k)) - shifted_stack(press, 0.0),
+        jnp.maximum(gS - shifted_stack(rel, np.float32(FAR)),
+                    -np.float32(FAR)),
+        shifted_stack(top_tail, 0.0), shifted_stack(A_n, 0.0),
+        jnp.full((t_max, F, k), hold_eff, f32), shifted_stack(D_n, 0.0),
+        jnp.full((t_max, F, k), sus, f32), shifted_stack(R_n, 0.0),
+        shifted_stack(gl_n, 0.0), shifted_stack(gr_n, 0.0),
+    ], axis=-1)  # (t_max, F, k, 16)
+    tm = jnp.moveaxis(m_all, 0, 1).reshape(F, t_max * k)
     t_rank = jnp.cumsum(tm.astype(jnp.int32), axis=-1) - 1 + n_alive[:, None]
     t_rank3 = t_rank.reshape(F, t_max, k)
     viol |= jnp.any(n_alive + jnp.sum(tm.astype(jnp.int32), axis=-1) > P)
     for t in range(t_max):
-        c_t, cov_t = slot_scatter(t_rank3[:, t], tail_rows[t], tail_masks[t])
+        c_t, cov_t = slot_scatter(t_rank3[:, t], rows_all[t], m_all[t])
         contrib = contrib + c_t
         cover = cover + cov_t
     table = contrib + defaults[None, None, :] * (1.0 - cover)[..., None]
