@@ -6,16 +6,22 @@ This module re-architects the tracker as device code so the full chain
 (synth -> STFT -> peaks -> track -> slot table -> render) is ONE XLA program:
 
   * frame-local stages (pitch conversion, nearby-peak aggregation, reduction,
-    perceived-loudness ordering) are BATCHED over all frames — no recurrence,
-    pure vector ops (aggregation's greedy grouping is parallelized by pointer
-    doubling over `searchsorted` jump tables);
-  * the cross-frame state machine (note tracking, polyphony slot allocation,
-    per-voice phase/volume boundary recurrences) is a `lax.scan` over frames
-    whose per-step output is one (n_slots, 16) row-block of the SAME control
-    table the host builders emit (models/resynth_bank.py field order);
-  * the scan body's only sequential kernel is the reference's two-pointer
-    pitch matching (rt.resynth.lib.algo.cpp:256-305), unrolled at trace time
-    over the k peak lanes (scalar ops; k=128).
+    perceived-loudness ordering) are BATCHED over all frames — no recurrence;
+    aggregation's greedy grouping runs as boolean matrix squaring of the
+    jump graph on the MXU (general gathers/scatters are near-scalar on TPU,
+    so ALL cross-lane data movement here is one-hot batched matmuls);
+  * the cross-frame state machine itself is FRAME-PARALLEL
+    (`_build_tables_parallel`): absent voice-cap drops the played set
+    entering frame f is exactly frame f-1's valid tuned pitches, so the
+    reference's two-pointer matching (rt.resynth.lib.algo.cpp:256-305)
+    becomes a per-frame-pair batch, note identity becomes pointer doubling
+    over match links, and the per-voice phase/volume boundary recurrences
+    become carried modular sums / affine compositions in the same doubling.
+    An exact violation predicate (cap drop possible, slot overflow, overlong
+    release tail) falls back via `lax.cond` to a faithful `lax.scan` state
+    machine (`_track_step`) over frames;
+  * both paths emit the SAME (total_frames, n_slots, 16) control table the
+    host builders produce (models/resynth_bank.py field order).
 
 Semantics match PitchTracker/native pitchpipe exactly for the supported
 config subset (no autotune, no harmonize; shifts allowed): same greedy
@@ -787,13 +793,6 @@ def _scan_tables(tpitch, volume, loud_order, is_data, pan_draws,
     return table, carry[-1]
 
 
-_TRACKER_KW_NAMES = (
-    "total_frames", "stride", "sample_rate", "max_voices", "n_slots",
-    "nearby_distance", "min_volume", "max_track_pitches", "pitch_method",
-    "volume_method", "analysis_volume", "shift_pre", "shift_post",
-    "stereo_spread", "attack", "hold", "decay", "sustain", "release")
-
-
 def build_tables_device_batch(freq, mag_db, loud_pitches, loud_spl,
                               pan_draws, phase_draws, **kw):
     """Batched-serving variant: freq/mag are (B, F, k); returns
@@ -870,7 +869,15 @@ def build_tables_device(freq, mag_db, loud_pitches, loud_spl, pan_draws,
     F = freq.shape[0]
     if max_voices > 127:
         raise ValueError("device tracker supports max_voices <= 127")
-    kw = {n: v for n, v in locals().items() if n in _TRACKER_KW_NAMES}
+    kw = dict(
+        total_frames=total_frames, stride=stride, sample_rate=sample_rate,
+        max_voices=max_voices, n_slots=n_slots,
+        nearby_distance=nearby_distance, min_volume=min_volume,
+        max_track_pitches=max_track_pitches, pitch_method=pitch_method,
+        volume_method=volume_method, analysis_volume=analysis_volume,
+        shift_pre=shift_pre, shift_post=shift_post,
+        stereo_spread=stereo_spread, attack=attack, hold=hold, decay=decay,
+        sustain=sustain, release=release)
     tpitch, volume, loud_order, is_data, k = _prep_lanes(
         freq, mag_db, loud_pitches, loud_spl, kw)
 
