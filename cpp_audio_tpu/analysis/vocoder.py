@@ -191,11 +191,17 @@ def _carrier_vocode(carrier, band_amps, band_mat_full, *, stride: int, fft_len: 
 
 
 def vocode(modulator, carrier, params: VocoderParams, *,
-           exact_modulator: bool = False, device_out: bool = False) -> np.ndarray:
+           exact_modulator: bool = False, device_out: bool = False,
+           debug_dir=None) -> np.ndarray:
     """Offline vocoder: (modulator, carrier) mono arrays -> mono output.
 
     Output sample t mixes volume_modulator*modulator + volume_carrier*carrier
     + volume_vocoded*vocoded (Vocoder compute, vocoder.cpp:761-812).
+
+    debug_dir: when set, every stage is tapped to WAVs there — modulator,
+    carrier, per-band envelope signals, and the raw vocoded signal (the
+    reference's IMJ_DEBUG_VOCODER AsyncWavWriter taps,
+    rt.resynth.lib.vocoder.cpp:165-174,248-252).
     """
     sr = params.sample_rate
     S = params.stride
@@ -246,4 +252,19 @@ def vocode(modulator, carrier, params: VocoderParams, *,
     out = (params.volume_vocoded * vocoded
            + params.volume_modulator * modulator[:out_len]
            + params.volume_carrier * carrier[:out_len])
+    if debug_dir is not None:
+        from pathlib import Path
+
+        from ..utils import wav as wavio
+
+        d = Path(debug_dir)
+        d.mkdir(parents=True, exist_ok=True)
+        wavio.write_wav(d / "modulator.wav", np.asarray(modulator), sr)
+        wavio.write_wav(d / "carrier.wav", np.asarray(carrier), sr)
+        # band envelopes at analysis rate, upsampled to audio rate by hold
+        env = np.repeat(np.asarray(amps_aligned), S, axis=0)[:out_len]
+        for b in range(env.shape[1]):
+            wavio.write_wav(d / f"band_{b}.wav",
+                            np.clip(env[:, b], -1.0, 1.0), sr)
+        wavio.write_wav(d / "vocoded.wav", np.asarray(vocoded), sr)
     return out if device_out else np.asarray(out)

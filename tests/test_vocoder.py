@@ -82,3 +82,24 @@ class TestVocoder:
         # max jump bounded by the max slope of a 350 Hz sine at this amplitude
         amp = np.max(np.abs(out[sr // 4 :]))
         assert d.max() < amp * 2 * np.pi * 800 / sr
+
+
+def test_debug_taps(tmp_path):
+    """debug_dir writes every vocoder stage (IMJ_DEBUG_VOCODER analog)."""
+    import numpy as np
+
+    from cpp_audio_tpu.analysis import vocoder
+    from cpp_audio_tpu.utils import wav as wavio
+
+    sr = 44100
+    n = sr // 2
+    t = np.arange(n) / sr
+    mod = 0.5 * np.sin(2 * np.pi * 440 * t)
+    car = np.sign(np.sin(2 * np.pi * 110 * t))
+    p = vocoder.VocoderParams(sample_rate=sr)
+    vocoder.vocode(mod, car, p, debug_dir=tmp_path)
+    names = {f.name for f in tmp_path.iterdir()}
+    assert {"modulator.wav", "carrier.wav", "vocoded.wav"} <= names
+    assert sum(1 for x in names if x.startswith("band_")) == p.count_bands
+    d, _ = wavio.read_wav(tmp_path / "modulator.wav")
+    assert np.abs(d).max() > 0.1
