@@ -28,6 +28,12 @@ def main(argv=None):
                     help="stream through the live duplex pipeline")
     ap.add_argument("--block-size", type=int, default=512,
                     help="callback block size for --live")
+    ap.add_argument("--vocode", metavar="CARRIER_WAV",
+                    help="vocode the input against this carrier instead of "
+                         "resynthesizing")
+    ap.add_argument("--debug-vocoder", metavar="DIR",
+                    help="tap every vocoder stage to WAVs in DIR "
+                         "(the reference's IMJ_DEBUG_VOCODER)")
     args = ap.parse_args(argv)
 
     if args.job:
@@ -49,6 +55,22 @@ def main(argv=None):
         s = live.stats
         print(f"wrote {args.output} (live: {s.windows} windows, "
               f"on={s.note_on} change={s.note_change} off={s.note_off})")
+        return 0
+
+    if args.vocode:
+        import numpy as np
+
+        from ..analysis import vocoder
+
+        mod, sr = wavio.read_wav(args.input)
+        car, sr2 = wavio.read_wav(args.vocode)
+        if sr2 != sr:
+            ap.error("sample rate mismatch between input and carrier")
+        out = vocoder.vocode(mod.mean(axis=1), car.mean(axis=1),
+                             vocoder.VocoderParams(sample_rate=sr),
+                             debug_dir=args.debug_vocoder)
+        wavio.write_wav(args.output, np.asarray(out), sr)
+        print(f"wrote {args.output} (vocoded)")
         return 0
 
     cfg = resynth.ResynthConfig(use_autotune=args.autotune)

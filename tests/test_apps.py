@@ -140,3 +140,22 @@ class TestTuneEventStreamCLI:
         d2, _ = wavio.read_wav(out2)
         # one extra loop iteration = one score period (2 notes) longer
         assert len(d1) >= len(d2) + 10000
+
+
+def test_resynth_vocode_cli(tmp_path):
+    """resynth --vocode CARRIER --debug-vocoder DIR (IMJ_DEBUG_VOCODER)."""
+    from cpp_audio_tpu.apps import resynth as app
+
+    sr = 44100
+    t = np.arange(sr // 2) / sr
+    wavio.write_wav(tmp_path / "m.wav",
+                    (0.5 * np.sin(2 * np.pi * 392 * t)).astype(np.float32), sr)
+    wavio.write_wav(tmp_path / "c.wav",
+                    np.sign(np.sin(2 * np.pi * 110 * t)).astype(np.float32), sr)
+    taps = tmp_path / "taps"
+    assert app.main([str(tmp_path / "m.wav"), str(tmp_path / "o.wav"),
+                     "--vocode", str(tmp_path / "c.wav"),
+                     "--debug-vocoder", str(taps)]) == 0
+    d, _ = wavio.read_wav(tmp_path / "o.wav")
+    assert np.abs(d).max() > 1e-3
+    assert (taps / "vocoded.wav").exists()
