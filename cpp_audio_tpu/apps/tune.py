@@ -94,6 +94,10 @@ def main(argv=None):
     ap.add_argument("--score2", default=None,
                     help="second simultaneous voice (score string or @file)")
     ap.add_argument("--octave2", type=int, default=None)
+    # built-in two-voice demo piece (the reference ships two-voice demo
+    # renders, main.tune.cpp:2430-2578; this one is an original)
+    ap.add_argument("--demo", action="store_true",
+                    help="render the built-in two-voice demo piece")
     # event streams (reference main.tune.cpp:193-1017)
     ap.add_argument("--rain", type=float, default=None, metavar="SECONDS",
                     help="render the rain event stream instead of a score")
@@ -107,6 +111,13 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     from ..utils import event_streams
+
+    if args.demo:
+        if args.score is not None and args.output == "tune.wav":
+            args.output = args.score
+        args.score = "do mi sol Do- si la sol- fa mi re do- mi sol- do--"
+        args.score2 = "do-- mi-- sol-- fa- sol- do---"
+        args.octave2 = args.octave - 1
 
     # `tune --rain 3 out.wav`: the positional grabs the output path
     if (args.rain is not None or args.sonify is not None) \

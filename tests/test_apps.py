@@ -159,3 +159,10 @@ def test_resynth_vocode_cli(tmp_path):
     d, _ = wavio.read_wav(tmp_path / "o.wav")
     assert np.abs(d).max() > 1e-3
     assert (taps / "vocoded.wav").exists()
+
+
+def test_tune_demo_piece(tmp_path):
+    out = tmp_path / "demo.wav"
+    assert tune_app.main(["--demo", str(out)]) == 0
+    d, sr = wavio.read_wav(out)
+    assert len(d) > sr * 2 and np.abs(d).max() > 1e-3
