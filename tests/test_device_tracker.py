@@ -167,7 +167,7 @@ class TestParallelTracker:
                                          dtype="float32")
         return np.asarray(out).reshape(-1, 2)
 
-    @pytest.mark.parametrize("seed", [0, 3, 7])
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3, 5, 7, 11, 13])
     def test_parallel_matches_scan_render(self, seed):
         freq, mag = self._peaks(seed=seed)
         # min_volume tiny but >0: identical keep-set, parallel path eligible
@@ -293,3 +293,31 @@ def test_parallel_tracker_crossing_glides():
     peak = max(np.abs(rb).max(), 1e-9)
     assert peak > 1e-4
     assert np.abs(ra - rb).max() < 2e-3 * peak
+
+
+def test_tracker_silence_and_empty_frames():
+    """All-silent input: no notes, a default (silent) table, no crash."""
+    from cpp_audio_tpu.models import resynth_bank
+    from cpp_audio_tpu.utils import loudness as ld
+    import jax.numpy as jnp
+
+    F, k = 20, 16
+    freq = np.full((F, k), np.nan)
+    mag = np.full((F, k), -np.inf)
+    li = ld.phons_to_index(60.0)
+    pan = np.zeros(64)
+    phase = np.zeros(64)
+    kw = dict(total_frames=F + 6, stride=512, sample_rate=44100.0,
+              max_voices=12, n_slots=32, nearby_distance=0.5,
+              min_volume=1e-6, max_track_pitches=1.0, pitch_method=2,
+              volume_method=1, analysis_volume=1.0, shift_pre=0.0,
+              shift_post=0.0, stereo_spread=0.8, attack=441.0, hold=0.0,
+              decay=800.0, sustain=0.7, release=2000.0)
+    t, d = device_tracker.build_tables_device(
+        freq, mag, np.asarray(ld.PITCHES, np.float64),
+        np.asarray(ld.ELVS[li], np.float64), pan, phase, **kw)
+    assert int(d) == 0
+    out = np.asarray(resynth_bank._render_slots(
+        jnp.asarray(t, jnp.float32), stride=512, n_channels=2,
+        dtype="float32"))
+    assert np.abs(out).max() == 0.0
