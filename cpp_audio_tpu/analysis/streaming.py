@@ -24,6 +24,7 @@ import numpy as np
 from ..core import events
 from ..models.streaming_synth import StreamingSynth
 from ..ops import stft
+from . import vocoder as voc
 from .resynth import AnalysisFrameResult, PitchTracker, ResynthConfig
 
 
@@ -77,6 +78,109 @@ class PeriodicFFT:
         self._t += n
         self._buf = np.zeros(0)
 
+    def samples_until_fire(self) -> int:
+        """How many more fed samples complete the next window."""
+        return self._skip + self.window_size - len(self._buf)
+
+
+class StreamingVocoder:
+    """Block-streaming FFT vocoder — the live Vocoder compute
+    (source/rt.resynth.lib.vocoder.cpp:396-560,734-860) in feed/pull form.
+
+    Per output sample the reference pulls one (modulator, carrier) pair,
+    feeds each into its own PeriodicFFT (modulator window W stride S; carrier
+    window 2S stride S), scales carrier bins by the latest per-band modulator
+    amplitudes, IFFTs, and equal-gain-crossfades the new half-window against
+    the previous one. Here the same machinery runs blockwise with numpy FFTs
+    (host streaming path; the offline batch form is analysis/vocoder.vocode).
+
+    The vocoded stream lags the input by 2S samples (the carrier window must
+    fill before its first crossfaded half emerges); the offline vocode()
+    compensates this latency, so parity holds as
+    streaming[t + 2*S] == offline[t].
+    """
+
+    def __init__(self, params: voc.VocoderParams):
+        self.params = params
+        S = params.stride
+        W = params.modulator_window
+        self.stride = S
+        self._mod_fft = stft.fft_length_for(W)
+        self._car_fft = stft.fft_length_for(2 * S)
+        sr = params.sample_rate
+        edges = params.band_freqs()
+        self._bm_mod = voc._band_matrix(edges, self._mod_fft // 2 + 1,
+                                        sr / self._mod_fft)
+        self._bm_car = voc._band_matrix(edges, self._car_fft // 2 + 1,
+                                        sr / self._car_fft)
+        self._mod_scale = 2.0 / W
+        self._amps = np.zeros(params.count_bands)
+        self._prev_tail = np.zeros(S)
+        self._mod_pfft = PeriodicFFT(W, S, self._on_mod_window)
+        self._car_pfft = PeriodicFFT(2 * S, S, self._on_car_window)
+        # vocoded samples scheduled at absolute output positions
+        # [_q_start, _q_start + len(_queue))
+        self._queue = np.zeros(0)
+        self._q_start = 0
+        self._t_out = 0
+
+    # latest per-band modulator amplitudes (FFTModulator::on_fft_result,
+    # vocoder.cpp:109-163)
+    def _on_mod_window(self, w: np.ndarray, end: int) -> None:
+        spec = np.fft.rfft(w, n=self._mod_fft)
+        sq = (np.abs(spec) * self._mod_scale) ** 2
+        self._amps = np.sqrt(sq @ self._bm_mod)
+
+    def _on_car_window(self, w: np.ndarray, end: int) -> None:
+        spec = np.fft.rfft(w, n=self._car_fft)
+        gains = self._bm_car @ self._amps          # (n_bins,)
+        sig = np.fft.irfft(spec * gains, n=self._car_fft)[: 2 * self.stride]
+        S = self.stride
+        k = np.arange(S)
+        w_new = np.sin(0.5 * np.pi * (k + 1.0) / S) ** 2
+        out = sig[:S] * w_new + self._prev_tail * (1.0 - w_new)
+        self._prev_tail = sig[S:]
+        # the crossfaded half plays right after its window completes: absolute
+        # output samples [end, end + S)
+        if len(self._queue) == 0:
+            self._q_start = end
+        self._queue = np.concatenate([self._queue, out])
+
+    def process(self, modulator, carrier) -> np.ndarray:
+        """Feed equal-length modulator+carrier blocks; return the output
+        block: volume_modulator*mod + volume_carrier*car + volume_vocoded*
+        vocoded (Vocoder compute mix, vocoder.cpp:795-805)."""
+        modulator = np.atleast_1d(np.asarray(modulator, np.float64))
+        carrier = np.atleast_1d(np.asarray(carrier, np.float64))
+        n = len(carrier)
+        t0 = self._t_out
+        self._t_out += n
+        # interleave the two feeds at window-fire granularity so every
+        # carrier frame sees exactly the modulator amps available at its
+        # completion sample (the reference feeds both per sample, modulator
+        # first — vocoder.cpp:761-812)
+        pos = 0
+        while pos < n:
+            c = min(self._mod_pfft.samples_until_fire(),
+                    self._car_pfft.samples_until_fire(), n - pos)
+            self._mod_pfft.feed(modulator[pos : pos + c])
+            self._car_pfft.feed(carrier[pos : pos + c])
+            pos += c
+        vocoded = np.zeros(n)
+        lo = max(t0, self._q_start)
+        hi = min(t0 + n, self._q_start + len(self._queue))
+        if hi > lo:
+            vocoded[lo - t0 : hi - t0] = self._queue[lo - self._q_start
+                                                     : hi - self._q_start]
+        # drop everything at or before the end of this block
+        drop = min(max(t0 + n - self._q_start, 0), len(self._queue))
+        self._queue = self._queue[drop:]
+        self._q_start += drop
+        p = self.params
+        return (p.volume_vocoded * vocoded
+                + p.volume_modulator * modulator[:n]
+                + p.volume_carrier * carrier)
+
 
 @dataclass
 class LiveResynthStats:
@@ -95,10 +199,22 @@ class LiveResynth:
     like the reference's analysis thread publishing into the RT synth.
     """
 
-    def __init__(self, config: ResynthConfig | None = None, n_voices: int = 127):
+    def __init__(self, config: ResynthConfig | None = None, n_voices: int = 127,
+                 *, vocoder_params: "voc.VocoderParams | None" = None,
+                 carrier_synth=None):
+        """vocoder_params + carrier_synth enable the live vocoder leg: the
+        carrier synth (models/carrier.CarrierSynth, usually driven by MIDI)
+        renders per pulled block, and the StreamingVocoder modulates it with
+        the live input — the reference's vocoder compute wiring
+        (rt.resynth.lib.cpp:1397-1418 get_modulator_carrier_sample +
+        vocoder_carrier.compute)."""
         self.config = config or ResynthConfig()
         cfg = self.config
         self.tracker = PitchTracker(cfg)
+        self.carrier_synth = carrier_synth
+        self.vocoder = (StreamingVocoder(vocoder_params)
+                        if vocoder_params is not None else None)
+        self._mod_fifo = np.zeros(0)  # input awaiting the vocoder modulator
         from ..models import sine_synth
         from ..ops import envelopes
 
@@ -162,14 +278,31 @@ class LiveResynth:
     def feed(self, input_block) -> None:
         """Push captured input samples (the RecordF side)."""
         self.periodic_fft.feed(input_block)
+        if self.vocoder is not None:
+            blk = np.atleast_1d(np.asarray(input_block, np.float64))
+            self._mod_fifo = np.concatenate([self._mod_fifo, blk])
 
     def pull(self, n_frames: int) -> np.ndarray:
         """Render the next output block (the PlayF side)."""
-        out = self.synth.compute(self._t_out, n_frames)
+        t0 = self._t_out
+        out = self.synth.compute(t0, n_frames)
         self._t_out += n_frames
-        if out is None:
-            return np.zeros((n_frames, 2))
-        return np.asarray(out)
+        out = (np.zeros((n_frames, 2)) if out is None
+               else np.asarray(out, np.float64).copy())
+        if self.vocoder is not None:
+            carrier = (np.asarray(self.carrier_synth.compute(t0, n_frames),
+                                  np.float64)
+                       if self.carrier_synth is not None
+                       else np.zeros(n_frames))
+            # modulator samples: the fed input, zero-padded on starvation
+            # (the reference's ReadQueuedSampleSource yields silence until
+            # the queue has data, rt.resynth.lib.metaqueue.cpp:78-158)
+            mod = np.zeros(n_frames)
+            take = min(n_frames, len(self._mod_fifo))
+            mod[:take] = self._mod_fifo[:take]
+            self._mod_fifo = self._mod_fifo[take:]
+            out += self.vocoder.process(mod, carrier)[:, None]
+        return out
 
     def run_duplex(self, signal, block_size: int = 512) -> np.ndarray:
         """Offline-driven duplex loop: feed then pull per block, like the

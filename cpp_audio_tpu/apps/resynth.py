@@ -9,6 +9,14 @@
       block-streaming duplex loop (the realtime RtResynth shape: input fed
       block-by-block through PeriodicFFT into the live tracker + streaming
       synth, output pulled per block — rt.resynth.lib.cpp:1185-1235)
+  python -m cpp_audio_tpu.apps.resynth input.wav output.wav --live \
+          --midi events.mid --carrier saw=0.8,noise=0.2
+      live loop with the MIDI-playable vocoder carrier synth: the MIDI file
+      drives the osc-mix carrier (models/carrier.py), the live input
+      modulates it through the streaming vocoder, and both the resynth
+      voices and the vocoded carrier mix into the output (the reference's
+      full RtResynth application loop — rt.resynth.lib.cpp:212-221,
+      1397-1418, 1519-1570)
 """
 
 from __future__ import annotations
@@ -16,6 +24,41 @@ from __future__ import annotations
 import argparse
 
 from ..analysis import offline_job, resynth
+
+
+def _parse_kv(spec: str) -> dict:
+    """'a=1,b=0.5' -> {'a': 1.0, 'b': 0.5}"""
+    out = {}
+    for part in spec.split(","):
+        part = part.strip()
+        if part:
+            k, _, v = part.partition("=")
+            out[k.strip()] = float(v)
+    return out
+
+
+def _run_midi_duplex(live, midi_input, midi_events, signal, block_size):
+    """Duplex loop with MIDI playback: before each block, dispatch the MIDI
+    events that fall inside it to the carrier synth (the reference's MIDI
+    thread publishing into vocoder_carrier, rt.resynth.lib.cpp:1519-1570)."""
+    import numpy as np
+
+    signal = np.asarray(signal, np.float64)
+    n_total = max(len(signal),
+                  (midi_events[-1].time + 1) if midi_events else 0)
+    parts = []
+    ei = 0
+    for t0 in range(0, n_total, block_size):
+        t1 = min(t0 + block_size, n_total)
+        while ei < len(midi_events) and midi_events[ei].time < t1:
+            midi_input.dispatch(midi_events[ei])
+            ei += 1
+        blk = signal[t0:t1]
+        if len(blk) < t1 - t0:
+            blk = np.concatenate([blk, np.zeros(t1 - t0 - len(blk))])
+        live.feed(blk)
+        parts.append(live.pull(t1 - t0))
+    return np.concatenate(parts, axis=0) if parts else np.zeros((0, 2))
 
 
 def main(argv=None):
@@ -28,6 +71,16 @@ def main(argv=None):
                     help="stream through the live duplex pipeline")
     ap.add_argument("--block-size", type=int, default=512,
                     help="callback block size for --live")
+    ap.add_argument("--midi", metavar="MIDI_FILE",
+                    help="with --live: drive the vocoder carrier synth from "
+                         "this Standard MIDI File")
+    ap.add_argument("--carrier", metavar="SPEC", default="saw=1.0",
+                    help="carrier oscillator mix for --midi, e.g. "
+                         "'noise=0.1,saw=0.5,triangle=0,square=0,sine=0.2,"
+                         "pulse=0.2,width=0.01'")
+    ap.add_argument("--vocoder-volumes", metavar="SPEC",
+                    default="vocoded=1,carrier=0,modulator=0",
+                    help="output mix of the vocoder leg")
     ap.add_argument("--vocode", metavar="CARRIER_WAV",
                     help="vocode the input against this carrier instead of "
                          "resynthesizing")
@@ -49,6 +102,38 @@ def main(argv=None):
 
         data, sr = wavio.read_wav(args.input)
         cfg = resynth.ResynthConfig(sample_rate=sr, use_autotune=args.autotune)
+        if args.midi:
+            from ..analysis.vocoder import VocoderParams
+            from ..models.carrier import (CarrierOscMix, CarrierSynth,
+                                          CarrierSynthConfig)
+            from ..utils.midi_input import MidiInput
+            from ..utils.midifile import read_midi_file
+
+            spec = _parse_kv(args.carrier)
+            osc = CarrierOscMix(
+                noise=spec.get("noise", 0.0), saw=spec.get("saw", 0.0),
+                triangle=spec.get("triangle", 0.0),
+                square=spec.get("square", 0.0), sine=spec.get("sine", 0.0),
+                pulse=spec.get("pulse", 0.0),
+                pulse_width=spec.get("width", 0.01))
+            vols = _parse_kv(args.vocoder_volumes)
+            vp = VocoderParams(sample_rate=sr,
+                               volume_vocoded=vols.get("vocoded", 1.0),
+                               volume_carrier=vols.get("carrier", 0.0),
+                               volume_modulator=vols.get("modulator", 0.0))
+            carrier = CarrierSynth(CarrierSynthConfig(sample_rate=sr, osc=osc))
+            live = LiveResynth(cfg, vocoder_params=vp, carrier_synth=carrier)
+            midi_events = sorted(read_midi_file(args.midi, sample_rate=sr),
+                                 key=lambda e: e.time)
+            mi = MidiInput(lambda: [], carrier, sample_rate=sr)
+            out = _run_midi_duplex(live, mi, midi_events, data.mean(axis=1),
+                                   args.block_size)
+            wavio.write_wav(args.output, out, sr)
+            s = live.stats
+            print(f"wrote {args.output} (live+midi: {s.windows} windows, "
+                  f"on={s.note_on} change={s.note_change} off={s.note_off}, "
+                  f"midi events={mi.stats.decoded})")
+            return 0
         live = LiveResynth(cfg)
         out = live.run_duplex(data.mean(axis=1), block_size=args.block_size)
         wavio.write_wav(args.output, out, sr)

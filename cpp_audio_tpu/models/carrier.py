@@ -1,0 +1,325 @@
+"""MIDI-playable vocoder carrier synth — the reference's SynthVocoderCarier.
+
+Reference (source/rt.resynth.lib.cpp:21-52): the carrier element is
+    VolumeAdjusted< Enveloped< FreqCtrl_< UnityGainMix<
+        VolumeAdjusted<soundBufferWrapperAlgo<NOISE>>,
+        VolumeAdjusted<FOscillatorAlgo<SAW>>,
+        VolumeAdjusted<FOscillatorAlgo<TRIANGLE>>,
+        VolumeAdjusted<FOscillatorAlgo<SQUARE>>,
+        VolumeAdjusted<SineOscillatorAlgo>,
+        VolumeAdjusted<PulseTrainAlgo> >,
+      InterpolatedFreq >, AHDSR >, BaseVolumeDef::One >
+played as a mono 127-voice sine::Synth (rt.resynth.lib.cpp:212-221) from live
+MIDI (rt.resynth.lib.cpp:1519-1570), with per-oscillator volume targets and
+the pulse width set by VocoderCarrierElementInitializer
+(rt.resynth.lib.cpp:137-196; frequency glides over 100 samples:
+`getCtrl().setup(100, itp::LINEAR)`).
+
+TPU-native form: all voices are rows of a (V, T) tile; phases, glides and
+envelopes are closed-form in the sample index (no per-sample recurrence):
+
+  - InterpolatedFreq's PROPORTIONAL_VALUE_DERIVATIVE stepping
+    (include/audioelement.h:2706-2817) makes the increment exponential in
+    time, f(u) = from * exp(lambda*u) with lambda = ln(to/from)/G, reaching
+    `to` at u = G; the phase advance is its integral
+    (from/lambda)*(exp(lambda*u)-1) — same closed form as
+    models/resynth_bank.py.
+  - All six oscillators share one phase trajectory (SynchronizePhase
+    distributes the same start angle and FreqCtrl_ feeds the same increments
+    to every member; soundBufferWrapperAlgo ignores frequency and steps its
+    looping noise table one entry per sample, include/audioelement.h:1506-1580).
+  - The UnityGainMix is a weighted sum with the per-osc VolumeAdjusted
+    targets as weights (constant per note, so their volume LPFs sit at
+    steady state).
+  - The outer element uses BaseVolumeDef::One (it feeds the vocoder), so
+    NoteOn volume = velocity (include/audioelement.h:1245-1249).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field, replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.events import Event, EventType
+from ..ops import envelopes, noise as noise_ops, oscillators
+from ..utils.interp import Itp
+
+NEVER = float(2**62)
+
+
+@dataclass(frozen=True)
+class CarrierOscMix:
+    """Per-oscillator volumes + pulse width (VocoderCarrierElementInitializer
+    fields, rt.resynth.lib.cpp:137-196; defaults rt.resynth.lib.cpp:978-984)."""
+
+    noise: float = 0.0
+    saw: float = 0.0
+    triangle: float = 0.0
+    square: float = 0.0
+    sine: float = 0.0
+    pulse: float = 0.0
+    pulse_width: float = 0.01
+
+
+@dataclass(frozen=True)
+class CarrierSynthConfig:
+    sample_rate: int = 44100
+    ahdsr: envelopes.AHDSR = None  # type: ignore[assignment]
+    osc: CarrierOscMix = field(default_factory=CarrierOscMix)
+    # VocoderCarrierElementInitializer: getCtrl().setup(100, itp::LINEAR)
+    glide_samples: int = 100
+    n_voices: int = 127
+    dtype: str = "float32"
+    seed: int = 0
+
+    def __post_init__(self):
+        if self.ahdsr is None:
+            # rt.resynth env defaults (rt.resynth.lib.cpp:957-961) with the
+            # AllowZeroAttack::No 1 ms floor
+            object.__setattr__(
+                self, "ahdsr",
+                envelopes.AHDSR(attack=0, hold=0, decay=0, release=0,
+                                sustain=1.0).with_min_dt(self.sample_rate),
+            )
+
+
+@dataclass
+class _Voice:
+    note_id: int
+    press: int
+    release: float          # NEVER while held
+    velocity: float
+    inc_from: float         # rad/pi increment at glide start
+    inc_to: float
+    t_ref: int              # sample index where the current glide started
+    phase_ref: float        # phase (rad/pi) before the step producing t_ref
+    noise_start: int        # noise-table index at the press sample
+
+
+def _glide_phase_advance(u, inc_from, inc_to, G):
+    """Phase advance (rad/pi) after u whole steps of an exponential glide.
+
+    The reference adds the per-sample increment f(k) = inc_from *
+    exp(lambda*k) (lambda = ln(to/from)/G) each step, so the advance is the
+    DISCRETE geometric sum sum_{k=1..m} f(k) = from*e^lam*expm1(lam*m)/
+    expm1(lam) with m = min(u, G), then inc_to per step beyond G. Steady
+    state (from == to) is linear.
+    """
+    lam = jnp.log(jnp.maximum(inc_to, 1e-30) / jnp.maximum(inc_from, 1e-30)) / G
+    steady = jnp.abs(lam) < 1e-12
+    lam_safe = jnp.where(steady, 1.0, lam)
+    ug = jnp.minimum(u, G)
+    d_glide = jnp.where(
+        steady, inc_from * ug,
+        inc_from * jnp.exp(lam_safe) * jnp.expm1(lam_safe * ug)
+        / jnp.expm1(lam_safe))
+    return d_glide + inc_to * jnp.maximum(u - G, 0.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "glide_samples", "a_itp", "d_itp", "r_itp",
+                     "out_dtype"))
+def _carrier_block(fp, ip, osc_vols, pulse_levels, noise_table, t0,
+                   *, n: int, glide_samples: int,
+                   a_itp: int, d_itp: int, r_itp: int, out_dtype: str):
+    """Render n mono samples starting at absolute sample t0.
+
+    fp:  (V, 12) working floats [press, release, velocity, inc_from, inc_to,
+         t_ref, phase_ref, A, H, D, R, sustain] (attack/decay/release already
+         floored on host incl. the 2.5-period min-change, ops/envelopes.py
+         semantics)
+    ip:  (V, 3) int32 [press, t_ref, noise_start]
+    osc_vols: (V, 6) [noise, saw, triangle, square, sine, pulse]
+    pulse_levels: (V, 3) [width, high, low]
+    noise_table: (N,) looping white-noise buffer
+    """
+    wdt = jnp.dtype(out_dtype)
+    fp = fp.astype(wdt)
+    k = jnp.arange(n, dtype=jnp.int32)[None, :]
+    t_i = t0.astype(jnp.int32) + k                       # (1, T) absolute
+    t = t_i.astype(wdt)
+
+    press, release, vel, inc_from, inc_to, t_ref, phase_ref, A, H, D, R, sus = (
+        fp[:, i][:, None] for i in range(12))
+
+    # envelope (closed-form AHDSR; params pre-floored so min_change=0 here)
+    params = envelopes.AHDSR(attack=A, attack_itp=a_itp, hold=H,
+                             decay=D, decay_itp=d_itp,
+                             release=R, release_itp=r_itp,
+                             sustain=sus)
+    env = envelopes.ahdsr_envelope(t, params, press, release, dtype=wdt)
+
+    # phase: closed-form exponential glide from the per-voice reference point
+    u = t - t_ref + 1.0
+    ph = oscillators.wrap_phase(
+        phase_ref + _glide_phase_advance(u, inc_from, inc_to,
+                                         jnp.asarray(float(glide_samples), wdt)))
+
+    width, high, low = (pulse_levels[:, i][:, None] for i in range(3))
+    wave = (osc_vols[:, 4][:, None] * oscillators.sine(ph)
+            + osc_vols[:, 1][:, None] * oscillators.saw(ph)
+            + osc_vols[:, 2][:, None] * oscillators.triangle(ph)
+            + osc_vols[:, 3][:, None] * oscillators.square(ph)
+            + osc_vols[:, 5][:, None] * oscillators.pulse(ph, width, high, low))
+
+    # noise: one table entry per sample from the per-voice start index
+    # (soundBufferWrapperAlgo::step, audioelement.h:1566-1572)
+    N = noise_table.shape[0]
+    nidx = jnp.mod(ip[:, 2][:, None] + (t_i - ip[:, 0][:, None]), N)
+    wave = wave + osc_vols[:, 0][:, None] * noise_table[nidx].astype(wdt)
+
+    return jnp.sum(vel * env * wave, axis=0)
+
+
+class CarrierSynth:
+    """Event-driven mono polyphonic carrier synth (on_event + compute).
+
+    Same surface as models/streaming_synth.StreamingSynth so MidiInput can
+    drive it; compute() returns a mono (n,) block for the vocoder's
+    `vocoder_carrier.compute(&carrier_val, 1)` role (rt.resynth.lib.cpp:1408).
+    """
+
+    def __init__(self, config: CarrierSynthConfig | None = None):
+        self.config = config or CarrierSynthConfig()
+        cfg = self.config
+        self._rng = np.random.default_rng(cfg.seed)
+        self._notes: dict[int, _Voice] = {}
+        self._finished: list[_Voice] = []
+        self.dropped_note_on = 0
+        sr = cfg.sample_rate
+        self._noise = np.asarray(
+            noise_ops.white_noise_table(int(0.05 * sr)), np.float32)
+        self._noise_dev = jnp.asarray(self._noise)
+
+    # -- helpers -----------------------------------------------------------
+    def _inc(self, frequency: float) -> float:
+        return 2.0 * frequency / self.config.sample_rate
+
+    def _inc_at(self, v: _Voice, t: int) -> float:
+        """Increment used for sample t-1 (InterpolatedFreq f_result)."""
+        G = self.config.glide_samples
+        u = min(max(t - v.t_ref, 0), G)
+        if v.inc_from <= 0 or v.inc_to <= 0 or v.inc_from == v.inc_to:
+            return v.inc_to
+        lam = np.log(v.inc_to / v.inc_from) / G
+        return v.inc_from * np.exp(lam * u)
+
+    def _phase_at(self, v: _Voice, t: int) -> float:
+        """Phase after the step producing sample t-1 (discrete glide sum,
+        matching _glide_phase_advance)."""
+        G = float(self.config.glide_samples)
+        u = float(max(t - v.t_ref, 0))
+        if v.inc_from == v.inc_to or v.inc_from <= 0 or v.inc_to <= 0:
+            d = v.inc_to * u
+        else:
+            lam = np.log(v.inc_to / v.inc_from) / G
+            ug = min(u, G)
+            d = (v.inc_from * np.exp(lam) * np.expm1(lam * ug) / np.expm1(lam)
+                 + v.inc_to * max(u - G, 0.0))
+        return float(np.mod(v.phase_ref + d, 2.0))
+
+    # -- event interface (reference onEvent via MidiInput) ------------------
+    def on_event(self, ev: Event) -> bool:
+        if ev.type is EventType.NOTE_ON:
+            if len(self._notes) >= self.config.n_voices:
+                self.dropped_note_on += 1
+                return False
+            inc = self._inc(ev.frequency)
+            t = int(ev.time)
+            # DefaultStartPhase::Random (rt.resynth.lib.cpp:217): random start
+            # angle, which also seeds the noise-table index (setStartAngle,
+            # audioelement.h:1544-1556)
+            angle = self._rng.uniform(-1.0, 1.0)
+            noise_start = int(((angle + 1.0) * len(self._noise) * 0.5) + 0.5)
+            self._notes[ev.note_id] = _Voice(
+                ev.note_id, t, NEVER, ev.velocity, inc, inc, t,
+                float(np.mod(angle, 2.0)), noise_start)
+            return True
+        if ev.type is EventType.NOTE_OFF:
+            v = self._notes.pop(ev.note_id, None)
+            if v is None:
+                return False
+            v.release = float(ev.time)
+            self._finished.append(v)
+            return True
+        # NOTE_CHANGE: retune through the 100-sample InterpolatedFreq glide
+        v = self._notes.get(ev.note_id)
+        if v is None:
+            return False
+        t = int(ev.time)
+        v.phase_ref = self._phase_at(v, t)
+        v.inc_from = max(self._inc_at(v, t), 1e-9)
+        v.inc_to = max(self._inc(ev.frequency), 1e-9)
+        v.t_ref = t
+        v.velocity = ev.velocity
+        return True
+
+    def all_notes_off(self, t: int) -> None:
+        for nid in list(self._notes):
+            self.on_event(Event(EventType.NOTE_OFF, t, nid, 0.0, 0.0))
+
+    # -- rendering ----------------------------------------------------------
+    def _gc(self, t: int) -> None:
+        cfg = self.config
+        rel = max(float(np.max(np.asarray(cfg.ahdsr.release))),
+                  cfg.sample_rate / 1000)
+        self._finished = [v for v in self._finished
+                          if v.release + 4 * rel > t]
+
+    def compute(self, t0: int, n: int) -> np.ndarray:
+        """Render n mono samples covering [t0, t0+n)."""
+        self._gc(t0)
+        active = list(self._notes.values()) + self._finished
+        if not active:
+            return np.zeros(n, dtype=np.dtype(self.config.dtype))
+        cfg = self.config
+        a = cfg.ahdsr
+        V = len(active)
+        pad = max(8, 1 << int(np.ceil(np.log2(V))))
+
+        fp = np.zeros((pad, 12))
+        ip = np.zeros((pad, 3), np.int32)
+        vols = np.zeros((pad, 6))
+        pl = np.zeros((pad, 3))
+        fp[:, 3] = fp[:, 4] = 1.0  # inert rows: unit increments
+        fp[:, 11] = 1.0
+        o = cfg.osc
+        sus = float(np.asarray(a.sustain))
+        hold = max(float(np.max(np.asarray(a.hold))), 0.0)
+        for i, v in enumerate(active):
+            # reference floors: 1 ms (with_min_dt) + 2.5 periods (Enveloped)
+            mc = 2.5 * 2.0 / max(abs(v.inc_to), 1e-9)
+            A = max(float(np.max(np.asarray(a.attack))), mc, 1.0)
+            D = (max(float(np.max(np.asarray(a.decay))), mc, 1.0)
+                 if sus < 0.999999 else 0.0)
+            R = max(float(np.max(np.asarray(a.release))), mc, 1.0)
+            rel = min(v.release, 2.0**31 - 2.0**24)
+            fp[i] = [v.press, rel, v.velocity, v.inc_from, v.inc_to,
+                     v.t_ref, v.phase_ref, A, hold, D, R, sus]
+            ip[i] = [v.press, v.t_ref, v.noise_start]
+            vols[i] = [o.noise, o.saw, o.triangle, o.square, o.sine, o.pulse]
+        high = 0.5 * (2.0 - min(max(o.pulse_width, 0.0), 2.0))
+        pl[:, 0] = o.pulse_width
+        pl[:, 1] = high
+        pl[:, 2] = high - 1.0
+
+        dt = np.dtype(cfg.dtype)
+        out = _carrier_block(
+            jnp.asarray(fp, dt), jnp.asarray(ip), jnp.asarray(vols, dt),
+            jnp.asarray(pl, dt), self._noise_dev, jnp.asarray(t0, jnp.int32),
+            n=n, glide_samples=cfg.glide_samples,
+            a_itp=int(np.asarray(a.attack_itp)),
+            d_itp=int(np.asarray(a.decay_itp)),
+            r_itp=int(np.asarray(a.release_itp)), out_dtype=cfg.dtype)
+        return np.asarray(out)
+
+    def render(self, n_samples: int, block_size: int = 4096) -> np.ndarray:
+        """Offline render of the current state (no further events)."""
+        parts = [self.compute(t, min(block_size, n_samples - t))
+                 for t in range(0, n_samples, block_size)]
+        return np.concatenate(parts) if parts else np.zeros(0)

@@ -152,6 +152,13 @@ class MidiInput:
             sent += self._dispatch(ev)
         return sent
 
+    def dispatch(self, ev: MidiEvent) -> int:
+        """Dispatch an already-decoded MidiEvent (e.g. from a Standard MIDI
+        File, utils/midifile.read_midi_file) to the synth; returns the number
+        of synth events sent. Same routing as poll()."""
+        self.stats.decoded += 1
+        return self._dispatch(ev)
+
     def _dispatch(self, ev: MidiEvent) -> int:
         if ev.kind == "note_on":
             nid = self.note_ids.note_on_id(ev.key)
