@@ -76,12 +76,44 @@ def _fused_analyze_vocode(fp, ip, up, gains, codes, window, carrier, edges,
     return freq, mag, mix
 
 
+def autotune_device_arrays(rconfig, dtype=jnp.float32):
+    """Numeric autotune tables as device arrays for the device tracker:
+    (root (), scale (8,), equidistant (7,), allowed (A,)). Dummy zeros for
+    the unused kind (analysis/autotune.autotune_tables provides the values,
+    reference rt.resynth.lib.autotune.cpp:89-142 / rt.resynth.lib.cpp:
+    1761-1873)."""
+    from . import autotune as at
+
+    tables = at.autotune_tables(use_autotune=rconfig.use_autotune,
+                                **rconfig.autotune_kwargs)
+    root = jnp.zeros((), dtype)
+    scale = jnp.zeros((8,), dtype)
+    equid = jnp.zeros((7,), dtype)
+    allowed = jnp.zeros((0,), dtype)
+    if tables["kind"] == "scale":
+        root = jnp.asarray(tables["root_pitch"], dtype)
+        scale = jnp.asarray(tables["scale"], dtype)
+        equid = jnp.asarray(tables["equidistant"], dtype)
+    elif tables["kind"] == "allowed":
+        allowed = jnp.asarray(np.asarray(tables["allowed"], np.float64), dtype)
+    return tables["kind"], (root, scale, equid, allowed)
+
+
 def tracker_config_kwargs(rconfig, rcfg) -> dict:
     """The device tracker's config-derived kwargs (shared by every fused
     path; the context-dependent total_frames / stride / sample_rate keys are
     supplied by each caller)."""
     a = rcfg.ahdsr
+    from . import autotune as at
+
+    at_kind = at.autotune_tables(use_autotune=rconfig.use_autotune,
+                                 **rconfig.autotune_kwargs)["kind"]
     return dict(
+        harmonize_pre=rconfig.pitch_harmonize_pre_autotune,
+        harmonize_post=rconfig.pitch_harmonize_post_autotune,
+        autotune_kind=at_kind,
+        autotune_max_pitch=rconfig.autotune_max_pitch,
+        autotune_tolerance=rconfig.autotune_tolerance_pitches,
         max_voices=rconfig.max_voices, n_slots=rcfg.n_slots,
         nearby_distance=rconfig.nearby_distance_tones,
         min_volume=rconfig.min_volume,
@@ -175,18 +207,44 @@ def run_offline_chain(bank: voicebank.VoiceBank, n_samples: int,
                               n_frames=n_frames)
 
 
+_TRACKER_STATICS = (
+    "total_frames", "max_voices", "n_slots", "nearby_distance", "min_volume",
+    "max_track_pitches", "pitch_method", "volume_method", "analysis_volume",
+    "shift_pre", "shift_post", "stereo_spread", "attack", "hold", "decay",
+    "sustain", "release", "harmonize_pre", "harmonize_post", "autotune_kind",
+    "autotune_max_pitch", "autotune_tolerance")
+
+
+def _tracker_call_kwargs(kw, at_arrays):
+    return dict(
+        total_frames=kw["total_frames"], stride=kw["render_stride"],
+        sample_rate=kw["sample_rate"], max_voices=kw["max_voices"],
+        n_slots=kw["n_slots"], nearby_distance=kw["nearby_distance"],
+        min_volume=kw["min_volume"],
+        max_track_pitches=kw["max_track_pitches"],
+        pitch_method=kw["pitch_method"], volume_method=kw["volume_method"],
+        analysis_volume=kw["analysis_volume"], shift_pre=kw["shift_pre"],
+        shift_post=kw["shift_post"], stereo_spread=kw["stereo_spread"],
+        attack=kw["attack"], hold=kw["hold"], decay=kw["decay"],
+        sustain=kw["sustain"], release=kw["release"],
+        harmonize_pre=kw["harmonize_pre"],
+        harmonize_post=kw["harmonize_post"],
+        autotune_kind=kw["autotune_kind"],
+        autotune_max_pitch=kw["autotune_max_pitch"],
+        autotune_tolerance=kw["autotune_tolerance"],
+        autotune_arrays=at_arrays)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "n", "block_size", "n_blocks", "a_itp", "d_itp", "r_itp", "dtype",
     "window_size", "stride", "fft_len", "k", "sample_rate",
     "mod_window", "voc_stride", "car_fft", "n_mod_frames",
     "vol_mod", "vol_car", "vol_voc", "use_matmul_dft",
-    "total_frames", "max_voices", "n_slots", "nearby_distance", "min_volume",
-    "max_track_pitches", "pitch_method", "volume_method", "analysis_volume",
-    "shift_pre", "shift_post", "stereo_spread", "attack", "hold", "decay",
-    "sustain", "release", "render_stride", "start_sample"))
+    "render_stride", "start_sample") + _TRACKER_STATICS)
 def _fused_single_dispatch(fp, ip, up, gains, codes, window, carrier, edges,
                            bm_car, rows, loud_pitches, loud_spl, pan_draws,
-                           phase_draws, **kw):
+                           phase_draws, at_root, at_scale, at_equid,
+                           at_allowed, **kw):
     """The ENTIRE offline chain as one XLA program: synth -> STFT -> peaks ->
     device tracker -> tracked-note render, plus the vocoder. No host round
     trips; returns (stereo, vocoded, dropped) device arrays."""
@@ -201,16 +259,7 @@ def _fused_single_dispatch(fp, ip, up, gains, codes, window, carrier, edges,
             "vol_car", "vol_voc", "use_matmul_dft")})
     table, dropped = device_tracker.build_tables_device(
         freq, mag, loud_pitches, loud_spl, pan_draws, phase_draws,
-        total_frames=kw["total_frames"], stride=kw["render_stride"],
-        sample_rate=kw["sample_rate"], max_voices=kw["max_voices"],
-        n_slots=kw["n_slots"], nearby_distance=kw["nearby_distance"],
-        min_volume=kw["min_volume"],
-        max_track_pitches=kw["max_track_pitches"],
-        pitch_method=kw["pitch_method"], volume_method=kw["volume_method"],
-        analysis_volume=kw["analysis_volume"], shift_pre=kw["shift_pre"],
-        shift_post=kw["shift_post"], stereo_spread=kw["stereo_spread"],
-        attack=kw["attack"], hold=kw["hold"], decay=kw["decay"],
-        sustain=kw["sustain"], release=kw["release"])
+        **_tracker_call_kwargs(kw, (at_root, at_scale, at_equid, at_allowed)))
     out = resynth_bank._render_slots(table, stride=kw["render_stride"],
                                      n_channels=2, dtype=kw["dtype"])
     body = out.reshape(kw["total_frames"] * kw["render_stride"], -1)[:, :2]
@@ -233,10 +282,6 @@ def prepare_offline_chain_device(bank: voicebank.VoiceBank, n_samples: int,
     them across calls to skip the H2D); defaults to host numpy pools matching
     the host tracker's RNG sequence.
     """
-    if rconfig.use_autotune or rconfig.pitch_harmonize_pre_autotune or \
-            rconfig.pitch_harmonize_post_autotune:
-        raise NotImplementedError("device tracker: autotune/harmonize "
-                                  "configs run via run_offline_chain")
     from ..utils import loudness
 
     sr = rconfig.sample_rate
@@ -272,13 +317,14 @@ def prepare_offline_chain_device(bank: voicebank.VoiceBank, n_samples: int,
 
     import jax
 
+    _at_kind, at_arrays = autotune_device_arrays(rconfig, wdt)
     all_args = jax.device_put((
         *args, jnp.asarray(window, wdt), carrier_dev, jnp.asarray(edges, wdt),
         jnp.asarray(bm_car, wdt), jnp.asarray(rows),
         jnp.asarray(np.asarray(loudness.PITCHES), wdt),
         jnp.asarray(np.asarray(loudness.ELVS[li]), wdt),
         jnp.asarray(pan_draws, jnp.float32),
-        jnp.asarray(phase_draws, jnp.float32)))
+        jnp.asarray(phase_draws, jnp.float32), *at_arrays))
     kw = dict(
         n=n_samples, dtype=dtype, window_size=rconfig.window_size,
         stride=rconfig.stride, fft_len=fft_len, k=k, sample_rate=sr,
@@ -305,8 +351,8 @@ def run_offline_chain_device(bank: voicebank.VoiceBank, n_samples: int,
     """Single-dispatch offline chain: the device-resident tracker
     (analysis/device_tracker.py) replaces the host pitch pipeline, so the
     whole synth->resynth->vocode graph runs as ONE device program with zero
-    host round trips. Supported config subset: no autotune, no harmonize
-    (run_offline_chain covers the rest)."""
+    host round trips. Covers the reference's full default config space
+    including autotune (scale/chord/intervals) and harmonize."""
     step, n_frames = prepare_offline_chain_device(
         bank, n_samples, rconfig, vparams, carrier,
         block_size=block_size, draws=draws)
@@ -317,13 +363,10 @@ def run_offline_chain_device(bank: voicebank.VoiceBank, n_samples: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "n", "dtype", "window_size", "stride", "fft_len", "k", "sample_rate",
-    "use_matmul_dft", "total_frames", "max_voices", "n_slots",
-    "nearby_distance", "min_volume", "max_track_pitches", "pitch_method",
-    "volume_method", "analysis_volume", "shift_pre", "shift_post",
-    "stereo_spread", "attack", "hold", "decay", "sustain", "release",
-    "render_stride", "start_sample"))
+    "use_matmul_dft", "render_stride", "start_sample") + _TRACKER_STATICS)
 def _fused_resynth_from_signal(mono, window, loud_pitches, loud_spl,
-                               pan_draws, phase_draws, **kw):
+                               pan_draws, phase_draws, at_root, at_scale,
+                               at_equid, at_allowed, **kw):
     """Single-dispatch analysis->resynthesis of a PROVIDED mono signal
     (the rt.resynth.job WAV path): STFT -> device peaks -> device tracker ->
     tracked-note render, one XLA program, no host round trips."""
@@ -338,16 +381,7 @@ def _fused_resynth_from_signal(mono, window, loud_pitches, loud_spl,
                                     fft_length=kw["fft_len"], k=kw["k"])
     table, dropped = device_tracker.build_tables_device(
         freq, mag, loud_pitches, loud_spl, pan_draws, phase_draws,
-        total_frames=kw["total_frames"], stride=kw["render_stride"],
-        sample_rate=kw["sample_rate"], max_voices=kw["max_voices"],
-        n_slots=kw["n_slots"], nearby_distance=kw["nearby_distance"],
-        min_volume=kw["min_volume"],
-        max_track_pitches=kw["max_track_pitches"],
-        pitch_method=kw["pitch_method"], volume_method=kw["volume_method"],
-        analysis_volume=kw["analysis_volume"], shift_pre=kw["shift_pre"],
-        shift_post=kw["shift_post"], stereo_spread=kw["stereo_spread"],
-        attack=kw["attack"], hold=kw["hold"], decay=kw["decay"],
-        sustain=kw["sustain"], release=kw["release"])
+        **_tracker_call_kwargs(kw, (at_root, at_scale, at_equid, at_allowed)))
     out = resynth_bank._render_slots(table, stride=kw["render_stride"],
                                      n_channels=2, dtype=kw["dtype"])
     body = out.reshape(kw["total_frames"] * kw["render_stride"], -1)[:, :2]
@@ -355,14 +389,11 @@ def _fused_resynth_from_signal(mono, window, loud_pitches, loud_spl,
 
 
 def resynthesize_signal_device(signal, rconfig) -> "jnp.ndarray":
-    """Device-resident resynthesis of a mono signal (one dispatch).
+    """Device-resident resynthesis of a mono signal (one dispatch), covering
+    autotune and harmonize configs.
 
-    Same config subset as run_offline_chain_device (no autotune/harmonize).
     Returns the stereo jax array (caller np.asarray()s it to fetch).
     """
-    if rconfig.use_autotune or rconfig.pitch_harmonize_pre_autotune or \
-            rconfig.pitch_harmonize_post_autotune:
-        raise NotImplementedError("autotune/harmonize: use resynthesize()")
     from ..utils import loudness
 
     sr = rconfig.sample_rate
@@ -379,11 +410,13 @@ def resynthesize_signal_device(signal, rconfig) -> "jnp.ndarray":
     pan = np.random.default_rng(rconfig.seed).uniform(-1.0, 1.0, cap)
     phase = np.random.default_rng(0).uniform(0.0, 2.0, cap)
     wdt = jnp.float32 if rconfig.dtype == "float32" else jnp.float64
+    _at_kind, at_arrays = autotune_device_arrays(rconfig, wdt)
     stereo, _dropped = _fused_resynth_from_signal(
         jnp.asarray(signal, wdt), jnp.asarray(window, wdt),
         jnp.asarray(np.asarray(loudness.PITCHES), wdt),
         jnp.asarray(np.asarray(loudness.ELVS[li]), wdt),
         jnp.asarray(pan, jnp.float32), jnp.asarray(phase, jnp.float32),
+        *at_arrays,
         n=n, dtype=rconfig.dtype, window_size=rconfig.window_size,
         stride=rconfig.stride, fft_len=fft_len, k=k, sample_rate=sr,
         use_matmul_dft=stft_ops.use_matmul_dft_default(wdt),
@@ -411,10 +444,6 @@ def prepare_offline_chain_device_batch(banks, n_samples: int,
     Returns (step, n_frames); step() -> (stereo (B, T, 2), vocoded (B, m),
     dropped (B,)).
     """
-    if rconfig.use_autotune or rconfig.pitch_harmonize_pre_autotune or \
-            rconfig.pitch_harmonize_post_autotune:
-        raise NotImplementedError("device tracker: autotune/harmonize "
-                                  "configs run via run_offline_chain")
     import jax
 
     from ..utils import loudness
@@ -478,9 +507,10 @@ def prepare_offline_chain_device_batch(banks, n_samples: int,
                  vol_voc=float(vparams.volume_vocoded),
                  use_matmul_dft=stft_ops.use_matmul_dft_default(wdt),
                  **statics)
+    _at_kind, at_arrays = autotune_device_arrays(rconfig, wdt)
     tr_kw = dict(
         total_frames=total_frames, stride=rcfg.stride, sample_rate=float(sr),
-        **tracker_config_kwargs(rconfig, rcfg))
+        autotune_arrays=at_arrays, **tracker_config_kwargs(rconfig, rcfg))
 
     from ..models.resynth_bank import _F_VB, _F_VTGT
 

@@ -47,6 +47,7 @@ import jax.numpy as jnp
 import numpy as np
 
 FAR = 1e12
+_PITCH_EPSILON = 1e-4  # rt.resynth.lib.algo.cpp:3
 _SCAN_UNROLL = 1  # tuned on hardware; see bench notes
 _NF = 16
 (_F_INC, _F_RATIO, _F_PHB, _F_VTGT, _F_VB, _F_ALPHA, _F_TP0, _F_TR0,
@@ -61,16 +62,118 @@ def _freq_of_pitch(pitch):
     return 440.0 * jnp.exp2((pitch - 69.0) / 12.0)
 
 
+def _harmonize_lanes(tpitch, tvol, h: float):
+    """Device harmonize_pitches (rt.resynth.lib.algo.cpp:318-371): add a
+    +h-halftones copy of every pitch; a copy within PITCH_EPSILON of an
+    existing pitch merges its volume into it instead. Doubles the lane count
+    (F, k) -> (F, 2k), output re-sorted ascending with inf padding.
+
+    The reference searches the *growing* vector for the closest element;
+    a copy can only land within eps of another COPY when the two source
+    pitches are within eps of each other — impossible for distinct reduced
+    groups (aggregation keeps them > nearby_distance apart) — so matching
+    against the originals is exact.
+    """
+    F, k = tpitch.shape
+    fdt = tpitch.dtype
+    valid = jnp.isfinite(tpitch)
+    hp = jnp.where(valid, tpitch + h, jnp.inf)
+    # |original_j - copy_i|, invalid originals pushed to +inf
+    pj = jnp.where(valid, tpitch, FAR)[:, None, :]
+    dist = jnp.abs(pj - jnp.where(valid, hp, -FAR)[:, :, None])  # (F, i, j)
+    mind = jnp.min(dist, axis=-1)
+    merge = valid & (mind <= _PITCH_EPSILON)
+    # first (lowest-j) original attaining the min — reference std::min_element
+    is_min = dist <= mind[..., None]
+    lane = jnp.arange(k)
+    first_j = jnp.min(jnp.where(is_min, lane[None, None, :], k), axis=-1)
+    oh = ((first_j[..., None] == lane[None, None, :]) & merge[..., None]
+          ).astype(fdt)
+    vol_add = jnp.einsum("fij,fi->fj", oh, tvol)
+    new_vol = jnp.where(valid & ~merge, tvol, 0.0)
+    new_pitch = jnp.where(valid & ~merge, hp, jnp.inf)
+    cat_p = jnp.concatenate([tpitch, new_pitch], axis=-1)
+    cat_v = jnp.concatenate([tvol + vol_add, new_vol], axis=-1)
+    order = jnp.argsort(jnp.where(jnp.isfinite(cat_p), cat_p, jnp.inf),
+                        axis=-1)
+    return (jnp.take_along_axis(cat_p, order, axis=-1),
+            jnp.take_along_axis(cat_v, order, axis=-1))
+
+
+def _autotune_lanes(tpitch, tvol, at_root, at_scale, at_equid, at_allowed, *,
+                    kind: str, max_pitch: float, tolerance: float):
+    """Device autotune_pitches (rt.resynth.lib.algo.cpp:191-229 +
+    autotune.cpp:89-142): snap each pitch to the allowed set, keep the
+    original when it (or its snap) exceeds max_pitch, drop entries farther
+    than `tolerance` from their snap, merge coincident outputs (within
+    PITCH_EPSILON — exact for snapped values, which land on a discrete grid).
+    """
+    fdt = tpitch.dtype
+    valid = jnp.isfinite(tpitch)
+    p = jnp.where(valid, tpitch, 0.0)
+    if kind == "scale":
+        # octave-folded closest scale degree (MusicalScalePitches::
+        # closest_pitch, autotune.cpp:89-142; int() truncation replicated)
+        od = (p - at_root) / 12.0
+        oct_t = jnp.where(od >= 0, jnp.trunc(od), jnp.trunc(od) - 1.0)
+        rel = p - oct_t * 12.0 - at_root
+        idx = jnp.sum(rel[..., None] >= at_equid[None, None, :], axis=-1)
+        oh = (idx[..., None] == jnp.arange(at_scale.shape[0])[None, None, :]
+              ).astype(fdt)
+        snap = jnp.einsum("fkj,j->fk", oh, at_scale)
+        tp = p - (rel - snap)
+        transform_ok = jnp.ones_like(valid)
+    else:  # "allowed": closest element of a sorted list, ties -> lower
+        if at_allowed.shape[0] == 0:
+            return (jnp.full_like(tpitch, jnp.inf), jnp.zeros_like(tvol))
+        dist = jnp.abs(p[..., None] - at_allowed[None, None, :])
+        mind = jnp.min(dist, axis=-1)
+        cand = jnp.where(dist <= mind[..., None], at_allowed[None, None, :],
+                         jnp.inf)
+        tp = jnp.min(cand, axis=-1)
+        transform_ok = jnp.ones_like(valid)
+    use_tp = (p <= max_pitch) & (tp <= max_pitch) & transform_ok
+    snapped = jnp.where(use_tp, tp, p)
+    keep = valid & (jnp.abs(snapped - p) <= tolerance)
+    out_p = jnp.where(keep, snapped, jnp.inf)
+    out_v = jnp.where(keep, tvol, 0.0)
+    # merge coincident consecutive outputs: sort, then group within eps
+    order = jnp.argsort(out_p, axis=-1)
+    sp = jnp.take_along_axis(out_p, order, axis=-1)
+    sv = jnp.take_along_axis(out_v, order, axis=-1)
+    fin = jnp.isfinite(sp)
+    prev = jnp.concatenate([jnp.full_like(sp[:, :1], -jnp.inf), sp[:, :-1]],
+                           axis=-1)
+    boundary = ~fin | (sp - prev >= _PITCH_EPSILON)
+    gid = jnp.cumsum(boundary.astype(jnp.int32), axis=-1) - 1
+    lane = jnp.arange(sp.shape[-1])
+    oh_g = ((gid[..., None] == lane[None, None, :]) & fin[..., None]
+            ).astype(fdt)
+    gvol = jnp.einsum("fjg,fj->fg", oh_g, sv)
+    gp = jnp.min(jnp.where((oh_g > 0.5), sp[..., None], jnp.inf), axis=1)
+    return gp, jnp.where(jnp.isfinite(gp), gvol, 0.0)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "d", "min_volume", "pitch_method", "volume_method", "shift_pre",
-    "shift_post", "analysis_volume"))
-def _frame_local(freq, mag_db, loud_pitches, loud_spl, *, d: float,
+    "shift_post", "analysis_volume", "harmonize_pre", "harmonize_post",
+    "autotune_kind", "autotune_max_pitch", "autotune_tolerance"))
+def _frame_local(freq, mag_db, loud_pitches, loud_spl, at_root, at_scale,
+                 at_equid, at_allowed, *, d: float,
                  min_volume: float, pitch_method: int, volume_method: int,
-                 shift_pre: float, shift_post: float, analysis_volume: float):
-    """Batched frame-local pipeline: peaks -> (tuned pitch, volume, order).
+                 shift_pre: float, shift_post: float, analysis_volume: float,
+                 harmonize_pre: float = 0.0, harmonize_post: float = 0.0,
+                 autotune_kind: str = "off",
+                 autotune_max_pitch: float = 150.0,
+                 autotune_tolerance: float = 100.0):
+    """Batched frame-local pipeline: peaks -> (tuned pitch, volume, order),
+    running the reference stage order shift(pre) -> harmonize(pre) ->
+    autotune -> shift(post) -> harmonize(post)
+    (RtResynth::step, rt.resynth.lib.cpp:1676-1727).
 
     freq/mag_db: (F, k) frequency-sorted peak arrays (-inf mag = invalid).
-    Returns (F, k) tuned pitch (+inf pad), volume (0 pad), loudness order.
+    Returns (F, k') tuned pitch (+inf pad), volume (0 pad), loudness order —
+    k' doubles per enabled harmonize stage.
     """
     k = freq.shape[-1]
     valid = jnp.isfinite(mag_db) & (freq > 0) & jnp.isfinite(freq)
@@ -125,11 +228,21 @@ def _frame_local(freq, mag_db, loud_pitches, loud_spl, *, d: float,
         gpitch = sum_pv / jnp.maximum(sum_vol, 1e-30)
     keep = (gvol >= min_volume) & (count > 0)
 
-    gpitch = gpitch + (shift_pre + shift_post)
-    key = jnp.where(keep, gpitch, jnp.inf)
+    key = jnp.where(keep, gpitch + shift_pre, jnp.inf)
     order = jnp.argsort(key, axis=-1)
     tpitch = jnp.take_along_axis(key, order, axis=-1)
     tvol = jnp.take_along_axis(jnp.where(keep, gvol, 0.0), order, axis=-1)
+    if harmonize_pre:
+        tpitch, tvol = _harmonize_lanes(tpitch, tvol, harmonize_pre)
+    if autotune_kind != "off":
+        tpitch, tvol = _autotune_lanes(
+            tpitch, tvol, at_root, at_scale, at_equid, at_allowed,
+            kind=autotune_kind, max_pitch=autotune_max_pitch,
+            tolerance=autotune_tolerance)
+    if shift_post:
+        tpitch = jnp.where(jnp.isfinite(tpitch), tpitch + shift_post, tpitch)
+    if harmonize_post:
+        tpitch, tvol = _harmonize_lanes(tpitch, tvol, harmonize_post)
 
     # perceived-loudness order (60 phon): stable descending vol/loudness.
     # interp over the 29-point ISO table via compare-all + one-hot matmul
@@ -718,7 +831,13 @@ def _build_tables_parallel(tpitch, volume, loud_order, is_data, pan_draws,
     return table, viol
 
 
-def _prep_lanes(freq, mag_db, loud_pitches, loud_spl, kw):
+def default_autotune_arrays(dtype=jnp.float32):
+    """Dummy autotune table arrays for autotune_kind='off'."""
+    return (jnp.zeros((), dtype), jnp.zeros((8,), dtype),
+            jnp.zeros((7,), dtype), jnp.zeros((0,), dtype))
+
+
+def _prep_lanes(freq, mag_db, loud_pitches, loud_spl, at_args, kw):
     """Lane padding + frame-local pipeline + tail-frame padding."""
     F, k = freq.shape
     if k % 8:  # tracker lanes work in blocks of 8
@@ -727,11 +846,20 @@ def _prep_lanes(freq, mag_db, loud_pitches, loud_spl, kw):
         mag_db = jnp.pad(mag_db, ((0, 0), (0, padk)),
                          constant_values=-jnp.inf)
         k += padk
+    if at_args is None:
+        at_args = default_autotune_arrays(freq.dtype)
     tpitch, volume, loud_order = _frame_local(
-        freq, mag_db, loud_pitches, loud_spl, d=kw["nearby_distance"],
+        freq, mag_db, loud_pitches, loud_spl, *at_args,
+        d=kw["nearby_distance"],
         min_volume=kw["min_volume"], pitch_method=kw["pitch_method"],
         volume_method=kw["volume_method"], shift_pre=kw["shift_pre"],
-        shift_post=kw["shift_post"], analysis_volume=kw["analysis_volume"])
+        shift_post=kw["shift_post"], analysis_volume=kw["analysis_volume"],
+        harmonize_pre=kw.get("harmonize_pre", 0.0),
+        harmonize_post=kw.get("harmonize_post", 0.0),
+        autotune_kind=kw.get("autotune_kind", "off"),
+        autotune_max_pitch=kw.get("autotune_max_pitch", 150.0),
+        autotune_tolerance=kw.get("autotune_tolerance", 100.0))
+    k = tpitch.shape[-1]  # harmonize stages double the lane count
     # extend through the render tail (no analysis data there: no events,
     # recurrences keep running — matches the host packer's f1 windows)
     pad = kw["total_frames"] - F
@@ -801,31 +929,35 @@ def build_tables_device_batch(freq, mag_db, loud_pitches, loud_spl,
     The frame-parallel tracker vmaps over jobs; the violation cond is
     hoisted ABOVE the vmap (any job violating sends the whole batch down the
     vmapped scan — under vmap a cond would execute both branches for every
-    job). Requires min_volume > 0 (same subset as the parallel path).
+    job). min_volume <= 0 routes the whole batch down the scan path (the
+    parallel tracker's played-set identity needs min_volume > 0).
     """
-    if kw["min_volume"] <= 0:
-        raise NotImplementedError("batched tracker requires min_volume > 0")
     B, F, _ = freq.shape
     n_data = F
+    autotune_arrays = kw.pop("autotune_arrays", None)
 
     def prep_one(fr, mg):
-        return _prep_lanes(fr, mg, loud_pitches, loud_spl, kw)[:4]
+        return _prep_lanes(fr, mg, loud_pitches, loud_spl, autotune_arrays,
+                           kw)[:4]
 
     tpitch, volume, loud_order, is_data = jax.vmap(prep_one)(freq, mag_db)
     k = tpitch.shape[-1]
     is_data0 = is_data[0]
-
-    def par_one(tp, vo, lo):
-        return _parallel_tables(tp, vo, lo, is_data0, pan_draws,
-                                phase_draws, kw, k, n_data)
-
-    tables, viols = jax.vmap(par_one)(tpitch, volume, loud_order)
 
     def scan_all(_):
         return jax.vmap(
             lambda tp, vo, lo: _scan_tables(tp, vo, lo, is_data0, pan_draws,
                                             phase_draws, kw, k)
         )(tpitch, volume, loud_order)
+
+    if kw["min_volume"] <= 0:
+        return scan_all(None)
+
+    def par_one(tp, vo, lo):
+        return _parallel_tables(tp, vo, lo, is_data0, pan_draws,
+                                phase_draws, kw, k, n_data)
+
+    tables, viols = jax.vmap(par_one)(tpitch, volume, loud_order)
 
     return jax.lax.cond(
         jnp.any(viols), scan_all,
@@ -863,9 +995,18 @@ def build_tables_device(freq, mag_db, loud_pitches, loud_spl, pan_draws,
                         shift_pre: float, shift_post: float,
                         stereo_spread: float, attack: float, hold: float,
                         decay: float, sustain: float, release: float,
+                        harmonize_pre: float = 0.0, harmonize_post: float = 0.0,
+                        autotune_kind: str = "off",
+                        autotune_max_pitch: float = 150.0,
+                        autotune_tolerance: float = 100.0,
+                        autotune_arrays=None,
                         _force_scan: bool = False):
     """(F, k) device peak arrays -> ((total_frames, n_slots, 16) table,
-    dropped-NoteOn count), entirely on device (jit-traceable)."""
+    dropped-NoteOn count), entirely on device (jit-traceable).
+
+    autotune_kind: 'off' | 'scale' | 'allowed' with autotune_arrays =
+    (root_pitch (), scale (8,), equidistant (7,), allowed (A,)) — see
+    chain.autotune_device_config / analysis.autotune.autotune_tables."""
     F = freq.shape[0]
     if max_voices > 127:
         raise ValueError("device tracker supports max_voices <= 127")
@@ -877,9 +1018,12 @@ def build_tables_device(freq, mag_db, loud_pitches, loud_spl, pan_draws,
         volume_method=volume_method, analysis_volume=analysis_volume,
         shift_pre=shift_pre, shift_post=shift_post,
         stereo_spread=stereo_spread, attack=attack, hold=hold, decay=decay,
-        sustain=sustain, release=release)
+        sustain=sustain, release=release,
+        harmonize_pre=harmonize_pre, harmonize_post=harmonize_post,
+        autotune_kind=autotune_kind, autotune_max_pitch=autotune_max_pitch,
+        autotune_tolerance=autotune_tolerance)
     tpitch, volume, loud_order, is_data, k = _prep_lanes(
-        freq, mag_db, loud_pitches, loud_spl, kw)
+        freq, mag_db, loud_pitches, loud_spl, autotune_arrays, kw)
 
     def _scan_path(_):
         return _scan_tables(tpitch, volume, loud_order, is_data, pan_draws,

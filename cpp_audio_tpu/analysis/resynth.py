@@ -344,15 +344,13 @@ def resynthesize(signal, config: ResynthConfig, *, device_out: bool = False,
     """Full offline chain: mono signal -> stereo resynthesis.
 
     implementation: 'auto' takes the fully device-resident single-dispatch
-    path (frame-parallel tracker) when the config subset allows it, else the
-    native C++ tracker, else pure python; 'device'/'native'/'python' force.
+    path (frame-parallel tracker, incl. autotune/harmonize configs);
+    'device'/'native'/'python' force a specific tracker.
     """
     rcfg = _render_config(config)
     if not prefer_native and implementation == "auto":
         implementation = "python"
-    device_ok = not (config.use_autotune or config.pitch_harmonize_pre_autotune
-                     or config.pitch_harmonize_post_autotune)
-    if implementation == "device" or (implementation == "auto" and device_ok):
+    if implementation in ("device", "auto"):
         from . import chain
 
         out = chain.resynthesize_signal_device(signal, config)
