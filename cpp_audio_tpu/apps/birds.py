@@ -1,14 +1,20 @@
 """The `birds` app: render procedural SoundEngine programs
-(reference source/main.birds.cpp — interactive CLI that picks a
-BIRDS/ROBOTS/WIND program and plays notes; here: render to WAV, with an
-interactive prompt mode when run with --interactive).
+(reference source/main.birds.cpp).
 
-Run: python -m cpp_audio_tpu.apps.birds --mode birds --program 0 --seconds 5 out.wav
+One-shot render:
+    python -m cpp_audio_tpu.apps.birds --mode birds --program 0 --seconds 5 out.wav
+Interactive stdin loop (the reference's CLI shape, main.birds.cpp:107-187 —
+enter a number to change program, any other word to replay with a fresh
+random realization, 'q' to quit; each note renders to a numbered WAV under
+--out-dir since this environment has no audio device):
+    python -m cpp_audio_tpu.apps.birds --interactive --out-dir /tmp/birds
 """
 
 from __future__ import annotations
 
 import argparse
+import sys
+from pathlib import Path
 
 import numpy as np
 
@@ -35,6 +41,67 @@ def list_programs() -> str:
     return "\n".join(lines)
 
 
+def interactive(*, mode: str = "robots", program: int = 0,
+                seconds: float = 3.0, freq: float = 200.0,
+                sample_rate: int = 44100, seed: int = 1,
+                out_dir="birds_session", stdin=None, stdout=None) -> int:
+    """The reference's interactive stdin loop (main.birds.cpp:107-187).
+
+    Per iteration: a note plays (here: renders to out_dir/note_NNN.wav), then
+    the prompt reads one token — a program number switches program (noteOff +
+    useProgram + noteOn, main.birds.cpp:125-141), any other word replays the
+    current program with a fresh random seed, 'q' quits. Returns the number
+    of notes played.
+    """
+    stdin = stdin or sys.stdin
+    stdout = stdout or sys.stdout
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    m = voice_presets.Mode(mode)
+    progs = voice_presets.PROGRAMS[m]
+    program = min(program, len(progs) - 1)
+    print(f"using program '{progs[program].name}'", file=stdout)
+
+    note_idx = 0
+
+    def play():
+        nonlocal note_idx
+        note_idx += 1
+        out = render(m.value, program, seconds, freq=freq,
+                     sample_rate=sample_rate, seed=seed)
+        path = out_dir / f"note_{note_idx:03d}.wav"
+        wavio.write_wav(path, out, sample_rate)
+        print(f"note {note_idx}: pitch {freq} program "
+              f"'{progs[program].name}' seed {seed} -> {path}", file=stdout)
+
+    play()
+    while True:
+        print("enter number to change program, or letter to play note, "
+              "or 'q' to quit:", file=stdout)
+        line = stdin.readline()
+        if not line:
+            break
+        tok = line.strip()
+        if not tok:
+            continue
+        print(f"pressed:{tok}", file=stdout)
+        if tok == "q":
+            print("quitting", file=stdout)
+            break
+        try:
+            n = int(tok)
+            if 0 <= n < len(progs):
+                program = n
+                print(f"using program '{progs[program].name}'", file=stdout)
+        except ValueError:
+            print("not a number", file=stdout)
+        # replay with a fresh random realization (the reference's SoundEngine
+        # reruns its markov chain each noteOn; seeded here for replayability)
+        seed += 1
+        play()
+    return note_idx
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("output", nargs="?", default="birds.wav")
@@ -46,10 +113,23 @@ def main(argv=None):
     ap.add_argument("--sample-rate", type=int, default=44100)
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--list", action="store_true", help="list programs and exit")
+    ap.add_argument("--interactive", action="store_true",
+                    help="stdin loop: number = program change, other = "
+                         "replay, q = quit (main.birds.cpp:107-187)")
+    ap.add_argument("--out-dir", default="birds_session",
+                    help="where --interactive writes its note WAVs")
     args = ap.parse_args(argv)
 
     if args.list:
         print(list_programs())
+        return 0
+
+    if args.interactive:
+        interactive(mode=args.mode,
+                    program=int(args.program) if args.program.isdigit() else 0,
+                    seconds=args.seconds, freq=args.freq,
+                    sample_rate=args.sample_rate, seed=args.seed,
+                    out_dir=args.out_dir)
         return 0
 
     program = int(args.program) if args.program.isdigit() else args.program

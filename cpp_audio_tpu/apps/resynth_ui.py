@@ -9,11 +9,14 @@ polled gauges (CPU load, queue fill, per-stage durations).
 
 Here the same data feeds render as text: a pitch roll (time x MIDI pitch,
 volume-shaded), vocoder band envelope rows, the grouped parameter panel, and
-the per-stage duration gauges — driven from a WAV offline, since this
-environment has no audio devices.
+the per-stage duration gauges — driven from a WAV, since this environment
+has no audio devices. `--live` runs the UI's polling-timer shape: the input
+streams through LiveResynth and the dashboard refreshes periodically while
+accepting live param edits and preset save/load on stdin (live_dashboard).
 
 Usage:
   python -m cpp_audio_tpu.apps.resynth_ui input.wav [--vocoder] [--width 100]
+  python -m cpp_audio_tpu.apps.resynth_ui input.wav --live
 """
 
 from __future__ import annotations
@@ -116,14 +119,163 @@ def param_panel(config) -> str:
     return "\n".join(out)
 
 
+def _parse_value(s: str):
+    if s in ("true", "True"):
+        return True
+    if s in ("false", "False"):
+        return False
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    try:
+        return float(s)
+    except ValueError:
+        return s
+
+
+def _preset_from_config(cfg):
+    """ResynthConfig -> ResynthPreset for the matching field names
+    (the UI's save-preset menu, rt.resynth.ui.cpp)."""
+    import dataclasses as dc
+
+    from ..analysis.presets_json import ResynthPreset
+
+    p = ResynthPreset()
+    names = {f.name for f in dc.fields(ResynthPreset)}
+    for f in dc.fields(cfg):
+        if f.name in names:
+            setattr(p, f.name, getattr(cfg, f.name))
+    return p
+
+
+def _apply_preset_to_config(preset, cfg):
+    import dataclasses as dc
+
+    names = {f.name for f in dc.fields(cfg)}
+    for f in dc.fields(preset):
+        if f.name in names:
+            setattr(cfg, f.name, getattr(preset, f.name))
+
+
+def live_dashboard(mono, sr, *, stdin=None, stdout=None, config=None,
+                   block_size: int = 4096, blocks_per_refresh: int = 4,
+                   width: int = 100, height: int = 16) -> dict:
+    """Refresh loop over a streaming analysis with live param editing — the
+    reference UI's polling timer + param sliders + preset menu
+    (rt.resynth.ui.cpp:7, rt.resynth.ui.params.cpp).
+
+    The input streams through LiveResynth block by block; every
+    `blocks_per_refresh` blocks the dashboard redraws (params, pitch window,
+    note counters, gauges) and ONE command line is read from stdin:
+
+      set <param> <value>   mutate a ResynthConfig field live (applies to
+                            subsequent analysis frames, like the reference's
+                            atomic param setters)
+      save <path>           write the current params as a JSON preset
+      load <path>           restore params from a JSON preset
+      quit                  stop streaming
+
+    Returns a stats dict (refreshes, commands applied, windows analyzed).
+    """
+    import io
+
+    from ..analysis import resynth as resynth_mod
+    from ..analysis.autotune import mk_autotune_function
+    from ..analysis.streaming import LiveResynth
+
+    stdin = stdin if stdin is not None else sys.stdin
+    stdout = stdout if stdout is not None else sys.stdout
+    cfg = config or resynth_mod.ResynthConfig(sample_rate=sr)
+    live = LiveResynth(cfg)
+    stats = {"refreshes": 0, "commands": 0, "windows": 0, "quit": False}
+
+    def refresh():
+        stats["refreshes"] += 1
+        tracked = list(live.tracker.voices.values())
+        print("=== parameters ===", file=stdout)
+        print(param_panel(cfg), file=stdout)
+        print("=== pitch window ===", file=stdout)
+        print(pitch_roll(tracked, max(live.tracker.frame_idx, 1),
+                         width=width, height=height), file=stdout)
+        s = live.stats
+        print(f"windows={s.windows} on={s.note_on} change={s.note_change} "
+              f"off={s.note_off} dropped={s.dropped_note_on}", file=stdout)
+
+    def poll_command() -> None:
+        line = stdin.readline()
+        if not line:
+            return
+        parts = line.split()
+        if not parts:
+            return
+        cmd = parts[0]
+        if cmd == "quit":
+            stats["quit"] = True
+        elif cmd == "set" and len(parts) >= 3:
+            name, value = parts[1], _parse_value(parts[2])
+            if not hasattr(cfg, name):
+                print(f"unknown param {name}", file=stdout)
+                return
+            setattr(cfg, name, value)
+            if name.startswith(("use_autotune", "autotune")):
+                live.tracker.autotune_fn = mk_autotune_function(
+                    use_autotune=cfg.use_autotune, **cfg.autotune_kwargs)
+            stats["commands"] += 1
+            print(f"set {name} = {value}", file=stdout)
+        elif cmd == "save" and len(parts) >= 2:
+            _preset_from_config(cfg).save(parts[1])
+            stats["commands"] += 1
+            print(f"saved preset {parts[1]}", file=stdout)
+        elif cmd == "load" and len(parts) >= 2:
+            from ..analysis.presets_json import ResynthPreset
+
+            _apply_preset_to_config(ResynthPreset.load(parts[1]), cfg)
+            live.tracker.autotune_fn = mk_autotune_function(
+                use_autotune=cfg.use_autotune, **cfg.autotune_kwargs)
+            stats["commands"] += 1
+            print(f"loaded preset {parts[1]}", file=stdout)
+        else:
+            print(f"unknown command: {line.strip()}", file=stdout)
+
+    mono = np.asarray(mono, np.float64)
+    bi = 0
+    for i in range(0, len(mono), block_size):
+        if stats["quit"]:
+            break
+        live.feed(mono[i : i + block_size])
+        live.pull(min(block_size, len(mono) - i))
+        bi += 1
+        if bi % blocks_per_refresh == 0:
+            refresh()
+            poll_command()
+    refresh()
+    stats["windows"] = live.stats.windows
+    return stats
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("input", help="input WAV (the microphone analog)")
     ap.add_argument("--vocoder", action="store_true",
                     help="also show the vocoder band-envelope window")
+    ap.add_argument("--live", action="store_true",
+                    help="refresh loop over a streaming analysis with live "
+                         "param editing (set/save/load/quit on stdin)")
     ap.add_argument("--width", type=int, default=100)
     ap.add_argument("--height", type=int, default=24)
     args = ap.parse_args(argv)
+
+    if args.live:
+        from ..utils import wav
+
+        data, sr = wav.read_wav(args.input)
+        mono = data.mean(axis=1) if data.ndim == 2 else data
+        stats = live_dashboard(mono, sr, width=args.width,
+                               height=min(args.height, 20))
+        print(f"done: {stats['windows']} windows, "
+              f"{stats['commands']} commands")
+        return 0
 
     from ..analysis import resynth
     from ..analysis import vocoder as voc

@@ -1,14 +1,19 @@
-"""The `tune` app: score playground with hot-reloadable synth presets
+"""The `tune` app: score playground with synth presets from text files
 (reference source/main.tune.cpp — oscillator synths defined by
 synth/Envelope*.txt + Harmonics*.txt + LowPass.txt, scores via parseMusic).
 
   python -m cpp_audio_tpu.apps.tune "do re mi-- fa" out.wav --synth-dir synth/
+  python -m cpp_audio_tpu.apps.tune "do re mi-- fa" out.wav --synth-dir synth/ --play
+      streams the piece block by block and hot-reloads the preset files by
+      mtime while it plays (main.tune.cpp:1941-2031)
 """
 
 from __future__ import annotations
 
 import argparse
 from pathlib import Path
+
+import numpy as np
 
 from ..core import voices
 from ..models import harmonics
@@ -76,6 +81,92 @@ def render_score(score_text: str, *, synth_dir=None, sample_rate: int = 44100,
                         sample_files=sample_files, **kw)
 
 
+class SynthDirWatcher:
+    """mtime watcher over the synth preset files (reference
+    main.tune.cpp:1941-2031 — pollValueChanges on Envelope*/Harmonics*/
+    LowPass text files during playback)."""
+
+    def __init__(self, synth_dir, files):
+        self.dir = Path(synth_dir)
+        self.files = list(files)
+        self._mtimes = self._stat()
+
+    def _stat(self):
+        out = {}
+        for f in self.files:
+            p = self.dir / f
+            try:
+                out[f] = p.stat().st_mtime_ns
+            except OSError:
+                out[f] = None
+        return out
+
+    def changed(self) -> bool:
+        cur = self._stat()
+        if cur != self._mtimes:
+            self._mtimes = cur
+            return True
+        return False
+
+
+def play_streaming(notes, out_path, *, synth_dir, sample_rate: int = 44100,
+                   block_seconds: float = 0.25, on_block=None,
+                   envelope_file: str = "EnvelopeFast.txt",
+                   harmonics_file: str = "Harmonics.txt",
+                   lowpass_file: str = "LowPass.txt",
+                   realtime: bool = False):
+    """Block-streaming playback with preset hot reload by mtime.
+
+    The reference's tune app polls the synth definition files during playback
+    and re-applies envelope/harmonics/low-pass to the live synths when a file
+    changes (main.tune.cpp:1941-2031). Here each block checks the watcher;
+    on a change the remainder of the piece re-renders under the new config
+    (phases are closed-form in the press sample, so oscillator phase is
+    continuous across the reload seam; envelope/harmonics changes step at the
+    seam like the reference's setAHDSR on live elements).
+
+    on_block(block_index, t_samples): called after each written block (tests
+    edit preset files from here). Returns (n_reloads, total_samples).
+    """
+    import time as time_mod
+
+    out_path = Path(out_path)
+    total = int(max((n.release for n in notes), default=0) + sample_rate)
+    block = max(1, int(block_seconds * sample_rate))
+    watcher = SynthDirWatcher(
+        synth_dir, [envelope_file, harmonics_file, lowpass_file])
+
+    def full_render():
+        out, _sr = render_notes(
+            notes, synth_dir=synth_dir, sample_rate=sample_rate,
+            envelope_file=envelope_file, harmonics_file=harmonics_file,
+            lowpass_file=lowpass_file)
+        return np.asarray(out)
+
+    rendered = full_render()
+    writer = wavio.StreamingWavWriter(out_path, sample_rate,
+                                      rendered.shape[1])
+    reloads = 0
+    t = 0
+    bi = 0
+    try:
+        while t < total:
+            if watcher.changed():
+                rendered = full_render()
+                reloads += 1
+            end = min(t + block, total)
+            writer.append(rendered[t:end])
+            t = end
+            bi += 1
+            if on_block is not None:
+                on_block(bi, t)
+            if realtime:
+                time_mod.sleep(block / sample_rate)
+    finally:
+        writer.close()
+    return reloads, total
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("score", nargs="?", default=None,
@@ -108,6 +199,12 @@ def main(argv=None):
     ap.add_argument("--loop-pitch-offset", type=float, default=0.0,
                     help="half-tones added per loop iteration")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--play", action="store_true",
+                    help="block-streaming playback with preset hot reload "
+                         "by mtime (main.tune.cpp:1941-2031): edit the "
+                         "--synth-dir files while it runs")
+    ap.add_argument("--realtime", action="store_true",
+                    help="with --play: pace blocks at the sample rate")
     args = ap.parse_args(argv)
 
     from ..utils import event_streams
@@ -161,6 +258,15 @@ def main(argv=None):
                                  for i, n in enumerate(notes2)]
         else:
             ap.error("need a score, --rain, or --sonify")
+        if args.play:
+            if args.synth_dir is None:
+                ap.error("--play needs --synth-dir (it watches its files)")
+            reloads, total = play_streaming(
+                notes, args.output, synth_dir=args.synth_dir, sample_rate=sr,
+                realtime=args.realtime)
+            print(f"wrote {args.output} (streamed {total} samples, "
+                  f"{reloads} preset reloads)")
+            return 0
         out, sr = render_notes(notes, synth_dir=args.synth_dir,
                                sample_rate=sr, sample_files=args.sample)
     except ValueError as e:
