@@ -300,6 +300,77 @@ def _loudness_lut(low_index: int, log_ratio: float, level: float, sample_rate: i
     return log2_inc[0], log2_inc[1] - log2_inc[0], vols.astype(np.float64)
 
 
+def logramp_increments(k, frm, to, D, s0, itp_codes):
+    """EXACT closed-form LogRamp increment at sample offsets k (broadcastable).
+
+    The reference (LogRamp::do_step, include/audioelement.h:2523-2543) steps
+    cur_sample by C*f where f is the LINEARLY-interpolated increment at
+    normalized position (cur_sample+0.5)/D (regardless of the value easing),
+    and when cur_sample + 0.5 > D restarts at 0 with from/to swapped
+    (audioelement.h:2524-2527). Because f is linear in cur_sample the
+    discrete recurrence is AFFINE, s' = alpha*s + beta with
+    alpha_leg = 1 + C*g_leg (g_leg = (b-a)/D, C = ln(to/frm)/(to-frm),
+    invariant under the swap), so it has the exact closed form
+        s_tau = (s_start + c_leg) * alpha_leg^tau - c_leg,
+        c_leg = a/g_leg + 0.5
+    and each leg's integer duration is exact too: the s + 0.5 > D trigger
+    is u = s + c_leg crossing b/g_leg, at
+        N_leg = floor(ln((b/g_leg) / u_start) / ln(alpha_leg)) + 1.
+    Each DIRECTION therefore has its own duration (N_A forward, N_B
+    backward); after the first (possibly mid-range, from s0) leg the legs
+    alternate backward/forward. The value uses the CURRENT leg's
+    orientation: a_leg + (b_leg - a_leg) * ease(s/D).
+    """
+    g = (to - frm) / D
+    same = jnp.abs(to - frm) < 1e-12 * jnp.abs(frm)
+    g_safe = jnp.where(same, 1.0, g)
+    lam = jnp.where(same, 0.0,
+                    jnp.log(jnp.maximum(to, 1e-30)
+                            / jnp.maximum(frm, 1e-30)) / D)
+    # exact discrete growth factors per orientation
+    ln_aA = jnp.log1p(jnp.where(same, 1.0, lam))    # alpha_A = 1 + lam
+    ln_aB = jnp.log1p(jnp.where(same, 1.0, -lam))   # alpha_B = 1 - lam
+    ln_aA_s = jnp.where(same, 1.0, ln_aA)
+    ln_aB_s = jnp.where(same, 1.0, ln_aB)
+    _ratio = lambda num, den: jnp.maximum(
+        jnp.abs(num) / jnp.maximum(jnp.abs(den), 1e-30), 1e-30)
+
+    c_A = frm / g_safe + 0.5
+    c_B = -to / g_safe + 0.5
+    u_trig_A = to / g_safe
+    u_trig_B = -frm / g_safe
+    u1_0 = s0 + c_A
+    # integer leg durations (exact: smallest k with alpha^k > ratio)
+    N_1 = jnp.floor(jnp.log(_ratio(u_trig_A, u1_0)) / ln_aA_s) + 1.0
+    N_A = jnp.floor(jnp.log(_ratio(u_trig_A, c_A)) / ln_aA_s) + 1.0
+    N_B = jnp.floor(jnp.log(_ratio(u_trig_B, c_B)) / ln_aB_s) + 1.0
+
+    # leg 1 (clamp the exponent: s only matters for k < N_1; unclamped, a
+    # downward glide drives exp() deep into subnormals across the whole
+    # (V, L) grid — ~100x slower on CPU backends, no FTZ/DAZ under XLA-CPU)
+    s1 = u1_0 * jnp.exp(jnp.clip(ln_aA * k, -60.0, 60.0)) - c_A
+    value_1 = frm + (to - frm) * ease_select(itp_codes,
+                                             jnp.clip(s1 / D, 0.0, 1.0))
+
+    # ping-pong legs: backward (N_B) then forward (N_A), alternating
+    N_P = jnp.maximum(N_A + N_B, 1.0)
+    tpp = k - N_1
+    cyc = jnp.floor(tpp / N_P)
+    rem = tpp - cyc * N_P
+    inB = rem < N_B
+    tau = jnp.where(inB, rem, rem - N_B)
+    a_leg = jnp.where(inB, to, frm)
+    b_leg = jnp.where(inB, frm, to)
+    c_leg = jnp.where(inB, c_B, c_A)
+    ln_a_leg = jnp.where(inB, ln_aB, ln_aA)
+    s_pp = c_leg * jnp.expm1(jnp.clip(ln_a_leg * tau, -60.0, 60.0))
+    value_pp = a_leg + (b_leg - a_leg) * ease_select(
+        itp_codes, jnp.clip(s_pp / D, 0.0, 1.0))
+
+    value = jnp.where(k < N_1, value_1, value_pp)
+    return jnp.where(same, frm, value)
+
+
 @functools.partial(jax.jit, static_argnames=("L", "T", "n_channels", "dtype"))
 def _render_specs(fp, itp_codes, gains, t0, lut, lut_lo, lut_step,
                   *, L: int, T: int, n_channels: int, dtype: str):
@@ -308,31 +379,7 @@ def _render_specs(fp, itp_codes, gains, t0, lut, lut_lo, lut_step,
     wdt = jnp.dtype(dtype)
     k = jnp.arange(L, dtype=wdt)[None, :]
     frm, to, D, s0, vol, A, R, rl, act, amp = (fp[:, i][:, None] for i in range(10))
-
-    # trajectory: s(t) closed form of ds/dt = C*(from + g*(s+0.5))
-    g = (to - frm) / D
-    same = jnp.abs(to - frm) < 1e-12 * jnp.abs(frm)
-    lam = jnp.where(same, 0.0, jnp.log(jnp.maximum(to, 1e-30) / jnp.maximum(frm, 1e-30)) / D)
-    u0 = jnp.where(same, 0.0, frm / jnp.where(same, 1.0, g) + 0.5 + s0)
-    uD = jnp.where(same, 1.0, to / jnp.where(same, 1.0, g) + 0.5)
-    # clamp the exponent: s only matters inside leg 1 (k <= T1, where
-    # |lam*k| <= |log(uD/u0)| stays modest); unclamped, a downward glide
-    # drives exp() deep into subnormals across the whole (V, L) grid, which
-    # executes ~100x slower on CPU backends (no FTZ/DAZ under XLA-CPU)
-    s = u0 * jnp.exp(jnp.clip(lam * k, -60.0, 60.0)) - (u0 - s0)
-    # first-leg end time; later legs ping-pong with period ~D
-    T1 = jnp.where(same, D, jnp.log(jnp.maximum(uD / jnp.maximum(u0, 1e-30), 1e-30))
-                   / jnp.where(same, 1.0, lam))
-    in_leg1 = k <= T1
-    # ping-pong progress after leg 1 (approximate: legs take D samples each)
-    k2 = (k - T1) / D
-    cyc = jnp.floor(k2)
-    fr2 = k2 - cyc
-    backward = jnp.mod(cyc, 2.0) < 0.5  # first post-leg is the backward leg
-    p_pp = jnp.where(backward, 1.0 - fr2, fr2)
-    progress = jnp.where(in_leg1, jnp.clip(s / D, 0.0, 1.0), jnp.clip(p_pp, 0.0, 1.0))
-    value = frm + (to - frm) * ease_select(itp_codes[:, None], progress)
-    inc = jnp.where(same, frm, value)
+    inc = logramp_increments(k, frm, to, D, s0, itp_codes[:, None])
 
     # phase: cumulative sum of increments (exact trajectory integral);
     # chunked matmul cumsum — associative_scan's slice ladder took tens of
