@@ -24,12 +24,24 @@ from ..utils import wav as wavio
 
 def render(mode: str, program, seconds: float, *, freq: float = 440.0,
            sample_rate: int = 44100, seed: int = 1) -> np.ndarray:
+    """Render a program through the master post chain (limiter + clamp/NaN
+    guard, reference outputDataBase::postprocess out.h:605-648) — some wind
+    presets (rapidly width-modulated compensated band-passes, e.g. 'Small
+    animal eating') rely on the master limiter for sane output levels."""
+    from ..ops import limiter as lim
+
     m = voice_presets.Mode(mode)
     prog = voice_presets.get_program(m, program)
     n = int(seconds * sample_rate)
     if m is voice_presets.Mode.WIND:
-        return wind.render_program(prog, n, sample_rate, seed=seed)
-    return soundengine.render_program(prog, freq, n, sample_rate, seed=seed)
+        out = wind.render_program(prog, n, sample_rate, seed=seed)
+    else:
+        out = soundengine.render_program(prog, freq, n, sample_rate, seed=seed)
+    out = np.asarray(out)
+    if np.abs(out).max() > 1.0:
+        out = np.asarray(lim.clamp_and_guard(
+            lim.limit(out, ceiling=1.0, sample_rate=sample_rate)))
+    return out
 
 
 def list_programs() -> str:

@@ -176,7 +176,12 @@ class Channel:
                 s0, s1 = self._pos, self._pos + take
                 if s1 > tail_lo:
                     a = max(s0, tail_lo)
-                    w_new, w_old = xfade_weights(ov)
+                    # reference ladder: linear ratio, increment
+                    # 1/(size_xfade-1), endpoints inclusive so the odd
+                    # length puts the 0.5 midpoint in the middle
+                    # (channel.h:235-238,506)
+                    w_new, w_old = xfade_weights(ov, "linear",
+                                                 inclusive=True)
                     gi = slice(a - tail_lo, a - tail_lo + (s1 - a))
                     head = nxt.frames(a - tail_lo, s1 - a, self.n_outs)
                     seg[a - s0:] = (seg[a - s0:] * w_old[gi, None]

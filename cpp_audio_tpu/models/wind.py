@@ -53,14 +53,25 @@ def _slow_noise(table, pos):
     return v0 + (v1 - v0) * frac
 
 
-def _cascade_dynamic(x, alpha, order, *, kind: str):
-    """Order-N one-pole cascade with per-sample alpha via fori_loop of scans."""
+def _cascade_dynamic(x, alpha, order, *, kind: str, stage_gain=None):
+    """Order-N one-pole cascade with per-sample alpha via fori_loop of scans.
+
+    stage_gain: optional per-sample gain applied after EVERY stage. The
+    band-pass gain compensation (1 + 1/wf^2)^ORDER (BandPassAlgo_::
+    setCompensation, audioelement.h:2129-2143) reaches 2^ORDER at width
+    factor 1 while the cascade output shrinks like 2^-ORDER — exact in the
+    reference's f64 scalar math, catastrophic in f32 when applied as one
+    end factor. Distributing one (1+1/wf^2)^(1/ORDER)-per-stage factor is
+    algebraically identical and keeps every intermediate O(1).
+    """
 
     def lp_body(_, y):
-        return linear_recurrence(1.0 - alpha, alpha * y)
+        y = linear_recurrence(1.0 - alpha, alpha * y)
+        return y if stage_gain is None else stage_gain * y
 
     def hp_body(_, y):
-        return y - linear_recurrence(1.0 - alpha, alpha * y)
+        y = y - linear_recurrence(1.0 - alpha, alpha * y)
+        return y if stage_gain is None else stage_gain * y
 
     body = lp_body if kind == "lowpass" else hp_body
     return jax.lax.fori_loop(0, order, body, x)
@@ -120,10 +131,14 @@ def _render_wind(pink, offsets, params, lut, lut_lo, lut_step, gains,
         a_low = 1.0 - jnp.exp(-jnp.pi * low)
         a_high = 1.0 - jnp.exp(-jnp.pi * high)
         if kind == "bandpass":
-            y = _cascade_dynamic(src, a_high, order, kind="lowpass")
-            y = _cascade_dynamic(y, a_low, order, kind="highpass")
-            comp = (1.0 + 1.0 / (wf * wf)) ** order
-            return comp * y
+            # compensation (1 + 1/wf^2)^order distributed as sqrt-per-stage
+            # across the 2*order stages (see _cascade_dynamic docstring)
+            g = jnp.sqrt(1.0 + 1.0 / (wf * wf))
+            y = _cascade_dynamic(src, a_high, order, kind="lowpass",
+                                 stage_gain=g)
+            y = _cascade_dynamic(y, a_low, order, kind="highpass",
+                                 stage_gain=g)
+            return y
         # band-reject: LP at low + HP at high (audioelement.h:2186-2241)
         return (_cascade_dynamic(src, a_low, order, kind="lowpass")
                 + _cascade_dynamic(src, a_high, order, kind="highpass"))

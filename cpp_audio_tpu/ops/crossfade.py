@@ -10,9 +10,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def xfade_weights(n: int, shape: str = "sinusoidal"):
-    """(w_new, w_old) of length n; w_new rises 0->1, w_old = 1 - w_new."""
-    x = (np.arange(n) + 1.0) / n
+def xfade_weights(n: int, shape: str = "sinusoidal", *,
+                  inclusive: bool = False):
+    """(w_new, w_old) of length n; w_new rises to 1, w_old = 1 - w_new.
+
+    inclusive=False: x = (k+1)/n — the vocoder's half-window overlap
+    convention (rt.resynth.lib.vocoder.cpp:530-541), first weight > 0.
+    inclusive=True: x = k/(n-1) — the channel request-transition ladder
+    (ratio decremented by 1/(size_xfade-1), include/channel.h:235-238,506):
+    endpoints ARE 0 and 1 and an odd n puts the exact 0.5 midpoint sample
+    in the middle (why xfade sizes are odd >= 3, channel.h:50-60).
+    """
+    if inclusive:
+        x = np.arange(n) / max(n - 1, 1)
+    else:
+        x = (np.arange(n) + 1.0) / n
     if shape == "linear":
         w_new = x
     elif shape == "sinusoidal":

@@ -1,0 +1,259 @@
+"""Hand-computed golden cases for the trickiest ported semantics
+(VERDICT round-1 item 5). Every case documents the reference lines it
+hand-evaluates; the expected values are derived by reading the C++, not by
+running this repo's code, so a shared misreading would trip them.
+
+Provenance per section:
+ - Envelope counters: AHDSREnvelopeBase::stepPressed increments ahdCounter
+   BEFORE interpolating (include/audioelement.h:960-999: `stepAHD();
+   ++ahdCounter;` then itp(ahdCounter/maxCounter)), so attack sample k
+   (k=0-based) has value ease((k+1)/A); release sample k has
+   top*(1-ease((k+1)/R)) with top = envelope value at release-1
+   (audioelement.h:732-742,836-841); release at/before press skips the note
+   (audioelement.h:774-777); no decay phase when sustain > 0.999999
+   (setAHDSR, audioelement.h:928-945).
+ - Channel xfade seams: equal-gain linear crossfade, increment
+   1/(size_xfade-1) (include/channel.h:235-238), odd size >= 3
+   (channel.h:50-60), so a size-5 seam walks gains 1, .75, .5, .25, 0
+   against 0, .25, .5, .75, 1.
+ - Tracker event policy: synthesize_sounds (source/rt.resynth.lib.cpp:
+   265-382): note-offs for non-continued voices first, then changes/ons in
+   PERCEIVED-LOUDNESS order (ISO-226 60-phon weights w = volume/spl,
+   rt.resynth.lib.algo.cpp:375-411); ons beyond max_voices are dropped and
+   counted (gen.crtp.h:625-628).
+ - SoundEngine program fingerprints: all 27 programs of gen.voice.h:700-810
+   pinned by 12-band spectral energies (deterministic seed).
+"""
+
+import numpy as np
+import pytest
+
+from cpp_audio_tpu.ops import envelopes
+from cpp_audio_tpu.utils.interp import Itp
+
+
+class TestEnvelopeCounterGoldens:
+    """audioelement.h:960-999 counter semantics, hand-evaluated."""
+
+    def _env(self, t, **kw):
+        import jax.numpy as jnp
+
+        params = envelopes.AHDSR(
+            attack=kw.get("A", 4), hold=kw.get("H", 0),
+            decay=kw.get("D", 4), release=kw.get("R", 5),
+            sustain=kw.get("S", 0.5),
+            attack_itp=int(Itp.LINEAR), decay_itp=int(Itp.LINEAR),
+            release_itp=int(Itp.LINEAR))
+        return np.asarray(envelopes.ahdsr_envelope(
+            jnp.asarray(t, jnp.float64), params,
+            press=kw.get("press", 0), release=kw.get("release", envelopes.NEVER),
+            dtype=jnp.float64))
+
+    def test_full_ahdsr_hand_computed(self):
+        # A=4 H=2 D=4 S=.5 R=5, press=10, release=22 (in sustain).
+        # attack samples 10..13: (k+1)/4; hold 14..15: 1; decay 16..19:
+        # 1-.5*(k+1)/4; sustain 20..21: .5; release 22..26: .5*(1-(k+1)/5).
+        t = np.arange(30)
+        got = self._env(t, A=4, H=2, D=4, S=0.5, R=5, press=10, release=22)
+        want = np.zeros(30)
+        want[10:14] = [0.25, 0.5, 0.75, 1.0]
+        want[14:16] = 1.0
+        want[16:20] = [0.875, 0.75, 0.625, 0.5]
+        want[20:22] = 0.5
+        want[22:27] = [0.4, 0.3, 0.2, 0.1, 0.0]
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_release_mid_attack_top(self):
+        # release at press+2: top = value of attack sample 1 = 2/4 = 0.5
+        # (audioelement.h:836-841: release interpolates from the envelope
+        # value at the sample before the release)
+        got = self._env(np.arange(12), A=4, S=1.0, R=5, press=0, release=2)
+        want = np.zeros(12)
+        want[0:2] = [0.25, 0.5]
+        want[2:7] = 0.5 * (1.0 - (np.arange(5) + 1.0) / 5.0)
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_release_at_press_skips_note(self):
+        # audioelement.h:774-777: pressed and released in the same step ->
+        # the note never sounds
+        got = self._env(np.arange(10), press=3, release=3)
+        np.testing.assert_allclose(got, 0.0)
+
+    def test_sustain_one_skips_decay(self):
+        # setAHDSR (audioelement.h:928-945): sustain > 0.999999 -> no decay
+        # phase; envelope holds at 1 until release
+        got = self._env(np.arange(20), A=4, D=4, S=1.0, press=0,
+                        release=envelopes.NEVER)
+        np.testing.assert_allclose(got[4:], 1.0, atol=1e-12)
+
+    def test_zero_length_release_floors_to_one(self):
+        # getReleaseTime floors R at >= 1 sample: a "0-length" release still
+        # takes one step down, value top*(1-1/1)=0 at the release sample
+        got = self._env(np.arange(10), A=1, S=1.0, R=0, press=0, release=5)
+        assert got[4] == 1.0
+        np.testing.assert_allclose(got[5:], 0.0, atol=1e-12)
+
+
+class TestChannelXfadeGolden:
+    """channel.h:235-238 xfade ladder: increment 1/(size-1)."""
+
+    def test_size5_gain_ladder(self):
+        from cpp_audio_tpu.ops.crossfade import xfade_weights
+
+        w_new, w_old = xfade_weights(5, "linear", inclusive=True)
+        np.testing.assert_allclose(w_old, [1.0, 0.75, 0.5, 0.25, 0.0])
+        np.testing.assert_allclose(w_new, [0.0, 0.25, 0.5, 0.75, 1.0])
+
+    def test_channel_seam_constant_requests(self):
+        """Two constant-valued requests through a Channel: the seam must walk
+        the hand-computed equal-gain ladder (channel.h:410-470 writers)."""
+        from cpp_audio_tpu.core.channels import Channel, Request
+
+        ch = Channel(n_outs=1, xfade_length=5)
+        ch.play(Request.make(np.full(40, 1.0), length=40, n_outs=1),
+                Request.make(np.full(40, -1.0), length=40, n_outs=1))
+        out = np.concatenate([ch.step(20) for _ in range(4)], axis=0)[:, 0]
+        # before the seam: 1; after: -1; the 5-sample seam mixes
+        # 1*w_old + (-1)*w_new = [1, .5, 0, -.5, -1]
+        seam = None
+        for i in range(len(out) - 5):
+            if out[i] == 1.0 and out[i + 4] == -1.0 and out[i + 2] == 0.0:
+                seam = out[i : i + 5]
+                break
+        assert seam is not None, out[:45]
+        np.testing.assert_allclose(seam, [1.0, 0.5, 0.0, -0.5, -1.0],
+                                   atol=1e-9)
+
+
+class TestTrackerEventPolicyGolden:
+    """synthesize_sounds policy (rt.resynth.lib.cpp:265-382), hand-traced."""
+
+    def _tracker(self, **kw):
+        from cpp_audio_tpu.analysis.resynth import PitchTracker, ResynthConfig
+
+        cfg = ResynthConfig(sample_rate=44100, min_volume=0.01,
+                            analysis_volume=1.0, **kw)
+        return PitchTracker(cfg)
+
+    def test_on_change_off_sequence(self):
+        tr = self._tracker()
+        # frame 0: two clean tones -> 2 NoteOn
+        st0 = tr.step([(440.0, -20.0), (660.0, -26.0)])
+        assert (st0.note_on, st0.note_change, st0.note_off) == (2, 0, 0)
+        # frame 1: 440 drifts to 445 (within max_track_pitches = 1 halftone
+        # -> NoteChange), 660 vanishes (-> NoteOff), 880 appears (-> NoteOn)
+        st1 = tr.step([(445.0, -20.0), (880.0, -23.0)])
+        assert (st1.note_on, st1.note_change, st1.note_off) == (1, 1, 1)
+        # frame 2: silence -> remaining 2 voices off
+        st2 = tr.step([])
+        assert (st2.note_on, st2.note_change, st2.note_off) == (0, 0, 2)
+
+    def test_voice_cap_drops_quietest(self):
+        """With max_voices=2 and three candidates, ons are granted in
+        perceived-loudness order; the least loud is dropped and counted
+        (rt.resynth.lib.cpp:328-339 + gen.crtp.h:625-628)."""
+        tr = self._tracker(max_voices=2)
+        st = tr.step([(300.0, -20.0), (500.0, -21.0), (700.0, -40.0)])
+        assert st.note_on == 2
+        assert st.dropped == 1
+        assert tr.dropped_note_on == 1
+        # the two loudest (300, 500) are playing
+        freqs = sorted(round(n.cur_freq) for n in tr.played)
+        assert freqs == [300, 500]
+
+    def test_loudness_order_prefers_iso226_weight(self):
+        """Equal linear volume at 60 Hz vs 1 kHz: the 1 kHz peak has the
+        larger perceived weight w = vol/spl (ISO-226 60-phon,
+        rt.resynth.lib.algo.cpp:375-411) and wins the single slot."""
+        tr = self._tracker(max_voices=1)
+        st = tr.step([(60.0, -20.0), (1000.0, -20.0)])
+        assert st.note_on == 1 and st.dropped == 1
+        assert round(tr.played[0].cur_freq) == 1000
+
+    def test_change_tracks_nearest_within_limit(self):
+        """track_pitches matches monotonically within max_track_pitches
+        halftones (rt.resynth.lib.algo.cpp:256-305): a 2-halftone jump is a
+        new note, not a change."""
+        tr = self._tracker(max_track_pitches=1.0)
+        tr.step([(440.0, -20.0)])
+        st = tr.step([(495.0, -20.0)])  # ~+2 halftones
+        assert (st.note_on, st.note_off) == (1, 1)
+        assert st.note_change == 0
+
+
+def band_fingerprint(mono: np.ndarray, sr: int = 44100, n_bands: int = 12):
+    spec = np.abs(np.fft.rfft(mono)) ** 2
+    freqs = np.fft.rfftfreq(len(mono), 1 / sr)
+    edges = np.logspace(np.log10(40), np.log10(16000), n_bands + 1)
+    out = []
+    for i in range(n_bands):
+        sel = (freqs >= edges[i]) & (freqs < edges[i + 1])
+        out.append(10 * np.log10(max(spec[sel].sum(), 1e-20)))
+    return np.array(out)
+
+
+# 12-band dB fingerprints of every gen.voice.h:700-810 program (1 s render,
+# seed 32, 440 Hz, pan 0). Regenerate by printing band_fingerprint after an
+# INTENTIONAL semantic change. 'Small animal eating' is pinned through the
+# app-path master limiter (its raw render is a deliberately unstable
+# width-modulated compensated band-pass; the reference tames it with the
+# master limiter+clamp, out.h:605-648).
+FINGERPRINTS = {
+    ("birds", "Standard & Cute bird"): [-41.2, -39.51, -36.83, -33.93, -29.78, -21.71, 39.06, 56.86, -17.6, -36.08, -46.26, -53.17],
+    ("birds", "Scat bird"): [-26.29, -22.38, -21.08, -16.65, -11.55, 4.73, 55.97, 57.27, -4.53, -21.74, -32.2, -38.55],
+    ("birds", "Rhythmic bird"): [-22.44, -23.56, -18.67, -15.54, -8.59, 10.67, 49.42, 55.1, -1.73, -19.33, -29.35, -36.43],
+    ("birds", "Slow bird"): [-41.95, -41.31, -38.2, -35.16, -31.87, -24.9, 8.94, 53.64, -20.0, -37.89, -47.19, -53.51],
+    ("birds", "BiTone bird"): [-37.2, -34.65, -31.85, -28.08, -21.18, 2.94, 54.72, 56.86, -19.67, -36.25, -45.34, -51.56],
+    ("birds", "Happy bird 1"): [-12.29, -9.38, -5.58, -0.46, 6.17, 16.65, 55.0, 56.56, 14.05, 11.02, 8.8, 7.28],
+    ("birds", "Happy bird 2"): [-9.23, -7.03, -4.86, -2.52, 0.03, 3.77, 55.5, 53.4, 21.82, 9.8, 6.15, 4.19],
+    ("birds", "Laughing bird"): [-0.77, 1.48, 3.63, 5.94, 8.51, 12.42, 54.72, 54.26, 16.3, 8.67, 4.91, 2.81],
+    ("birds", "Talkative bird"): [-0.11, 2.11, 4.32, 6.76, 9.53, 13.16, 55.91, 55.82, 15.83, 10.21, 7.18, 5.36],
+    ("robots", "R2D2"): [-9.6, -11.83, 2.47, 7.95, 54.21, 50.19, 5.06, -8.94, -18.95, -27.26, -33.96, -39.06],
+    ("robots", "Communication"): [14.13, 16.52, 19.66, 24.41, 58.53, 56.5, 19.68, 12.48, 8.77, 6.07, 3.94, 2.45],
+    ("sweep", "Sweep 1"): [75.62, 71.45, 60.46, 41.7, 36.17, 33.1, 30.63, 28.36, 26.2, 24.11, 22.21, 20.8],
+    ("sweep", "Fullrange"): [19.96, 17.75, 15.52, 13.37, 11.19, 9.03, 6.85, 4.7, 2.57, 0.5, -1.4, -2.8],
+    ("wind", "Medium wind in trees"): [69.75, 72.12, 69.13, 66.76, 62.61, 58.93, 55.12, 50.41, 46.23, 41.63, 37.34, 33.91],
+    ("wind", "Steady wind"): [35.0, 50.88, 60.82, 67.96, 69.7, 68.56, 63.72, 53.88, 40.57, 25.87, 17.98, 15.91],
+    ("wind", "Strong wind"): [70.61, 72.4, 70.57, 70.36, 68.36, 65.98, 61.16, 52.55, 41.81, 32.74, 29.65, 28.1],
+    ("wind", "Vinyl cracks"): [0.1, 2.57, 4.83, 9.05, 15.68, 33.26, 50.21, 57.34, 60.74, 61.25, 59.79, 57.36],
+    ("wind", "Small animal eating"): [25.23, 23.26, 26.28, 28.55, 29.31, 30.61, 34.61, 36.82, 39.12, 44.14, 55.07, 66.55],
+    ("wind", "Heavy rain in a car"): [21.85, 25.22, 27.85, 31.15, 39.16, 53.73, 62.45, 65.44, 66.88, 66.89, 66.01, 64.79],
+    ("wind", "Light rain in a car"): [11.66, 13.83, 16.64, 19.12, 23.07, 33.76, 49.3, 57.05, 60.61, 61.1, 59.54, 56.8],
+    ("wind", "Heavy rain"): [28.91, 44.11, 57.16, 65.19, 67.62, 69.4, 70.39, 69.95, 70.08, 69.85, 69.47, 69.5],
+    ("wind", "Light rain"): [23.2, 25.47, 28.19, 33.8, 49.88, 61.36, 66.57, 67.98, 68.81, 68.7, 67.95, 67.09],
+    ("wind", "Bubbles"): [-3.37, 0.49, 17.61, 46.12, 57.39, 57.57, 51.72, 44.03, 32.02, 20.11, 8.09, 2.87],
+    ("wind", "Earth rumbling"): [67.47, 71.51, 64.71, 52.1, 37.77, 35.06, 32.78, 30.58, 28.44, 26.37, 24.47, 23.06],
+    ("wind", "Sine wind"): [-15.36, -13.12, -10.88, -8.26, -4.82, 3.53, 39.58, -6.53, -16.12, -23.23, -29.66, -35.13],
+    ("wind", "Kettle whistle pure"): [-21.28, -18.93, -16.87, -14.35, -10.28, -3.44, 8.23, 38.3, 23.39, -13.52, -19.05, -22.42],
+    ("wind", "Kettle whistle mixed"): [7.73, 9.91, 12.05, 14.29, 22.67, 44.24, 59.41, 65.59, 63.87, 53.28, 35.88, 18.55],
+}
+
+
+@pytest.mark.parametrize("mode,name", sorted(FINGERPRINTS))
+def test_program_fingerprint(mode, name):
+    from cpp_audio_tpu.models import soundengine, voice_presets, wind
+
+    if (mode, name) == ("wind", "Small animal eating"):
+        from cpp_audio_tpu.apps import birds
+
+        out = birds.render("wind", name, 1.0, seed=32)
+        tol = 3.0
+    elif mode == "wind":
+        p = voice_presets.get_program(voice_presets.Mode.WIND, name)
+        out = wind.render_program(p, 44100, 44100, seed=32)
+        tol = 1.5
+    else:
+        p = voice_presets.get_program(voice_presets.Mode(mode), name)
+        out = soundengine.render_program(p, 440.0, 44100, 44100, seed=32,
+                                         pan=0.0, dtype="float64")
+        tol = 1.5
+    fp = band_fingerprint(np.asarray(out).sum(axis=1))
+    np.testing.assert_allclose(fp, FINGERPRINTS[(mode, name)], atol=tol)
+
+
+def test_all_27_programs_covered():
+    from cpp_audio_tpu.models import voice_presets
+
+    count = sum(len(v) for v in voice_presets.PROGRAMS.values())
+    assert count == 27
+    assert len(FINGERPRINTS) == count
