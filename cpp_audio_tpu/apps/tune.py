@@ -194,6 +194,17 @@ def main(argv=None):
                     help="render the rain event stream instead of a score")
     ap.add_argument("--sonify", default=None, metavar="FILE",
                     help="sonify the bytes of FILE instead of a score")
+    ap.add_argument("--sonify-full", action="store_true",
+                    help="use the reference's full sonification machinery "
+                         "(skip lists, batch interestingness selection, "
+                         "cyclic byte->pitch maps — main.tune.cpp:469-1017) "
+                         "instead of the condensed histogram mapping")
+    ap.add_argument("--polyphony", type=int, default=1,
+                    help="with --sonify-full: simultaneous voices reading "
+                         "the byte stream (Polyphony, main.tune.cpp:853-861)")
+    ap.add_argument("--modulo-pitch", action="store_true",
+                    help="fold pitches into [50, 80] by octaves "
+                         "(moduloPitch, main.tune.cpp:2439-2461)")
     ap.add_argument("--loop", type=int, default=None, metavar="N",
                     help="loop the score N times")
     ap.add_argument("--loop-pitch-offset", type=float, default=0.0,
@@ -229,8 +240,20 @@ def main(argv=None):
             notes = event_streams.rain_notes(args.rain, sample_rate=sr,
                                              seed=args.seed)
         elif args.sonify is not None:
-            notes = event_streams.binary_sonification_notes(
-                Path(args.sonify).read_bytes(), sample_rate=sr)
+            blob = Path(args.sonify).read_bytes()
+            if args.sonify_full:
+                notes = event_streams.binary_sonification_notes_full(
+                    blob, polyphony=args.polyphony, sample_rate=sr)
+                if args.loop:
+                    period = max((n.release for n in notes), default=0)
+                    notes = event_streams.loop_notes(
+                        notes, args.loop, period,
+                        pitch_offset_per_iteration=args.loop_pitch_offset)
+            else:
+                notes = event_streams.binary_sonification_notes(
+                    blob, sample_rate=sr)
+            if args.modulo_pitch:
+                notes = event_streams.modulo_pitch_notes(notes)
         elif args.score is not None:
             text = args.score
             if text.startswith("@"):

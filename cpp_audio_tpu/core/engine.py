@@ -23,7 +23,6 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..ops import fir as fir_ops
 
 
 class AudioPost:
@@ -42,38 +41,137 @@ class AudioPost:
 
 
 class StreamingConvolver:
-    """Block convolution with tail carry — the streaming counterpart of the
-    reference's partitioned ConvReverbsByBlockSize (include/out.h:357)."""
+    """Uniformly-partitioned zero-latency streaming convolution — the
+    reference's ConvReverbsByBlockSize semantics (include/out.h:357): the IR
+    is split into FFT partitions so per-block cost is bounded by
+    O((n + P) log P + K*P) regardless of IR length, instead of O(n * taps).
 
-    def __init__(self, ir: np.ndarray, wet: float = 1.0, dry: float | None = None):
-        self.ir = np.asarray(ir)
-        if self.ir.ndim == 1:
-            self.ir = self.ir[:, None]
+    Scheme: the first partition (lags [0, P)) convolves the live block
+    directly via one FFT (zero latency); partitions k >= 1 consume a
+    frequency-delay line of completed P-sample input frames — frame j's
+    spectrum X_j = rfft(frames j-1..j) contributes irfft(X_j * H_k)[P:]
+    to output range [(j+k)P, (j+k+1)P), strictly in the future for k >= 1,
+    so everything stays causal. All channels and all delay-line taps batch
+    into one einsum per completed frame.
+    """
+
+    def __init__(self, ir: np.ndarray, wet: float = 1.0,
+                 dry: float | None = None, partition: int = 4096):
+        ir = np.asarray(ir, np.float64)
+        if ir.ndim == 1:
+            ir = ir[:, None]
         self.wet = wet
         self.dry = (1.0 - wet) if dry is None else dry
-        self._tail: np.ndarray | None = None
+        P = 1 << max(8, int(np.ceil(np.log2(max(partition, 2)))))
+        self.partition = P
+        taps = ir.shape[0]
+        self.n_parts = K = max(1, -(-taps // P))
+        self.n_channels = ir.shape[1]
+        irp = np.zeros((K * P, ir.shape[1]))
+        irp[:taps] = ir
+        self._h0 = irp[:P]  # direct partition, (P, C)
+        # spectra of partitions 1..K-1 over 2P windows: (K-1, P+1, C)
+        if K > 1:
+            parts = irp[P:].reshape(K - 1, P, ir.shape[1])
+            self._H = np.fft.rfft(parts, n=2 * P, axis=1)
+        else:
+            self._H = np.zeros((0, P + 1, ir.shape[1]), np.complex128)
+        self._h0_spec_cache: dict[int, np.ndarray] = {}
+        # _hist: the P input samples BEFORE _inbuf; _inbuf: the partial frame
+        # toward the next X_j (so _hist ++ _inbuf ++ block is gap-free)
+        self._hist = np.zeros((P, 0))
+        self._inbuf = np.zeros((0, 0))
+        self._fdl = None                  # (K-1, P+1, C) newest-first spectra
+        self._t = 0                       # absolute input samples consumed
+        self._sched = np.zeros((0, 0))    # future tail output (absolute pos)
+        self._sched_t = 0
+
+    def _ensure_channels(self, c: int) -> None:
+        if self._hist.shape[1] != c:
+            P = self.partition
+            self._hist = np.zeros((P, c))
+            self._inbuf = np.zeros((0, c))
+            self._fdl = np.zeros((self._H.shape[0], P + 1, c), np.complex128)
+            self._sched = np.zeros((0, c))
+            if self._h0.shape[1] != c:
+                self._h0 = np.broadcast_to(self._h0[:, :1], (P, c)).copy()
+                self._H = np.broadcast_to(self._H[:, :, :1],
+                                          self._H.shape[:2] + (c,)).copy()
+                self._h0_spec_cache.clear()
 
     def __call__(self, block: np.ndarray) -> np.ndarray:
-        import jax.numpy as jnp
+        P = self.partition
+        n, c = block.shape
+        self._ensure_channels(c)
+        t0 = self._t
 
-        n = block.shape[0]
-        taps = self.ir.shape[0]
-        outs = np.zeros((n + taps - 1, block.shape[1]))
-        for c in range(block.shape[1]):
-            h = self.ir[:, min(c, self.ir.shape[1] - 1)]
-            full = np.convolve(block[:, c], h) if n * taps < 1 << 18 else np.asarray(
-                fir_ops.fft_convolve(jnp.asarray(np.concatenate([block[:, c], np.zeros(taps - 1)])),
-                                     jnp.asarray(h)))[: n + taps - 1]
-            outs[:, c] = full[: n + taps - 1]
-        if self._tail is not None:
-            m = min(len(self._tail), len(outs))
-            outs[:m] += self._tail[:m]
-        self._tail = outs[n:]
-        return self.wet * outs[:n] + self.dry * block
+        # 1. complete P-frames feed the frequency-delay line FIRST: with
+        # n > P, a frame completed mid-block contributes to output inside
+        # this very block (its contribution starts at frame_end)
+        consumed_before = self._inbuf.shape[0]
+        hist2 = np.concatenate([self._hist, self._inbuf, block], axis=0)
+        n_buf = consumed_before + n
+        pos = 0
+        while n_buf - pos >= P:
+            frame_end = t0 - consumed_before + pos + P  # absolute time
+            if self._H.shape[0]:
+                # window = frames (j-1, j): 2P samples ending at the frame end
+                window = hist2[pos : pos + 2 * P]
+                X = np.fft.rfft(window, axis=0)  # (P+1, C)
+                self._fdl = np.roll(self._fdl, 1, axis=0)
+                self._fdl[0] = X
+                # combined K-1 partitions = the tail of output frame
+                # [frame_end, frame_end + P)
+                Y = np.einsum("kfc,kfc->fc", self._fdl, self._H)
+                y = np.fft.irfft(Y, n=2 * P, axis=0)[P:]
+                self._schedule(frame_end, y)
+            pos += P
+        self._inbuf = hist2[P + pos :]
+        self._hist = hist2[pos : pos + P]
+
+        # 2. direct part: conv(hist ++ block, h0) at lags < P, via one FFT
+        nfft = 1 << int(np.ceil(np.log2(n + 2 * P)))
+        x = hist2[consumed_before : consumed_before + P + n]  # hist + block
+        hk = self._h0_spec_cache.get(nfft)
+        if hk is None:
+            hk = np.fft.rfft(self._h0, n=nfft, axis=0)
+            self._h0_spec_cache[nfft] = hk
+        full = np.fft.irfft(np.fft.rfft(x, n=nfft, axis=0) * hk,
+                            n=nfft, axis=0)
+        out = full[P : P + n].copy()
+
+        # 3. overlay scheduled tail contributions, drop what's now past
+        if self._sched.shape[0]:
+            lo = max(t0, self._sched_t)
+            hi = min(t0 + n, self._sched_t + self._sched.shape[0])
+            if hi > lo:
+                out[lo - t0 : hi - t0] += self._sched[lo - self._sched_t
+                                                      : hi - self._sched_t]
+            drop = min(max(t0 + n - self._sched_t, 0), self._sched.shape[0])
+            self._sched = self._sched[drop:]
+            self._sched_t += drop
+        if self._sched.shape[0] == 0:
+            self._sched_t = t0 + n
+        self._t = t0 + n
+        return self.wet * out + self.dry * block
+
+    def _schedule(self, at: int, y: np.ndarray) -> None:
+        if self._sched.shape[0] == 0:
+            self._sched_t = max(self._sched_t, at)
+        end = at + y.shape[0]
+        cur_end = self._sched_t + self._sched.shape[0]
+        if end > cur_end:
+            pad = np.zeros((end - cur_end, y.shape[1]))
+            self._sched = np.concatenate([self._sched, pad], axis=0)
+        self._sched[at - self._sched_t : at - self._sched_t + y.shape[0]] += y
 
 
 class StreamingLimiter:
-    """Instant-attack / exponential-release limiter with carried peak."""
+    """Instant-attack / exponential-release limiter with carried peak.
+
+    Same recurrence as ops/limiter.peak_follower (p_i = max(v_i, r*p_{i-1})),
+    vectorized: p_i = r^i * runmax_j(v_j * r^-j), evaluated in chunks so the
+    r^-j weights stay bounded (e^~7 per 16k chunk at 50 ms release)."""
 
     def __init__(self, ceiling: float = 1.0, release_ms: float = 50.0,
                  sample_rate: int = 44100):
@@ -81,16 +179,26 @@ class StreamingLimiter:
         self.r = float(np.exp(-1.0 / (release_ms * 1e-3 * sample_rate)))
         self._peak = 0.0
 
+    def _follow(self, v: np.ndarray) -> np.ndarray:
+        out = np.empty_like(v)
+        prev = self._peak
+        r = self.r
+        chunk = 16384
+        for s in range(0, len(v), chunk):
+            seg = v[s : s + chunk].copy()
+            seg[0] = max(seg[0], r * prev)
+            i = np.arange(len(seg), dtype=np.float64)
+            p = (r ** i) * np.maximum.accumulate(seg * r ** (-i))
+            out[s : s + len(seg)] = p
+            prev = p[-1]
+        self._peak = float(prev)
+        return out
+
     def __call__(self, block: np.ndarray) -> np.ndarray:
         x_abs = np.max(np.abs(block), axis=1) if block.ndim == 2 else np.abs(block)
-        p = np.empty_like(x_abs)
-        prev = self._peak
-        # per-block host loop is fine at block granularity; the offline path
-        # uses the parallel scan in ops/limiter.py
-        for i, v in enumerate(x_abs):
-            prev = max(v, self.r * prev)
-            p[i] = prev
-        self._peak = float(prev)
+        if len(x_abs) == 0:
+            return block
+        p = self._follow(np.asarray(x_abs, np.float64))
         gain = np.minimum(1.0, self.ceiling / np.maximum(p, 1e-12))
         return block * (gain[:, None] if block.ndim == 2 else gain)
 
