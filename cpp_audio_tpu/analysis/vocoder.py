@@ -190,6 +190,65 @@ def _carrier_vocode(carrier, band_amps, band_mat_full, *, stride: int, fft_len: 
     return (new_part * w_new[None, :] + old_part * w_old[None, :]).reshape(-1)
 
 
+def vocode_filter_bank(modulator, carrier, params: VocoderParams, *,
+                       order: int = 1, device_out: bool = False,
+                       debug_dir=None) -> np.ndarray:
+    """Filter-bank + envelope-follower vocoder variant.
+
+    The reference preserves this pre-FFT design in comments
+    (rt.resynth.lib.vocoder.cpp:46-79 BandPass/EnvelopeFollower, :368-381
+    Modulator::feed, :700-717 Carrier::feed, orders :735-737): per band b
+    with edges (f_lo, f_hi):
+      modulator band   m_b = LP_N(f_hi, HP_N(f_lo, modulator))
+      band envelope  env_b = LP_1(f_lo * env_follower_cutoff_ratio, |m_b|)
+      carrier band     c_b = LP_N(f_hi, HP_N(f_lo, carrier))
+      vocoded          out = sum_b env_b * c_b
+    This is where `env_follower_cutoff_ratio` (rt.resynth.lib.cpp:985,
+    default 1/20) acts. TPU form: bands stack on a leading axis; each
+    one-pole cascade is an associative linear recurrence (ops/filters).
+    """
+    sr = params.sample_rate
+    n = min(len(modulator), len(carrier))
+    fdt = jnp.float32
+    mod = jnp.asarray(modulator, fdt)[:n]
+    car = jnp.asarray(carrier, fdt)[:n]
+    edges = params.band_freqs()
+    f_lo = jnp.asarray(edges[:-1], fdt)[:, None]     # (B, 1)
+    f_hi = jnp.asarray(edges[1:], fdt)[:, None]
+    from ..ops import filters as flt
+    from ..utils.convert import freq_to_angle_increment
+
+    a_lo = flt.alpha_from_angle_increment(freq_to_angle_increment(f_lo, sr))
+    a_hi = flt.alpha_from_angle_increment(freq_to_angle_increment(f_hi, sr))
+    a_env = flt.alpha_from_angle_increment(freq_to_angle_increment(
+        f_lo * params.env_follower_cutoff_ratio, sr))
+
+    def band_pass(x):
+        y = flt.cascade(jnp.broadcast_to(x[None, :], (len(edges) - 1, n)),
+                        a_lo, order, kind="highpass")
+        return flt.cascade(y, a_hi, order, kind="lowpass")
+
+    m_b = band_pass(mod)
+    env = flt.cascade(jnp.abs(m_b), a_env, 1, kind="lowpass")
+    c_b = band_pass(car)
+    vocoded = jnp.sum(env * c_b, axis=0)
+    out = (params.volume_vocoded * vocoded
+           + params.volume_modulator * mod
+           + params.volume_carrier * car)
+    if debug_dir is not None:
+        from pathlib import Path
+
+        from ..utils import wav as wavio
+
+        d = Path(debug_dir)
+        d.mkdir(parents=True, exist_ok=True)
+        for b in range(env.shape[0]):
+            wavio.write_wav(d / f"band_{b}.wav",
+                            np.clip(np.asarray(env[b]), -1.0, 1.0), sr)
+        wavio.write_wav(d / "vocoded.wav", np.asarray(vocoded), sr)
+    return out if device_out else np.asarray(out)
+
+
 def vocode(modulator, carrier, params: VocoderParams, *,
            exact_modulator: bool = False, device_out: bool = False,
            debug_dir=None) -> np.ndarray:

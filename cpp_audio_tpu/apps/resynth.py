@@ -84,6 +84,12 @@ def main(argv=None):
     ap.add_argument("--vocode", metavar="CARRIER_WAV",
                     help="vocode the input against this carrier instead of "
                          "resynthesizing")
+    ap.add_argument("--vocode-mode", choices=["fft", "filterbank"],
+                    default="fft",
+                    help="fft = spectral band modulation (the reference's "
+                         "active design); filterbank = band-pass + envelope "
+                         "follower variant (rt.resynth.lib.vocoder.cpp:"
+                         "46-79,560-733)")
     ap.add_argument("--debug-vocoder", metavar="DIR",
                     help="tap every vocoder stage to WAVs in DIR "
                          "(the reference's IMJ_DEBUG_VOCODER)")
@@ -151,9 +157,11 @@ def main(argv=None):
         car, sr2 = wavio.read_wav(args.vocode)
         if sr2 != sr:
             ap.error("sample rate mismatch between input and carrier")
-        out = vocoder.vocode(mod.mean(axis=1), car.mean(axis=1),
-                             vocoder.VocoderParams(sample_rate=sr),
-                             debug_dir=args.debug_vocoder)
+        fn = (vocoder.vocode_filter_bank if args.vocode_mode == "filterbank"
+              else vocoder.vocode)
+        out = fn(mod.mean(axis=1), car.mean(axis=1),
+                 vocoder.VocoderParams(sample_rate=sr),
+                 debug_dir=args.debug_vocoder)
         wavio.write_wav(args.output, np.asarray(out), sr)
         print(f"wrote {args.output} (vocoded)")
         return 0

@@ -43,11 +43,45 @@ def frames_to_nanos(frame: int, sample_rate: int) -> int:
 
 @dataclass
 class StreamStats:
-    """CPU-load gauge (Pa_GetStreamCpuLoad analog, audio_platform_pa.h:217)."""
+    """RT diagnostics gauges: CPU load (Pa_GetStreamCpuLoad analog,
+    audio_platform_pa.h:217), per-callback time stats (AudioCbTimeStats,
+    audio_platform_pa.h:31-60), overflow count (AudioOverflow, :61-74) and
+    time-source deviation detection (SignificantTimeDeviation + analyzeTime,
+    :75-167)."""
 
     callbacks: int = 0
     compute_seconds: float = 0.0
     budget_seconds: float = 0.0
+    # AudioCbTimeStats analogs
+    min_callback_seconds: float = float("inf")
+    max_callback_seconds: float = 0.0
+    # AudioOverflow analog: callbacks whose compute exceeded their budget
+    overflows: int = 0
+    # SignificantTimeDeviation analog
+    time_deviations: int = 0
+    max_time_deviation_seconds: float = 0.0
+
+    def record_callback(self, compute_s: float, budget_s: float) -> None:
+        self.callbacks += 1
+        self.compute_seconds += compute_s
+        self.budget_seconds += budget_s
+        self.min_callback_seconds = min(self.min_callback_seconds, compute_s)
+        self.max_callback_seconds = max(self.max_callback_seconds, compute_s)
+        if compute_s > budget_s > 0:
+            self.overflows += 1
+
+    def analyze_time(self, reported_nanos: int, frame_clock_nanos: int,
+                     threshold_seconds: float = 0.01) -> bool:
+        """Compare an externally-reported stream time against the frame-count
+        clock (reference analyzeTime, audio_platform_pa.h:270-300); returns
+        True when the deviation is significant (and counts it)."""
+        dev = abs(reported_nanos - frame_clock_nanos) * 1e-9
+        self.max_time_deviation_seconds = max(
+            self.max_time_deviation_seconds, dev)
+        if dev > threshold_seconds:
+            self.time_deviations += 1
+            return True
+        return False
 
     @property
     def cpu_load(self) -> float:
@@ -79,7 +113,9 @@ class OutputContext:
         self._sample_rate = int(sample_rate)
         self._play_f = play_f
         self._initialized = True
+        # PA_MIN_LATENCY_MSEC env override (audio_context.cpp:60-92), then
         # latency -> callback size, next power of two like PortAudio tends to
+        min_latency_seconds = effective_min_latency_seconds(min_latency_seconds)
         want = max(1, int(min_latency_seconds * sample_rate))
         self.frames_per_callback = 1 << (want - 1).bit_length()
 
@@ -107,9 +143,8 @@ class OutputContext:
         t = frames_to_nanos(self._frames, self._sample_rate)
         t0 = time.perf_counter()
         self._play_f(out, t)
-        self.stats.callbacks += 1
-        self.stats.compute_seconds += time.perf_counter() - t0
-        self.stats.budget_seconds += n / self._sample_rate
+        self.stats.record_callback(time.perf_counter() - t0,
+                                   n / self._sample_rate)
         self._frames += n
         return out
 
@@ -157,9 +192,8 @@ class InputContext:
         t = frames_to_nanos(self._pos, self._sample_rate)
         t0 = time.perf_counter()
         self._record_f(buf, t)
-        self.stats.callbacks += 1
-        self.stats.compute_seconds += time.perf_counter() - t0
-        self.stats.budget_seconds += take / self._sample_rate
+        self.stats.record_callback(time.perf_counter() - t0,
+                                   take / self._sample_rate)
         self._pos += take
         return take
 
@@ -193,3 +227,160 @@ class FullDuplexContext:
             done += take
         return np.concatenate(parts, axis=0) if parts else np.zeros(
             (0, self.output.n_outs))
+
+
+# ---------------------------------------------------------------------------
+# Latency override + optional real audio-device backend
+# ---------------------------------------------------------------------------
+
+PA_MIN_LATENCY_MSEC = "PA_MIN_LATENCY_MSEC"
+
+
+def override_portaudio_min_latency_millis(latency_ms: int) -> bool:
+    """Set the PA_MIN_LATENCY_MSEC env var (reference
+    overridePortaudioMinLatencyMillis, source/audio_context.cpp:60-92)."""
+    import os
+
+    if latency_ms <= 0:
+        return False
+    os.environ[PA_MIN_LATENCY_MSEC] = str(int(latency_ms))
+    return True
+
+
+def effective_min_latency_seconds(requested_seconds: float) -> float:
+    """Honor the PA_MIN_LATENCY_MSEC env override when set (the reference's
+    PortAudio build reads this env var; audio_context.cpp:60-92)."""
+    import os
+
+    v = os.environ.get(PA_MIN_LATENCY_MSEC)
+    if v:
+        try:
+            ms = float(v)
+            if ms > 0:
+                return ms / 1000.0
+        except ValueError:
+            pass
+    return requested_seconds
+
+
+def _sounddevice_or_none():
+    try:
+        import sounddevice  # noqa: F401
+
+        sounddevice.query_devices()  # raises when no backend/devices exist
+        return sounddevice
+    except Exception:
+        return None
+
+
+class SoundDeviceOutputContext:
+    """Real audio-device output behind the same do_init/PlayF contract
+    (the reference's Context<PortAudio>, audio_platform_pa.h:204-470),
+    backed by the `sounddevice` library when present.
+
+    Selected automatically by make_output_context(); this environment has no
+    audio device, so tests exercise the virtual contexts only.
+    """
+
+    def __init__(self, n_outs: int = 2):
+        self.n_outs = n_outs
+        self._sd = _sounddevice_or_none()
+        if self._sd is None:
+            raise RuntimeError("no sounddevice backend / audio device")
+        self._stream = None
+        self._play_f = None
+        self._frames = 0
+        self._sample_rate = 0
+        self.stats = StreamStats()
+
+    def do_init(self, min_latency_seconds: float, sample_rate: int,
+                n_outs: int, play_f) -> None:
+        global n_audio_cb_frames
+        self.n_outs = n_outs
+        self._sample_rate = int(sample_rate)
+        self._play_f = play_f
+        latency = effective_min_latency_seconds(min_latency_seconds)
+
+        def callback(outdata, frames, time_info, status):
+            global n_audio_cb_frames
+            n_audio_cb_frames = frames
+            t = frames_to_nanos(self._frames, self._sample_rate)
+            t0 = time.perf_counter()
+            buf = np.zeros((frames, self.n_outs))
+            self._play_f(buf, t)
+            outdata[:] = buf
+            self.stats.record_callback(time.perf_counter() - t0,
+                                       frames / self._sample_rate)
+            self._frames += frames
+
+        self._stream = self._sd.OutputStream(
+            samplerate=sample_rate, channels=n_outs, latency=latency,
+            callback=callback)
+        self._stream.start()
+
+    def initialized(self) -> bool:
+        return self._stream is not None
+
+    def get_sample_rate(self) -> int:
+        return self._sample_rate
+
+    def get_stream_cpu_load(self) -> float:
+        return self.stats.cpu_load
+
+    def do_tear_down(self) -> None:
+        if self._stream is not None:
+            self._stream.stop()
+            self._stream.close()
+            self._stream = None
+
+
+class SoundDeviceFullDuplexContext:
+    """Real full-duplex stream (RecordF then PlayF per callback, the
+    reference's FullDuplexContext shape, audio_platform_pa.h:478-790)."""
+
+    def __init__(self, sample_rate: int, n_outs: int = 2):
+        self._sd = _sounddevice_or_none()
+        if self._sd is None:
+            raise RuntimeError("no sounddevice backend / audio device")
+        self._sample_rate = int(sample_rate)
+        self.n_outs = n_outs
+        self._stream = None
+        self._frames = 0
+        self.stats = StreamStats()
+
+    def do_init(self, record_f, play_f,
+                min_latency_seconds: float = 0.008) -> None:
+        latency = effective_min_latency_seconds(min_latency_seconds)
+
+        def callback(indata, outdata, frames, time_info, status):
+            global n_audio_cb_frames
+            n_audio_cb_frames = frames
+            t = frames_to_nanos(self._frames, self._sample_rate)
+            t0 = time.perf_counter()
+            record_f(indata.mean(axis=1) if indata.ndim == 2
+                     else np.asarray(indata), t)
+            buf = np.zeros((frames, self.n_outs))
+            play_f(buf, t)
+            outdata[:] = buf
+            self.stats.record_callback(time.perf_counter() - t0,
+                                       frames / self._sample_rate)
+            self._frames += frames
+
+        self._stream = self._sd.Stream(
+            samplerate=self._sample_rate, channels=(1, self.n_outs),
+            latency=latency, callback=callback)
+        self._stream.start()
+
+    def do_tear_down(self) -> None:
+        if self._stream is not None:
+            self._stream.stop()
+            self._stream.close()
+            self._stream = None
+
+
+def make_output_context(n_outs: int = 2, *, prefer_device: bool = True):
+    """The reference's platform selection analog: a real device-backed
+    context when one exists, the virtual OutputContext otherwise."""
+    if prefer_device and _sounddevice_or_none() is not None:
+        return SoundDeviceOutputContext(n_outs)
+    return OutputContext(n_outs)

@@ -80,16 +80,34 @@ def synchronize_phases(s: NoteSchedule, sample_rate: int) -> NoteSchedule:
 
     With our absolute-time phase model phase(t) = phase0 + (t - press + 1)*inc,
     alignment means phase0_new = phase0_old + (press_new - press_old) * inc.
+
+    O(n log n): notes group by frequency and sweep in press order (live
+    noteOns arrive press-ordered). Alignment is TRANSITIVE — a note aligned
+    to any member of an overlapping chain carries the same phase clock as
+    the chain's anchor — so tracking one (anchor, max_release) per open
+    chain reproduces the reference's first-active-voice scan exactly.
     """
     phase = s.phase.copy()
     inc = 2.0 * s.frequency / sample_rate
-    for i in range(s.n_notes):
-        for j in range(i):
-            same = abs(s.frequency[j] - s.frequency[i]) < 1e-9
-            overlapping = s.press[j] <= s.press[i] < s.release[j]
-            if same and overlapping:
-                phase[i] = np.mod(phase[j] + (s.press[i] - s.press[j]) * inc[i], 2.0)
-                break
+    order = np.argsort(s.press[: s.n_notes], kind="stable")
+    # frequency groups within 1e-9 tolerance via sorted runs
+    freq_order = np.argsort(s.frequency[: s.n_notes], kind="stable")
+    fsorted = s.frequency[freq_order]
+    group = np.zeros(s.n_notes, dtype=np.int64)
+    if s.n_notes:
+        group[freq_order] = np.cumsum(
+            np.concatenate([[0], (np.diff(fsorted) > 1e-9).astype(np.int64)]))
+    chains: dict[int, tuple[int, float]] = {}  # group -> (anchor_idx, max_rel)
+    for i in order:
+        g = int(group[i])
+        chain = chains.get(g)
+        if chain is not None and s.press[i] < chain[1]:
+            j = chain[0]
+            phase[i] = np.mod(
+                phase[j] + (s.press[i] - s.press[j]) * inc[i], 2.0)
+            chains[g] = (j, max(chain[1], float(s.release[i])))
+        else:
+            chains[g] = (int(i), float(s.release[i]))
     return NoteSchedule(s.press, s.release, s.frequency, s.velocity, s.pan, phase, s.n_notes)
 
 

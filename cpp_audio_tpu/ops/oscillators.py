@@ -174,6 +174,24 @@ def freq_aliasing_multiplicator(increment):
     return jnp.clip((hspp - 1.0) / 3.0, 0.0, 1.0)
 
 
+def ring_modulate(a, b):
+    """Elementwise product of two signals — RingModulationAlgo
+    (include/audioelement.h:3183-3271: `imag() = osc1.imag() * osc2.imag()`,
+    both members stepped in lockstep). In array form the members are any two
+    rendered signals (oscillator banks, noise, envelopes)."""
+    return jnp.asarray(a) * jnp.asarray(b)
+
+
+def ring_modulate_sines(inc1, inc2, n: int, *, phase1=0.0, phase2=0.0,
+                        dtype=jnp.float32):
+    """Classic two-sine ring mod at constant increments (the shape the
+    reference's Sounds cache preallocates as `ringmods`, include/sounds.h:
+    5-89): returns sin(pi*ph1(t)) * sin(pi*ph2(t)) over n samples."""
+    p1 = phase_trajectory_const(phase1, inc1, n, dtype=dtype)
+    p2 = phase_trajectory_const(phase2, inc2, n, dtype=dtype)
+    return ring_modulate(sine(p1), sine(p2))
+
+
 def mixdown(signals, gains):
     """Sum a voice bank into output channels on the MXU.
 

@@ -344,3 +344,36 @@ class TestFastmath:
         x = np.linspace(-2.0, 2.0, 20001).astype(np.float32)
         assert np.max(np.abs(np.asarray(fastmath.cospi(x))
                              - np.cos(np.pi * x))) < 2e-6
+
+
+class TestRingModulation:
+    """RingModulationAlgo (audioelement.h:3183-3271) as a named op."""
+
+    def test_product_semantics(self):
+        import numpy as np
+
+        from cpp_audio_tpu.ops import oscillators as osc
+
+        a = np.asarray([0.5, -1.0, 0.25])
+        b = np.asarray([2.0, 0.5, -4.0])
+        np.testing.assert_allclose(np.asarray(osc.ring_modulate(a, b)),
+                                   [1.0, -0.5, -1.0])
+
+    def test_two_sine_ring_mod_spectrum(self):
+        """sin(f1) * sin(f2) has energy at f1-f2 and f1+f2, not at f1/f2."""
+        import numpy as np
+
+        from cpp_audio_tpu.ops import oscillators as osc
+
+        sr = 44100
+        n = 1 << 15
+        f1, f2 = 1000.0, 150.0
+        y = np.asarray(osc.ring_modulate_sines(
+            2 * f1 / sr, 2 * f2 / sr, n, dtype=__import__("jax.numpy",
+                                                          fromlist=["x"]).float64))
+        spec = np.abs(np.fft.rfft(y * np.hanning(n)))
+        freqs = np.fft.rfftfreq(n, 1 / sr)
+        def amp_at(f):
+            return spec[np.argmin(np.abs(freqs - f))]
+        assert amp_at(f1 - f2) > 50 * amp_at(f1)
+        assert amp_at(f1 + f2) > 50 * amp_at(f1)

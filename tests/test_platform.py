@@ -97,3 +97,70 @@ class TestFullDuplex:
                                                    eng.step(out.shape[0])))
         out = ctx.render(777)
         np.testing.assert_allclose(out, 0.5)
+
+
+class TestLatencyOverride:
+    def test_env_override_changes_callback_size(self, monkeypatch):
+        """PA_MIN_LATENCY_MSEC overrides the requested latency
+        (audio_context.cpp:60-92)."""
+        from cpp_audio_tpu.core import platform as plat
+
+        monkeypatch.delenv(plat.PA_MIN_LATENCY_MSEC, raising=False)
+        ctx = plat.OutputContext()
+        ctx.do_init(0.008, 44100, 2, lambda out, t: None)
+        base = ctx.frames_per_callback
+        assert plat.override_portaudio_min_latency_millis(64)
+        ctx2 = plat.OutputContext()
+        ctx2.do_init(0.008, 44100, 2, lambda out, t: None)
+        assert ctx2.frames_per_callback > base
+        monkeypatch.delenv(plat.PA_MIN_LATENCY_MSEC, raising=False)
+
+    def test_invalid_override_rejected(self, monkeypatch):
+        from cpp_audio_tpu.core import platform as plat
+
+        assert not plat.override_portaudio_min_latency_millis(0)
+        monkeypatch.setenv(plat.PA_MIN_LATENCY_MSEC, "garbage")
+        assert plat.effective_min_latency_seconds(0.02) == 0.02
+
+    def test_factory_falls_back_to_virtual(self):
+        """No audio device in this environment: make_output_context returns
+        the virtual context (the sounddevice-backed one is import-guarded)."""
+        from cpp_audio_tpu.core import platform as plat
+
+        ctx = plat.make_output_context()
+        assert isinstance(ctx, plat.OutputContext)
+
+
+class TestRtDiagnostics:
+    """AudioCbTimeStats / AudioOverflow / SignificantTimeDeviation analogs
+    (audio_platform_pa.h:31-167)."""
+
+    def test_callback_time_stats(self):
+        from cpp_audio_tpu.core import platform as plat
+
+        ctx = plat.OutputContext()
+        ctx.do_init(0.008, 44100, 2, lambda out, t: None)
+        for _ in range(5):
+            ctx.pull(64)
+        s = ctx.stats
+        assert s.callbacks == 5
+        assert 0.0 <= s.min_callback_seconds <= s.max_callback_seconds
+
+    def test_overflow_detection(self):
+        import time as _t
+
+        from cpp_audio_tpu.core import platform as plat
+
+        ctx = plat.OutputContext()
+        ctx.do_init(0.008, 44100, 2, lambda out, t: _t.sleep(0.002))
+        ctx.pull(4)  # budget ~90 us, compute ~2 ms -> overflow
+        assert ctx.stats.overflows == 1
+
+    def test_time_deviation(self):
+        from cpp_audio_tpu.core.platform import StreamStats
+
+        s = StreamStats()
+        assert not s.analyze_time(1_000_000, 2_000_000)  # 1 ms < 10 ms
+        assert s.analyze_time(0, 50_000_000)             # 50 ms deviation
+        assert s.time_deviations == 1
+        assert s.max_time_deviation_seconds >= 0.05
