@@ -116,8 +116,42 @@ def main():
     # production metric: farm hosts drain outputs asynchronously over PCIe).
     k_lo, k_hi = 2, 8
     timed(1)
+    raw_wall = timed(1)  # one render incl. the rig's dispatch+fetch overhead
     per = min(max((timed(k_hi) - timed(k_lo)) / (k_hi - k_lo), 1e-6)
               for _ in range(3))
+
+    # secondary metric (BASELINE.md): STFT frames/sec of the analysis front
+    # end alone (sliding Gaussian STFT + device top-k peaks), slope-timed
+    from cpp_audio_tpu.ops import stft as stft_ops
+
+    window = jnp.asarray(stft_ops.gaussian_window(rcfg.window_size, sigmas=4.0),
+                         jnp.float32)
+    fft_len = stft_ops.fft_length_for(rcfg.window_size)
+    sig_dev = jax.device_put(jnp.asarray(carrier, jnp.float32))
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=())
+    def stft_step(sig):
+        sq = stft_ops._stft_sqmag(
+            sig, window, window_size=rcfg.window_size, stride=rcfg.stride,
+            fft_length=fft_len,
+            use_matmul_dft=stft_ops.use_matmul_dft_default(jnp.float32))
+        return stft_ops._top_peaks(sq, sample_rate=sr, fft_length=fft_len,
+                                   k=rcfg.max_voices + 1)
+
+    def stft_timed(k):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(k):
+            out = stft_step(sig_dev)
+        jax.block_until_ready(out)
+        return time.perf_counter() - t0
+
+    stft_timed(1)  # compile
+    stft_per = min(max((stft_timed(k_hi) - stft_timed(k_lo)) / (k_hi - k_lo),
+                       1e-9) for _ in range(3))
+    stft_fps = n_frames / stft_per
 
     rtf = seconds / per
     print(json.dumps({
@@ -125,6 +159,9 @@ def main():
         "value": round(rtf, 1),
         "unit": "audio_sec/wall_sec/chip",
         "vs_baseline": round(rtf, 1),
+        "stft_frames_per_sec": round(stft_fps, 0),
+        "raw_wall_seconds_per_render": round(raw_wall, 4),
+        "device_seconds_per_render": round(per, 4),
     }))
 
 

@@ -523,17 +523,19 @@ def prepare_offline_chain_device_batch(banks, n_samples: int,
         )(fp, ip, up, gains, codes, car)
         table, dropped = device_tracker.build_tables_device_batch(
             freq, mag, loud_p, loud_s, pan_draws, phase_draws, **tr_kw)
+        # min_block=split disables the per-16-slot cond ladder: conds under
+        # vmap execute both branches, so the batch hoists ONE coarse split
         split = 64
         lo = jax.vmap(lambda t: resynth_bank._render_slots(
             t[:, :split], stride=rcfg.stride, n_channels=2, dtype=dtype,
-            split=split))(table)
+            split=split, min_block=split))(table)
         hi_tab = table[:, :, split:]
         live = jnp.any((hi_tab[..., _F_VTGT] != 0) | (hi_tab[..., _F_VB] != 0))
         hi = jax.lax.cond(
             live,
             lambda t: jax.vmap(lambda tt: resynth_bank._render_slots(
                 tt, stride=rcfg.stride, n_channels=2, dtype=dtype,
-                split=split))(t),
+                split=split, min_block=split))(t),
             lambda t: jnp.zeros_like(lo), hi_tab)
         out = (lo + hi).reshape(B, total_frames * rcfg.stride, -1)[:, :, :2]
         stereo = jnp.pad(out, ((0, 0), (rcfg.start_sample, 0), (0, 0)))

@@ -86,7 +86,7 @@ def _stft_sqmag(signal, window, *, window_size: int, stride: int, fft_length: in
     frames = frame_signal(signal, window_size, stride, n_frames) * window[None, :]
     # scale so a unit sine at a bin center gives sqmag 1
     scale = 2.0 / jnp.sum(window)
-    if use_matmul_dft:
+    if use_matmul_dft and fft_length <= MATMUL_DFT_MAX_FFT:
         from . import dft
 
         return dft.rfft_sqmag_matmul(frames, fft_length) * scale**2
@@ -94,9 +94,17 @@ def _stft_sqmag(signal, window, *, window_size: int, stride: int, fft_length: in
     return jnp.abs(spec) ** 2 * scale**2
 
 
+# Crossover measured on a v5e (jax.profiler device time): batched rffts of
+# (26449, 512) run 4.6 ms vs 1.4 ms as MXU matmuls, but (665, 16384) rffts
+# run 1.4 ms vs 13.4 ms — the DFT matrix grows O(n^2) while FFT work grows
+# O(n log n), so the MXU only wins for small transforms.
+MATMUL_DFT_MAX_FFT = 2048
+
+
 def use_matmul_dft_default(dtype) -> bool:
-    """Batched mid-size DFTs go through MXU matmuls on TPU (ops/dft.py);
-    everywhere else XLA's native FFT wins."""
+    """Batched SMALL DFTs (fft_length <= MATMUL_DFT_MAX_FFT) go through MXU
+    matmuls on TPU (ops/dft.py); large transforms and other backends use
+    XLA's native FFT (the consumers apply the size threshold)."""
     import jax as _jax
 
     return _jax.default_backend() == "tpu" and jnp.dtype(dtype) == jnp.float32
@@ -156,12 +164,32 @@ def _top_peaks(sqmag, *, sample_rate: int, fft_length: int, k: int):
     is_peak, freq, mag_db = _peaks(sqmag, sample_rate=sample_rate,
                                    fft_length=fft_length)
     score = jnp.where(is_peak, mag_db, -jnp.inf)
-    top_db, idx = jax.lax.top_k(score, k)
-    top_freq = jnp.take_along_axis(freq, idx, axis=-1)
+    # TPU: lax.top_k lowers to a full-width sort, and every take_along_axis
+    # gather afterwards executes near-scalar (0.6-0.8 ms each on the bench
+    # shapes). Two tricks (measured 6.3 ms -> 2.1 ms on a v5e):
+    #  1. adjacent bins can never BOTH be peaks (is_peak needs db > prev),
+    #     so an elementwise pair-reduce halves the sort width exactly;
+    #  2. multi-operand lax.sort carries freq/mag along with the score, so
+    #     no index gathers are needed at all.
+    pad = (-score.shape[-1]) % 2
+    if pad:
+        score = jnp.pad(score, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        freq = jnp.pad(freq, ((0, 0), (0, pad)))
+        mag_db = jnp.pad(mag_db, ((0, 0), (0, pad)))
+    se, so = score[:, ::2], score[:, 1::2]
+    pick = se >= so
+    s2 = jnp.where(pick, se, so)
+    f2 = jnp.where(pick, freq[:, ::2], freq[:, 1::2])
+    m2 = jnp.where(pick, mag_db[:, ::2], mag_db[:, 1::2])
+    s_neg, s_freq, s_mag = jax.lax.sort((-s2, f2, m2), dimension=-1,
+                                        num_keys=1)
+    top_db = -s_neg[:, :k]
+    top_freq = s_freq[:, :k]
     # return sorted by frequency within each frame (pipeline invariant)
-    order = jnp.argsort(jnp.where(jnp.isfinite(top_db), top_freq, jnp.inf), axis=-1)
-    return (jnp.take_along_axis(top_freq, order, axis=-1),
-            jnp.take_along_axis(top_db, order, axis=-1))
+    key = jnp.where(jnp.isfinite(top_db), top_freq, jnp.inf)
+    _, out_freq, out_db = jax.lax.sort((key, top_freq, top_db), dimension=-1,
+                                       num_keys=1)
+    return out_freq, out_db
 
 
 def extract_top_peaks(sqmag, sample_rate: int, fft_length: int, k: int = 127):
