@@ -94,10 +94,10 @@ def _harmonize_lanes(tpitch, tvol, h: float):
     new_pitch = jnp.where(valid & ~merge, hp, jnp.inf)
     cat_p = jnp.concatenate([tpitch, new_pitch], axis=-1)
     cat_v = jnp.concatenate([tvol + vol_add, new_vol], axis=-1)
-    order = jnp.argsort(jnp.where(jnp.isfinite(cat_p), cat_p, jnp.inf),
-                        axis=-1)
-    return (jnp.take_along_axis(cat_p, order, axis=-1),
-            jnp.take_along_axis(cat_v, order, axis=-1))
+    key = jnp.where(jnp.isfinite(cat_p), cat_p, jnp.inf)
+    _, out_p, out_v = jax.lax.sort((key, cat_p, cat_v), dimension=-1,
+                                   num_keys=1)
+    return out_p, out_v
 
 
 def _autotune_lanes(tpitch, tvol, at_root, at_scale, at_equid, at_allowed, *,
@@ -138,9 +138,7 @@ def _autotune_lanes(tpitch, tvol, at_root, at_scale, at_equid, at_allowed, *,
     out_p = jnp.where(keep, snapped, jnp.inf)
     out_v = jnp.where(keep, tvol, 0.0)
     # merge coincident consecutive outputs: sort, then group within eps
-    order = jnp.argsort(out_p, axis=-1)
-    sp = jnp.take_along_axis(out_p, order, axis=-1)
-    sv = jnp.take_along_axis(out_v, order, axis=-1)
+    sp, sv = jax.lax.sort((out_p, out_v), dimension=-1, num_keys=1)
     fin = jnp.isfinite(sp)
     prev = jnp.concatenate([jnp.full_like(sp[:, :1], -jnp.inf), sp[:, :-1]],
                            axis=-1)
@@ -228,10 +226,11 @@ def _frame_local(freq, mag_db, loud_pitches, loud_spl, at_root, at_scale,
         gpitch = sum_pv / jnp.maximum(sum_vol, 1e-30)
     keep = (gvol >= min_volume) & (count > 0)
 
+    # multi-operand sort carries the volumes with the pitch key — an
+    # argsort + two take_along_axis gathers runs near-scalar on TPU
     key = jnp.where(keep, gpitch + shift_pre, jnp.inf)
-    order = jnp.argsort(key, axis=-1)
-    tpitch = jnp.take_along_axis(key, order, axis=-1)
-    tvol = jnp.take_along_axis(jnp.where(keep, gvol, 0.0), order, axis=-1)
+    tpitch, tvol = jax.lax.sort((key, jnp.where(keep, gvol, 0.0)),
+                                dimension=-1, num_keys=1)
     if harmonize_pre:
         tpitch, tvol = _harmonize_lanes(tpitch, tvol, harmonize_pre)
     if autotune_kind != "off":
@@ -823,18 +822,13 @@ def _build_tables_parallel(tpitch, volume, loud_order, is_data, pan_draws,
     t_rank = jnp.cumsum(tm.astype(jnp.int32), axis=-1) - 1 + n_alive[:, None]
     t_rank3 = t_rank.reshape(F, t_max, k)
     viol |= jnp.any(n_alive + jnp.sum(tm.astype(jnp.int32), axis=-1) > P)
-    # tail offsets beyond the workload's actual release length have empty
-    # masks; cond-skip their (F,k,P) scatters (t_max budgets for a worst-case
-    # 2 Hz ghost note, typical configs use a fraction of it — ~0.2 ms/offset
-    # on a v5e). NB a cond under vmap runs both branches; the batched path
-    # still pays full price, same as before this skip.
+    # NOTE: cond-skipping empty tail offsets was measured NET-NEGATIVE on a
+    # v5e — each lax.cond carries ~0.4 ms of branch-dispatch overhead vs
+    # ~0.2 ms for the unconditional (F,k,P) scatter it would skip.
     for t in range(t_max):
-        def _emit(args):
-            ctb, cov = args
-            c_t, cov_t = slot_scatter(t_rank3[:, t], rows_all[t], m_all[t])
-            return ctb + c_t, cov + cov_t
-        contrib, cover = jax.lax.cond(
-            jnp.any(m_all[t]), _emit, lambda args: args, (contrib, cover))
+        c_t, cov_t = slot_scatter(t_rank3[:, t], rows_all[t], m_all[t])
+        contrib = contrib + c_t
+        cover = cover + cov_t
     table = contrib + defaults[None, None, :] * (1.0 - cover)[..., None]
     return table, viol
 

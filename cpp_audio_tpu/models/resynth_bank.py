@@ -202,38 +202,31 @@ def _build_slot_tables(notes: list[TrackedNote], n_frames: int,
 @functools.partial(jax.jit, static_argnames=("stride", "n_channels", "dtype",
                                              "split", "min_block"))
 def _render_slots(table, *, stride: int, n_channels: int, dtype: str,
-                  split: int = 64, min_block: int = 16):
+                  split: int = 64, min_block: int = 64):
     """(n_frames, P, N_FIELDS) -> (n_frames, stride, C).
 
     Slot tables pack active rows first (both the host builders and the
-    device tracker), so the upper slot blocks are usually all empty: slots
-    beyond `min_block` render in blocks under lax.cond ladders that skip the
-    work entirely when no row in the block is live. The first `min_block`
-    slots always render (polyphony is rarely below that); each higher
-    16-slot block costs ~0.25 ms on a v5e when live and ~nothing when
-    skipped. NB conds under vmap run both branches — the batched serving
-    path hoists its own coarse split instead (chain.py batch_step).
+    device tracker), so when P > `split` the upper slots are usually all
+    empty: render them under a lax.cond that skips the work entirely unless
+    some row is live (polyphony above `split` voices). A finer per-16-slot
+    cond ladder was measured NET-NEGATIVE on a v5e: each fired lax.cond
+    carries ~0.4-0.9 ms of branch-dispatch overhead vs ~0.3 ms for the
+    16-slot render it gates. (min_block is kept for API compatibility;
+    the vmapped batch path passes it to signal no inner conds, which the
+    single coarse split already satisfies.)
     """
-    if table.shape[1] > min_block:
-        lo = _render_slots(table[:, :min_block], stride=stride,
-                           n_channels=n_channels, dtype=dtype,
-                           min_block=min_block)
-        out = lo
-        P = table.shape[1]
-        b = min_block
-        while b < P:
-            width = min(min_block if b < split else P - b, P - b)
-            blk = table[:, b : b + width]
-            live = jnp.any((blk[:, :, _F_VTGT] != 0)
-                           | (blk[:, :, _F_VB] != 0))
-            out = out + jax.lax.cond(
-                live,
-                lambda t: _render_slots(t, stride=stride,
-                                        n_channels=n_channels, dtype=dtype,
-                                        min_block=min_block),
-                lambda t: jnp.zeros_like(lo), blk)
-            b += width
-        return out
+    if table.shape[1] > split:
+        lo = _render_slots(table[:, :split], stride=stride,
+                           n_channels=n_channels, dtype=dtype, split=split)
+        hi_tab = table[:, split:]
+        live = jnp.any((hi_tab[:, :, _F_VTGT] != 0)
+                       | (hi_tab[:, :, _F_VB] != 0))
+        hi = jax.lax.cond(
+            live,
+            lambda t: _render_slots(t, stride=stride, n_channels=n_channels,
+                                    dtype=dtype, split=split),
+            lambda t: jnp.zeros_like(lo), hi_tab)
+        return lo + hi
     wdt = jnp.dtype(dtype)
     S = stride
     k = jnp.arange(S, dtype=wdt)[None, :]
