@@ -229,6 +229,74 @@ class FullDuplexContext:
             (0, self.output.n_outs))
 
 
+class Int16OutputContext(OutputContext):
+    """AudioUnit-style output context analog (reference
+    Context<AudioPlatform::AudioUnits>, include/audio_platform_au.h:24-255).
+
+    What distinguishes the reference's iOS path from its PortAudio path:
+
+    - the OS picks the callback size and it can CHANGE mid-stream ("we cannot
+      know for sure how much the os will ask us to compute", observed 512 on
+      an iPhone 4s; it may shrink when a bluetooth device renegotiates —
+      audio_platform_au.h:10-13,56-58);
+    - the callback renders floats into a preallocated staging buffer, then
+      quantizes to interleaved SInt16 with `(SInt16)(sample * 32767.f)`
+      (truncation, not rounding — audio_platform_au.h:79-88).
+
+    Here `pull()` reproduces both: an optional per-call frame count models
+    the OS-chosen size, and delivery is an int16 interleaved array quantized
+    exactly like the reference. The float staging buffer is reused across
+    callbacks (the reference preallocates to avoid RT allocation).
+    """
+
+    def __init__(self, n_outs: int = 2):
+        super().__init__(n_outs)
+        self.frames_per_callback = 512  # observed iOS callback size (au.h:11)
+        self._staging = np.zeros((1024, n_outs))  # initial_buffer_size analog
+
+    def pull_int16(self, n_frames: int | None = None) -> np.ndarray:
+        """Run one render callback; returns (n, n_outs) int16 frames."""
+        global n_audio_cb_frames
+        if not self._initialized:
+            raise RuntimeError("do_init first")
+        n = self.frames_per_callback if n_frames is None else n_frames
+        n_audio_cb_frames = n
+        if self._staging.shape[0] < n or self._staging.shape[1] != self.n_outs:
+            self._staging = np.zeros((n, self.n_outs))
+        buf = self._staging[:n]
+        buf[:] = 0.0
+        t = frames_to_nanos(self._frames, self._sample_rate)
+        t0 = time.perf_counter()
+        self._play_f(buf, t)
+        self.stats.record_callback(time.perf_counter() - t0,
+                                   n / self._sample_rate)
+        self._frames += n
+        # (SInt16)(val * 32767.f) — C cast truncates toward zero (au.h:84)
+        return np.trunc(buf * 32767.0).astype(np.int16)
+
+    def render_int16(self, n_frames: int,
+                     callback_sizes=None) -> np.ndarray:
+        """Render n_frames through OS-chosen callback sizes (an iterable of
+        per-callback frame counts, cycled; defaults to frames_per_callback)."""
+        parts = []
+        left = n_frames
+        sizes = iter(lambda: self.frames_per_callback, None) \
+            if callback_sizes is None else _cycle(callback_sizes)
+        for size in sizes:
+            if left <= 0:
+                break
+            take = min(size, left)
+            parts.append(self.pull_int16(take))
+            left -= take
+        return np.concatenate(parts, axis=0) if parts else np.zeros(
+            (0, self.n_outs), np.int16)
+
+
+def _cycle(seq):
+    while True:
+        yield from seq
+
+
 # ---------------------------------------------------------------------------
 # Latency override + optional real audio-device backend
 # ---------------------------------------------------------------------------

@@ -23,8 +23,17 @@ associative scans (one compile regardless of order; the reference's hardest
 preset is order 129 'Bubbles').
 
 The reference leaves the LowPass member's cutoff at its filter default (no
-setFilterAngleIncrements call reaches it); here it follows the main control
-frequency — a documented divergence that makes the member musically useful.
+setFilterAngleIncrements call reaches it; soundengine.h:217 declares the
+member, gen.voice.h wires only the band algos). By default this renderer
+instead tracks the main control frequency — a documented divergence that
+makes the member musically useful. For parity work `lowpass_mode` selects
+the plausible reference defaults instead: the `Filter` type lives in the
+absent cpp.algorithms sibling, so its never-initialized coefficient is
+either 0 (member contributes silence -> "mute") or passes the signal
+unfiltered ("bypass"); both are provided. NB every factory preset leaves
+PINK_NOISE_LP_GAIN at its make_common default of 0 (gen.voice.h:625-699),
+so the choice is inaudible for all 27 programs either way — it only
+matters for user programs that raise the LP gain.
 """
 
 from __future__ import annotations
@@ -77,9 +86,11 @@ def _cascade_dynamic(x, alpha, order, *, kind: str, stage_gain=None):
     return jax.lax.fori_loop(0, order, body, x)
 
 
-@functools.partial(jax.jit, static_argnames=("T", "order", "itp_long", "dtype"))
+@functools.partial(jax.jit, static_argnames=("T", "order", "itp_long", "dtype",
+                                             "lowpass_mode"))
 def _render_wind(pink, offsets, params, lut, lut_lo, lut_step, gains,
-                 *, T: int, order: int, itp_long, dtype: str):
+                 *, T: int, order: int, itp_long, dtype: str,
+                 lowpass_mode: str = "control"):
     wdt = jnp.dtype(dtype)
     t = jnp.arange(T, dtype=wdt)
     (n_slow_long, n_slow_short, ratio_amp, log_inc_min, log_inc_max,
@@ -145,8 +156,13 @@ def _render_wind(pink, offsets, params, lut, lut_lo, lut_step, gains,
 
     y_bp = band_member(offsets[3], offsets[4], "bandpass")
     y_br = band_member(offsets[5], offsets[6], "bandreject")
-    a_main = 1.0 - jnp.exp(-jnp.pi * inc_main)
-    y_lp = _cascade_dynamic(src, a_main, order, kind="lowpass")
+    if lowpass_mode == "control":  # documented divergence (module docstring)
+        a_main = 1.0 - jnp.exp(-jnp.pi * inc_main)
+        y_lp = _cascade_dynamic(src, a_main, order, kind="lowpass")
+    elif lowpass_mode == "bypass":  # reference default if Filter init passes
+        y_lp = src
+    else:  # "mute": reference default if the uninitialized coefficient is 0
+        y_lp = jnp.zeros_like(src)
 
     mix = lp_gain * y_lp + bp_gain * y_bp + br_gain * y_br + sine_gain * y_sine
     env = jnp.clip((t + 1.0) / jnp.maximum(xfade, 1.0), 0.0, 1.0)
@@ -156,8 +172,13 @@ def _render_wind(pink, offsets, params, lut, lut_lo, lut_step, gains,
 
 def render_program(program: VoiceProgram, n_samples: int, sample_rate: int = 44100,
                    *, seed: int = 1, velocity: float = 1.0, pan: float | None = None,
-                   n_channels: int = 2, dtype: str = "float32") -> np.ndarray:
-    """Render a WIND program to (n_samples, C)."""
+                   n_channels: int = 2, dtype: str = "float32",
+                   lowpass_mode: str = "control") -> np.ndarray:
+    """Render a WIND program to (n_samples, C).
+
+    lowpass_mode: "control" (default; LP member tracks the main control
+    frequency), "mute" or "bypass" (the two plausible reference defaults —
+    see module docstring)."""
     p = program
     assert p.mode is Mode.WIND
     rng = np.random.default_rng(seed)
@@ -200,6 +221,6 @@ def render_program(program: VoiceProgram, n_samples: int, sample_rate: int = 441
         jnp.asarray(lut, dt), jnp.asarray(lut_lo, dt), jnp.asarray(lut_step, dt),
         jnp.asarray(gains, dt),
         T=n_samples, order=int(p.filter_order), itp_long=int(p.interpolation),
-        dtype=dtype,
+        dtype=dtype, lowpass_mode=lowpass_mode,
     )
     return np.asarray(out)

@@ -164,3 +164,42 @@ class TestRtDiagnostics:
         assert s.analyze_time(0, 50_000_000)             # 50 ms deviation
         assert s.time_deviations == 1
         assert s.max_time_deviation_seconds >= 0.05
+
+
+class TestInt16OutputContext:
+    """AudioUnit-context analog (audio_platform_au.h:24-255)."""
+
+    def test_int16_quantization_truncates(self):
+        ctx = platform.Int16OutputContext(n_outs=2)
+
+        def play_f(out, t_nanos):
+            out[:, 0] = 0.5
+            out[:, 1] = -0.99997  # quantizes to -32766 by truncation
+
+        ctx.do_init(0.008, 44100, 2, play_f)
+        out = ctx.pull_int16(8)
+        assert out.dtype == np.int16
+        # (SInt16)(0.5f * 32767.f) truncates 16383.5 -> 16383
+        np.testing.assert_array_equal(out[:, 0], 16383)
+        np.testing.assert_array_equal(out[:, 1], int(-0.99997 * 32767.0))
+
+    def test_variable_os_chosen_callback_sizes(self):
+        ctx = platform.Int16OutputContext(n_outs=1)
+        sizes_seen = []
+
+        def play_f(out, t_nanos):
+            sizes_seen.append(len(out))
+            out[:] = 1.0 / 32767.0
+
+        ctx.do_init(0.008, 44100, 1, play_f)
+        # the OS may vary the request size mid-stream (au.h:10-13,56-58)
+        out = ctx.render_int16(1200, callback_sizes=[512, 256, 100])
+        assert out.shape == (1200, 1)
+        np.testing.assert_array_equal(out[:, 0], 1)
+        assert sizes_seen == [512, 256, 100, 332]
+        # staging buffer grew once and is reused (no per-callback allocation)
+        assert ctx._staging.shape[0] >= 512
+
+    def test_default_callback_size_is_observed_ios_size(self):
+        ctx = platform.Int16OutputContext()
+        assert ctx.frames_per_callback == 512

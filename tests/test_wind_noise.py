@@ -96,3 +96,28 @@ class TestWind:
         in_band = spec[(freqs > 100) & (freqs < 2000)].mean()
         out_band = spec[(freqs > 8000) & (freqs < 16000)].mean()
         assert in_band > 10 * out_band
+
+    def test_lowpass_mode_reference_defaults(self):
+        """soundengine.h:217's LowPass member never receives a cutoff in the
+        reference; lowpass_mode offers the two plausible defaults of the
+        absent cpp.algorithms Filter (mute / bypass) next to the divergent
+        musical default (control)."""
+        import dataclasses
+
+        # every factory preset keeps pink_lp_gain at the reference's
+        # make_common default 0 (the member is inaudible either way);
+        # raise it to make the mode choice observable
+        p = dataclasses.replace(
+            vp.get_program(vp.Mode.WIND, "Steady wind"), pink_lp_gain=1.0)
+        kw = dict(seed=13, pan=0.0, dtype="float64")
+        ctl = wind.render_program(p, 8192, **kw)
+        mute = wind.render_program(p, 8192, lowpass_mode="mute", **kw)
+        byp = wind.render_program(p, 8192, lowpass_mode="bypass", **kw)
+        for o in (ctl, mute, byp):
+            assert np.all(np.isfinite(o))
+        # same noise walk, different LP member handling
+        assert not np.array_equal(ctl, mute)
+        assert not np.array_equal(mute, byp)
+        # mute drops the LP contribution entirely: ctl - mute is the LP leg
+        lp_leg = ctl - mute
+        assert np.max(np.abs(lp_leg)) > 0
