@@ -260,10 +260,13 @@ def _fused_single_dispatch(fp, ip, up, gains, codes, window, carrier, edges,
     table, dropped = device_tracker.build_tables_device(
         freq, mag, loud_pitches, loud_spl, pan_draws, phase_draws,
         **_tracker_call_kwargs(kw, (at_root, at_scale, at_equid, at_allowed)))
+    # channel-major render: XLA wants the long time axis minor in the output
+    # layout, and a (T, 2) result costs a ~1 ms whole-render transpose copy
     out = resynth_bank._render_slots(table, stride=kw["render_stride"],
-                                     n_channels=2, dtype=kw["dtype"])
-    body = out.reshape(kw["total_frames"] * kw["render_stride"], -1)[:, :2]
-    stereo = jnp.pad(body, ((kw["start_sample"], 0), (0, 0)))
+                                     n_channels=2, dtype=kw["dtype"],
+                                     channel_major=True)
+    body = out.reshape(out.shape[0], -1)[:2]
+    stereo = jnp.pad(body, ((0, 0), (kw["start_sample"], 0)))
     return stereo, mix, dropped
 
 
@@ -274,9 +277,12 @@ def prepare_offline_chain_device(bank: voicebank.VoiceBank, n_samples: int,
     """Build the device-resident argument set for the single-dispatch chain
     and return (step, n_frames): `step()` dispatches ONE fused device program
     (synth -> STFT -> peaks -> tracker -> render + vocoder) over the
-    prestaged arrays and returns (stereo, vocoded_mix, dropped) device
-    arrays without any host transfer. This is the production serving loop:
-    call step() back to back and drain outputs asynchronously.
+    prestaged arrays and returns (stereo (2, T) CHANNEL-MAJOR, vocoded_mix,
+    dropped) device arrays without any host transfer. Channel-major keeps
+    the long time axis minor — a (T, 2) result would pay a ~1 ms layout
+    transpose on a v5e; hosts transpose for free (numpy view). This is the
+    production serving loop: call step() back to back and drain outputs
+    asynchronously.
 
     draws: optional (pan_draws, phase_draws) device-resident pools (reuse
     them across calls to skip the H2D); defaults to host numpy pools matching
@@ -356,8 +362,10 @@ def run_offline_chain_device(bank: voicebank.VoiceBank, n_samples: int,
     step, n_frames = prepare_offline_chain_device(
         bank, n_samples, rconfig, vparams, carrier,
         block_size=block_size, draws=draws)
-    stereo, mix, dropped = step()
-    return OfflineChainResult(resynth=stereo, vocoded=mix,
+    stereo_cm, mix, dropped = step()
+    # the fused program emits channel-major (2, T); the convenience wrapper
+    # restores the (T, 2) contract (outside the hot serving loop)
+    return OfflineChainResult(resynth=jnp.transpose(stereo_cm), vocoded=mix,
                               n_frames=n_frames, dropped=dropped)
 
 
@@ -383,9 +391,12 @@ def _fused_resynth_from_signal(mono, window, loud_pitches, loud_spl,
         freq, mag, loud_pitches, loud_spl, pan_draws, phase_draws,
         **_tracker_call_kwargs(kw, (at_root, at_scale, at_equid, at_allowed)))
     out = resynth_bank._render_slots(table, stride=kw["render_stride"],
-                                     n_channels=2, dtype=kw["dtype"])
-    body = out.reshape(kw["total_frames"] * kw["render_stride"], -1)[:, :2]
-    return jnp.pad(body, ((kw["start_sample"], 0), (0, 0))), dropped
+                                     n_channels=2, dtype=kw["dtype"],
+                                     channel_major=True)
+    body = out.reshape(out.shape[0], -1)[:2]
+    # channel-major avoids XLA's (T, 2)-output transpose copy; the host
+    # consumer transposes for free (numpy view)
+    return jnp.pad(body, ((0, 0), (kw["start_sample"], 0))), dropped
 
 
 def resynthesize_signal_device(signal, rconfig) -> "jnp.ndarray":
@@ -423,7 +434,7 @@ def resynthesize_signal_device(signal, rconfig) -> "jnp.ndarray":
         total_frames=total_frames, render_stride=rcfg.stride,
         start_sample=rcfg.start_sample,
         **tracker_config_kwargs(rconfig, rcfg))
-    return stereo
+    return jnp.transpose(stereo)  # fused program is channel-major (2, T)
 
 
 def prepare_offline_chain_device_batch(banks, n_samples: int,

@@ -652,12 +652,16 @@ def _build_tables_parallel(tpitch, volume, loud_order, is_data, pan_draws,
     n_ons = jnp.sum(on_l.astype(jnp.int32), axis=-1)
     base = jnp.cumsum(n_ons) - n_ons
     draw_idx = base[:, None] + rank_p
-    pan = np.float32(stereo_spread) * pan_draws[
-        jnp.clip(draw_idx, 0, pan_draws.shape[0] - 1)]
+    # one 2-wide gather instead of two: general gathers on TPU pay per
+    # INDEX, not per element, and both pools share draw_idx
+    pools = jnp.stack([pan_draws[:phase_draws.shape[0]],
+                       phase_draws[:pan_draws.shape[0]]], axis=-1)
+    got_draws = pools[jnp.clip(draw_idx, 0, pools.shape[0] - 1)]
+    pan = np.float32(stereo_spread) * got_draws[..., 0]
     th = np.float32(0.25 * np.pi) * (pan + 1.0)
     gl_b = jnp.cos(th).astype(f32)
     gr_b = jnp.sin(th).astype(f32)
-    ph0_b = phase_draws[jnp.clip(draw_idx, 0, phase_draws.shape[0] - 1)]
+    ph0_b = got_draws[..., 1]
     vol_b = volume.astype(f32)
 
     # chains: pointer doubling with carried phase sum + affine volume map.
@@ -820,15 +824,15 @@ def _build_tables_parallel(tpitch, volume, loud_order, is_data, pan_draws,
     ], axis=-1)  # (t_max, F, k, 16)
     tm = jnp.moveaxis(m_all, 0, 1).reshape(F, t_max * k)
     t_rank = jnp.cumsum(tm.astype(jnp.int32), axis=-1) - 1 + n_alive[:, None]
-    t_rank3 = t_rank.reshape(F, t_max, k)
     viol |= jnp.any(n_alive + jnp.sum(tm.astype(jnp.int32), axis=-1) > P)
-    # NOTE: cond-skipping empty tail offsets was measured NET-NEGATIVE on a
-    # v5e — each lax.cond carries ~0.4 ms of branch-dispatch overhead vs
-    # ~0.2 ms for the unconditional (F,k,P) scatter it would skip.
-    for t in range(t_max):
-        c_t, cov_t = slot_scatter(t_rank3[:, t], rows_all[t], m_all[t])
-        contrib = contrib + c_t
-        cover = cover + cov_t
+    # ONE (F, t_max*k, P) one-hot contraction for every tail offset at once:
+    # per-offset (F, k, P) scatters are (128x64)x(128x16) batched matmuls —
+    # far below MXU granularity, so 12 of them cost ~0.2 ms each on a v5e
+    # while the single t_max*k-lane contraction amortizes to ~a tenth of that
+    rows_flat = jnp.moveaxis(rows_all, 0, 1).reshape(F, t_max * k, _NF)
+    c_all, cov_all = slot_scatter(t_rank, rows_flat, tm)
+    contrib = contrib + c_all
+    cover = cover + cov_all
     table = contrib + defaults[None, None, :] * (1.0 - cover)[..., None]
     return table, viol
 

@@ -200,9 +200,11 @@ def _build_slot_tables(notes: list[TrackedNote], n_frames: int,
 
 
 @functools.partial(jax.jit, static_argnames=("stride", "n_channels", "dtype",
-                                             "split", "min_block"))
+                                             "split", "min_block",
+                                             "channel_major"))
 def _render_slots(table, *, stride: int, n_channels: int, dtype: str,
-                  split: int = 64, min_block: int = 64):
+                  split: int = 64, min_block: int = 64,
+                  channel_major: bool = False):
     """(n_frames, P, N_FIELDS) -> (n_frames, stride, C).
 
     Slot tables pack active rows first (both the host builders and the
@@ -217,14 +219,16 @@ def _render_slots(table, *, stride: int, n_channels: int, dtype: str,
     """
     if table.shape[1] > split:
         lo = _render_slots(table[:, :split], stride=stride,
-                           n_channels=n_channels, dtype=dtype, split=split)
+                           n_channels=n_channels, dtype=dtype, split=split,
+                           channel_major=channel_major)
         hi_tab = table[:, split:]
         live = jnp.any((hi_tab[:, :, _F_VTGT] != 0)
                        | (hi_tab[:, :, _F_VB] != 0))
         hi = jax.lax.cond(
             live,
             lambda t: _render_slots(t, stride=stride, n_channels=n_channels,
-                                    dtype=dtype, split=split),
+                                    dtype=dtype, split=split,
+                                    channel_major=channel_major),
             lambda t: jnp.zeros_like(lo), hi_tab)
         return lo + hi
     wdt = jnp.dtype(dtype)
@@ -245,7 +249,10 @@ def _render_slots(table, *, stride: int, n_channels: int, dtype: str,
             (incf / jnp.where(small, 1.0, lam)) * jnp.expm1(lam * (k + 1.0)),
         )
         phases = oscillators.wrap_phase(phb + adv)
-        vol = vtgt + (vb - vtgt) * jnp.power(1.0 - alpha, k + 1.0)
+        # power(1-alpha, k+1) lowers to exp((k+1)*log(1-alpha)) per ELEMENT;
+        # the log operand is a per-slot scalar — hoist it so the lane loop
+        # pays one exp, not exp+log, per slot-sample
+        vol = vtgt + (vb - vtgt) * jnp.exp((k + 1.0) * jnp.log1p(-alpha))
         tp = tp0 + k
         trm = tr0 + k
         va = jnp.clip((tp + 1.0) / A, 0.0, 1.0)
@@ -263,6 +270,13 @@ def _render_slots(table, *, stride: int, n_channels: int, dtype: str,
         mid_inc = incf * jnp.exp(lam * (S * 0.5))
         aliasing = oscillators.freq_aliasing_multiplicator(mid_inc)
         sig = vol * env * aliasing * oscillators.sine(phases)
+        if channel_major:
+            # (C, S) mixdown: the fused chain keeps the long time axis minor
+            # so XLA never has to transpose the (T, 2) result into the
+            # channel-major output layout it prefers (a ~1 ms whole-render
+            # copy on a v5e)
+            return jnp.einsum("ps,pc->cs", sig, gains,
+                              preferred_element_type=sig.dtype)
         return oscillators.mixdown(sig, gains)
 
     # chunked map: lax.map alone would run n_frames tiny sequential device
@@ -275,6 +289,11 @@ def _render_slots(table, *, stride: int, n_channels: int, dtype: str,
     tp = jnp.pad(table, ((0, pad), (0, 0), (0, 0)))
     chunks = tp.reshape(-1, C, *tp.shape[1:])
     out = jax.lax.map(jax.vmap(one_frame), chunks)
+    if channel_major:
+        # (nc, C, ch, S) -> (ch, nc, C, S) -> (ch, n, S): time stays the
+        # minor axis throughout
+        out = jnp.moveaxis(out, 2, 0)
+        return out.reshape(out.shape[0], -1, S)[:, :n]
     return out.reshape(-1, *out.shape[2:])[:n]
 
 

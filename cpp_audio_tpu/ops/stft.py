@@ -175,14 +175,13 @@ def _top_peaks(sqmag, *, sample_rate: int, fft_length: int, k: int):
     if pad:
         score = jnp.pad(score, ((0, 0), (0, pad)), constant_values=-jnp.inf)
         freq = jnp.pad(freq, ((0, 0), (0, pad)))
-        mag_db = jnp.pad(mag_db, ((0, 0), (0, pad)))
     se, so = score[:, ::2], score[:, 1::2]
     pick = se >= so
     s2 = jnp.where(pick, se, so)
     f2 = jnp.where(pick, freq[:, ::2], freq[:, 1::2])
-    m2 = jnp.where(pick, mag_db[:, ::2], mag_db[:, 1::2])
-    s_neg, s_freq, s_mag = jax.lax.sort((-s2, f2, m2), dimension=-1,
-                                        num_keys=1)
+    # NB the score IS the winner's mag_db (score = where(is_peak, mag_db,
+    # -inf) and only peaks can win) — no third sort operand needed
+    s_neg, s_freq = jax.lax.sort((-s2, f2), dimension=-1, num_keys=1)
     top_db = -s_neg[:, :k]
     top_freq = s_freq[:, :k]
     # return sorted by frequency within each frame (pipeline invariant)
