@@ -272,7 +272,8 @@ def _track_step(carry, xs, *, k: int, P: int, Q: int, statics):
     tpitch, volume, loud_order, f_idx, is_data = xs
     (S, sr, maxd, max_voices, attack, hold, decay, sustain, release,
      stereo_spread, total_frames, pan_draws, phase_draws) = statics
-    fS = f_idx.astype(jnp.float32) * np.float32(S)
+    wdt = tpitch.dtype  # f32 serving / f64 verification (see module doc)
+    fS = f_idx.astype(wdt) * np.asarray(S, wdt)
     min_dt = sr / 1000.0
     has_decay = sustain < 0.999999
     sus = min(max(sustain, 0.0), 1.0) if has_decay else 1.0
@@ -388,19 +389,19 @@ def _track_step(carry, xs, *, k: int, P: int, Q: int, statics):
 
     on_pitch_l = tpitch[loud_order]
     on_vol_l = volume[loud_order]
-    on_inc_l = (2.0 * _freq_of_pitch(on_pitch_l) / sr).astype(jnp.float32)
+    on_inc_l = (2.0 * _freq_of_pitch(on_pitch_l) / sr).astype(wdt)
     pan_l = stereo_spread * pan_draws[
         jnp.clip(pan_ctr + r_alloc_l, 0, pan_draws.shape[0] - 1)]
     th_l = (0.25 * np.pi) * (pan_l + 1.0)
     phase0_l = phase_draws[
         jnp.clip(phase_ctr + r_slot_l, 0, phase_draws.shape[0] - 1)]
     min_change_l = 2.5 * 2.0 / jnp.maximum(jnp.abs(on_inc_l), 1e-9)
-    A_l = jnp.maximum(jnp.maximum(np.float32(max(attack, min_dt, 1.0)),
+    A_l = jnp.maximum(jnp.maximum(np.asarray(max(attack, min_dt, 1.0), wdt),
                                   min_change_l), 1.0)
-    D_l = (jnp.maximum(jnp.maximum(np.float32(max(decay, min_dt, 1.0)),
+    D_l = (jnp.maximum(jnp.maximum(np.asarray(max(decay, min_dt, 1.0), wdt),
                                    min_change_l), 1.0)
            if has_decay else jnp.zeros_like(A_l))
-    R_l = jnp.maximum(jnp.maximum(np.float32(max(release, min_dt, 1.0)),
+    R_l = jnp.maximum(jnp.maximum(np.asarray(max(release, min_dt, 1.0), wdt),
                                   min_change_l), 1.0)
 
     tgt = jnp.where(got_slot_l, slot_l, P)
@@ -411,10 +412,10 @@ def _track_step(carry, xs, *, k: int, P: int, Q: int, statics):
     st_f1 = st_f1.at[tgt].set(
         jnp.where(got_slot_l, np.int32(total_frames), 0), mode="drop")
     st_press = put(st_press, jnp.broadcast_to(fS, (k,)))
-    st_release = put(st_release, jnp.full((k,), FAR, jnp.float32))
-    st_top = put(st_top, jnp.full((k,), sus, jnp.float32))
+    st_release = put(st_release, jnp.full((k,), FAR, wdt))
+    st_top = put(st_top, jnp.full((k,), sus, wdt))
     st_A = put(st_A, A_l)
-    st_H = put(st_H, jnp.full((k,), max(hold, 0.0), jnp.float32))
+    st_H = put(st_H, jnp.full((k,), max(hold, 0.0), wdt))
     st_D = put(st_D, D_l)
     st_R = put(st_R, R_l)
     st_gl = put(st_gl, jnp.cos(th_l))
@@ -471,7 +472,7 @@ def _track_step(carry, xs, *, k: int, P: int, Q: int, statics):
     ratio = jnp.where(inc_to == inc_from, 0.0,
                       jnp.log(jnp.maximum(inc_to, 1e-30)
                               / jnp.maximum(inc_from, 1e-30)))
-    alpha = 1.0 - jnp.exp(-np.pi * jnp.minimum(np.float32(2.0 / S),
+    alpha = 1.0 - jnp.exp(-np.pi * jnp.minimum(np.asarray(2.0 / S, wdt),
                                                jnp.abs(inc_to)))
     rows = [
         jnp.where(emit, inc_from, 1e-6),
@@ -486,12 +487,12 @@ def _track_step(carry, xs, *, k: int, P: int, Q: int, statics):
         jnp.where(emit, st_A, 1.0),
         jnp.where(emit, st_H, 0.0),
         jnp.where(emit, st_D, 0.0),
-        jnp.where(emit, jnp.full((P,), sus, jnp.float32), 1.0),
+        jnp.where(emit, jnp.full((P,), sus, wdt), 1.0),
         jnp.where(emit, st_R, 1.0),
         jnp.where(emit, st_gl, 0.0),
         jnp.where(emit, st_gr, 0.0),
     ]
-    row_block = jnp.stack(rows, axis=-1).astype(jnp.float32)
+    row_block = jnp.stack(rows, axis=-1).astype(wdt)
 
     lam = ratio / S
     dphi = jnp.where(ratio == 0.0, S * inc_from,
@@ -500,7 +501,7 @@ def _track_step(carry, xs, *, k: int, P: int, Q: int, statics):
     st_phase = jnp.where(emit, (st_phase + dphi) % 2.0, st_phase)
     st_volb = jnp.where(emit,
                         st_curvol + (st_volb - st_curvol)
-                        * jnp.power(1.0 - alpha, np.float32(S)),
+                        * jnp.power(1.0 - alpha, np.asarray(S, wdt)),
                         st_volb)
     st_previnc = jnp.where(emit, inc_to, st_previnc)
 
@@ -580,14 +581,17 @@ def _build_tables_parallel(tpitch, volume, loud_order, is_data, pan_draws,
     and the caller must use the scan path instead.
     """
     F, k = tpitch.shape
-    f32 = jnp.float32
+    # working dtype follows the peaks: f32 on the serving path, f64 in
+    # verification mode (CPU; the f64 test pins exact host-set parity)
+    f32 = tpitch.dtype
+    cst = lambda x: np.asarray(x, f32)
     min_dt = sr / 1000.0
     has_decay = sustain < 0.999999
     sus = min(max(sustain, 0.0), 1.0) if has_decay else 1.0
-    attack_eff = np.float32(max(attack, min_dt, 1.0))
-    decay_eff = np.float32(max(decay, min_dt, 1.0))
-    release_eff = np.float32(max(release, min_dt, 1.0))
-    hold_eff = np.float32(max(hold, 0.0))
+    attack_eff = cst(max(attack, min_dt, 1.0))
+    decay_eff = cst(max(decay, min_dt, 1.0))
+    release_eff = cst(max(release, min_dt, 1.0))
+    hold_eff = cst(max(hold, 0.0))
 
     tvalid = jnp.isfinite(tpitch) & is_data[:, None]
     n_valid = jnp.sum(tvalid.astype(jnp.int32), axis=-1)
@@ -657,8 +661,8 @@ def _build_tables_parallel(tpitch, volume, loud_order, is_data, pan_draws,
     pools = jnp.stack([pan_draws[:phase_draws.shape[0]],
                        phase_draws[:pan_draws.shape[0]]], axis=-1)
     got_draws = pools[jnp.clip(draw_idx, 0, pools.shape[0] - 1)]
-    pan = np.float32(stereo_spread) * got_draws[..., 0]
-    th = np.float32(0.25 * np.pi) * (pan + 1.0)
+    pan = cst(stereo_spread) * got_draws[..., 0]
+    th = cst(0.25 * np.pi) * (pan + 1.0)
     gl_b = jnp.cos(th).astype(f32)
     gr_b = jnp.sin(th).astype(f32)
     ph0_b = got_draws[..., 1]
@@ -893,10 +897,11 @@ def _parallel_tables(tpitch, volume, loud_order, is_data, pan_draws,
                     np.ceil(max(release_eff, min_change_floor)
                             / float(kw["stride"])) + 2))
     t_max = max(t_max, min(total_frames - n_data_frames, 32), 1)
+    wdt = tpitch.dtype
     return _build_tables_parallel(
-        tpitch, volume.astype(jnp.float32), loud_order, is_data,
-        jnp.asarray(pan_draws, jnp.float32),
-        jnp.asarray(phase_draws, jnp.float32),
+        tpitch, volume.astype(wdt), loud_order, is_data,
+        jnp.asarray(pan_draws, wdt),
+        jnp.asarray(phase_draws, wdt),
         S=float(kw["stride"]), sr=sr_f, maxd=float(kw["max_track_pitches"]),
         max_voices=int(kw["max_voices"]), P=kw["n_slots"], Q=128,
         attack=float(kw["attack"]), hold=float(kw["hold"]),
@@ -917,8 +922,8 @@ def _scan_tables(tpitch, volume, loud_order, is_data, pan_draws,
                float(kw["attack"]), float(kw["hold"]), float(kw["decay"]),
                float(kw["sustain"]), float(kw["release"]),
                float(kw["stereo_spread"]), int(total_frames),
-               jnp.asarray(pan_draws, jnp.float32),
-               jnp.asarray(phase_draws, jnp.float32))
+               jnp.asarray(pan_draws, tpitch.dtype),
+               jnp.asarray(phase_draws, tpitch.dtype))
     carry0 = _scan_carry0(P, Q, tpitch.dtype)
     step = functools.partial(_track_step, k=k, P=P, Q=Q, statics=statics)
     xs = (tpitch, volume, loud_order,
@@ -971,22 +976,23 @@ def build_tables_device_batch(freq, mag_db, loud_pitches, loud_spl,
 
 
 def _scan_carry0(P, Q, pitch_dtype):
+    wdt = pitch_dtype  # float carries follow the peaks' working dtype
     st = (jnp.zeros((P,), jnp.int32),                    # state
           jnp.zeros((P,), jnp.int32),                    # f1
-          jnp.zeros((P,), jnp.float32),                  # press
-          jnp.full((P,), FAR, jnp.float32),              # release
-          jnp.ones((P,), jnp.float32),                   # top
-          jnp.ones((P,), jnp.float32),                   # A
-          jnp.zeros((P,), jnp.float32),                  # H
-          jnp.zeros((P,), jnp.float32),                  # D
-          jnp.ones((P,), jnp.float32),                   # R
-          jnp.zeros((P,), jnp.float32),                  # gl
-          jnp.zeros((P,), jnp.float32),                  # gr
-          jnp.zeros((P,), jnp.float32),                  # phase
-          jnp.zeros((P,), jnp.float32),                  # volb
-          jnp.zeros((P,), jnp.float32),                  # previnc
-          jnp.zeros((P,), jnp.float32),                  # curinc
-          jnp.zeros((P,), jnp.float32))                  # curvol
+          jnp.zeros((P,), wdt),                          # press
+          jnp.full((P,), FAR, wdt),                      # release
+          jnp.ones((P,), wdt),                           # top
+          jnp.ones((P,), wdt),                           # A
+          jnp.zeros((P,), wdt),                          # H
+          jnp.zeros((P,), wdt),                          # D
+          jnp.ones((P,), wdt),                           # R
+          jnp.zeros((P,), wdt),                          # gl
+          jnp.zeros((P,), wdt),                          # gr
+          jnp.zeros((P,), wdt),                          # phase
+          jnp.zeros((P,), wdt),                          # volb
+          jnp.zeros((P,), wdt),                          # previnc
+          jnp.zeros((P,), wdt),                          # curinc
+          jnp.zeros((P,), wdt))                          # curvol
     return (jnp.full((Q,), jnp.inf, pitch_dtype),
             jnp.full((Q,), -1, jnp.int32),
             st, jnp.int32(0), jnp.int32(0), jnp.int32(0))

@@ -321,3 +321,53 @@ def test_tracker_silence_and_empty_frames():
         jnp.asarray(t, jnp.float32), stride=512, n_channels=2,
         dtype="float32"))
     assert np.abs(out).max() == 0.0
+
+
+@pytest.mark.parametrize("kind", ["tones", "chirp"])
+def test_device_tracker_f64_sets_match_host_exactly(kind):
+    """Verification mode: with float64 peaks, the device tracker's per-frame
+    ACTIVE NOTE SETS (slot occupancy + frequencies + volumes) equal the host
+    f64 tracker's exactly — demonstrating that the serving path's documented
+    f32 set flips (docs/PERF_NOTES.md) are precision-only, not semantic.
+
+    Set-determining quantities (aggregation boundaries, min_volume compares,
+    matching windows, loudness order) all follow the input dtype in
+    device_tracker; only table payload values are cast to f32 at emission.
+    """
+    sr = 44100
+    cfg = resynth.ResynthConfig(sample_rate=sr, seed=5, dtype="float64")
+    rcfg = resynth._render_config(cfg)
+    sig = _signal(sr, kind)
+    freq, mag = resynth.analyze_arrays(sig, cfg)
+    freq = np.asarray(freq, np.float64)
+    mag = np.asarray(mag, np.float64)
+    total = freq.shape[0] + 8
+
+    peaks = resynth.analyze(sig, cfg)
+    notes, _, _ = resynth.track_python(peaks, cfg)
+    table_host = np.asarray(
+        resynth_bank._build_slot_tables(notes, total, rcfg))
+
+    table_dev, _ = _device_table(freq, mag, cfg, rcfg, total)
+
+    F_VTGT, F_VB, F_INC = (resynth_bank._F_VTGT, resynth_bank._F_VB,
+                           resynth_bank._F_INC)
+    act_h = (table_host[:, :, F_VTGT] != 0) | (table_host[:, :, F_VB] != 0)
+    act_d = (table_dev[:, :, F_VTGT] != 0) | (table_dev[:, :, F_VB] != 0)
+    assert act_h.sum() > 20  # workload produced real notes
+    # slot NUMBERING is packing-order dependent (the host leaves gaps when a
+    # freed slot is reused, the device packs low) and render-equivalent
+    # (slots are summed); the semantic set is the per-frame MULTISET of
+    # (frequency inc, volume target, volume state) notes
+    for f in range(act_h.shape[0]):
+        hs, ds = np.nonzero(act_h[f])[0], np.nonzero(act_d[f])[0]
+        assert hs.size == ds.size, f"frame {f}: {hs.size} vs {ds.size} notes"
+        h = np.stack([table_host[f, hs, c] for c in (F_INC, F_VTGT, F_VB)],
+                     axis=-1)
+        d = np.stack([table_dev[f, ds, c] for c in (F_INC, F_VTGT, F_VB)],
+                     axis=-1)
+        h = h[np.lexsort(h.T)]
+        d = d[np.lexsort(d.T)]
+        np.testing.assert_allclose(
+            np.float32(d), np.float32(h), rtol=3e-6, atol=1e-12,
+            err_msg=f"frame {f} note multiset differs")
