@@ -43,7 +43,8 @@ def make_synth_workload(sr, n, seed=42):
         sample_rate=sr,
         ahdsr=envelopes.AHDSR(attack=441, hold=100, decay=2000, release=8820,
                               sustain=0.7),
-        block_size=1 << 16,
+        block_size=1 << 18,  # 11 blocks for 60 s: sweep-tuned (1.81 ms vs
+        # 2.19 at 2^16 and 2.67 at 2^19 for the synth leg on a v5e)
         dtype="float32",
     )
     return sch, cfg

@@ -39,6 +39,14 @@ import numpy as np
 from ..ops import envelopes, oscillators
 from ..utils.interp import Itp
 
+# max frames per lax.map step in _render_slots. Chunks are sized by ceil
+# division so short renders run as ONE un-padded vmap (the 60 s bench table
+# is 673 frames: one chunk, no loop, no pad — measured 3.32 vs 3.74 ms for
+# 128-frame chunks whose padding adds 14% dead frames on a v5e). XLA fuses
+# the per-frame body into the mixdown dot, so the nominal (C, P, stride)
+# intermediate is never materialized.
+_RENDER_CHUNK = 1024
+
 NEVER_FRAME = 10**9
 # packed per-(frame, slot) field order
 (_F_INC, _F_RATIO, _F_PHB, _F_VTGT, _F_VB, _F_ALPHA, _F_TP0, _F_TR0,
@@ -203,19 +211,23 @@ def _build_slot_tables(notes: list[TrackedNote], n_frames: int,
                                              "split", "min_block",
                                              "channel_major"))
 def _render_slots(table, *, stride: int, n_channels: int, dtype: str,
-                  split: int = 64, min_block: int = 64,
+                  split: int = 48, min_block: int = 64,
                   channel_major: bool = False):
     """(n_frames, P, N_FIELDS) -> (n_frames, stride, C).
 
     Slot tables pack active rows first (both the host builders and the
     device tracker), so when P > `split` the upper slots are usually all
     empty: render them under a lax.cond that skips the work entirely unless
-    some row is live (polyphony above `split` voices). A finer per-16-slot
-    cond ladder was measured NET-NEGATIVE on a v5e: each fired lax.cond
-    carries ~0.4-0.9 ms of branch-dispatch overhead vs ~0.3 ms for the
-    16-slot render it gates. (min_block is kept for API compatibility;
-    the vmapped batch path passes it to signal no inner conds, which the
-    single coarse split already satisfies.)
+    some row is live (polyphony above `split` voices). split=48 covers the
+    bench workload's measured peak of 48 concurrent rows (notes + release
+    tails) with zero fired conds; heavier polyphony fires the cond and
+    recurses in further `split`-row ladder steps. A finer per-16-slot cond
+    ladder was measured NET-NEGATIVE on a v5e: each FIRED lax.cond carries
+    ~0.4-0.9 ms of branch-dispatch overhead vs ~0.3 ms for the 16-slot
+    render it gates — unfired conds are nearly free, which is why one
+    boundary just above typical polyphony wins. (min_block is kept for API
+    compatibility; the vmapped batch path passes it to signal no inner
+    conds, which the single coarse split already satisfies.)
     """
     if table.shape[1] > split:
         lo = _render_slots(table[:, :split], stride=stride,
@@ -280,15 +292,20 @@ def _render_slots(table, *, stride: int, n_channels: int, dtype: str,
         return oscillators.mixdown(sig, gains)
 
     # chunked map: lax.map alone would run n_frames tiny sequential device
-    # steps (per-step dispatch dominates); vmap alone would materialize
-    # (n_frames, P, stride) intermediates (~GBs). 128-frame chunks keep
-    # intermediates a few hundred MB while cutting step count ~128x.
-    C = 128
+    # steps (per-step dispatch dominates); an unchunked vmap of a very long
+    # render would put GB-scale buffers in flight. Ceil division picks the
+    # fewest equal chunks <= _RENDER_CHUNK so short renders are ONE un-padded
+    # vmap and long ones pad by at most one chunk's worth across the run.
     n = table.shape[0]
-    pad = (-n) % C
+    n_chunks = -(-n // _RENDER_CHUNK)
+    C = -(-n // n_chunks)
+    pad = n_chunks * C - n
     tp = jnp.pad(table, ((0, pad), (0, 0), (0, 0)))
     chunks = tp.reshape(-1, C, *tp.shape[1:])
-    out = jax.lax.map(jax.vmap(one_frame), chunks)
+    if n_chunks == 1:
+        out = jax.vmap(one_frame)(chunks[0])[None]
+    else:
+        out = jax.lax.map(jax.vmap(one_frame), chunks)
     if channel_major:
         # (nc, C, ch, S) -> (ch, nc, C, S) -> (ch, n, S): time stays the
         # minor axis throughout
