@@ -261,13 +261,15 @@ def _fused_single_dispatch(fp, ip, up, gains, codes, window, carrier, edges,
         freq, mag, loud_pitches, loud_spl, pan_draws, phase_draws,
         **_tracker_call_kwargs(kw, (at_root, at_scale, at_equid, at_allowed)))
     # channel-major render: XLA wants the long time axis minor in the output
-    # layout, and a (T, 2) result costs a ~1 ms whole-render transpose copy
+    # layout, and a (T, 2) result costs a ~1 ms whole-render transpose copy.
+    # The output stays FRAMED (2, F, S): flattening (F, S) -> (F*S,) on
+    # device is a ~1 ms tile-relayout while (S=3969 is not tile-aligned);
+    # the host consumer flattens for free (numpy reshape is a view) via
+    # assemble_framed_stereo().
     out = resynth_bank._render_slots(table, stride=kw["render_stride"],
                                      n_channels=2, dtype=kw["dtype"],
                                      channel_major=True)
-    body = out.reshape(out.shape[0], -1)[:2]
-    stereo = jnp.pad(body, ((0, 0), (kw["start_sample"], 0)))
-    return stereo, mix, dropped
+    return out[:2], mix, dropped
 
 
 def prepare_offline_chain_device(bank: voicebank.VoiceBank, n_samples: int,
@@ -277,12 +279,14 @@ def prepare_offline_chain_device(bank: voicebank.VoiceBank, n_samples: int,
     """Build the device-resident argument set for the single-dispatch chain
     and return (step, n_frames): `step()` dispatches ONE fused device program
     (synth -> STFT -> peaks -> tracker -> render + vocoder) over the
-    prestaged arrays and returns (stereo (2, T) CHANNEL-MAJOR, vocoded_mix,
-    dropped) device arrays without any host transfer. Channel-major keeps
-    the long time axis minor — a (T, 2) result would pay a ~1 ms layout
-    transpose on a v5e; hosts transpose for free (numpy view). This is the
-    production serving loop: call step() back to back and drain outputs
-    asynchronously.
+    prestaged arrays and returns (stereo (2, F, S) CHANNEL-MAJOR FRAMED,
+    vocoded_mix, dropped) device arrays without any host transfer.
+    Channel-major keeps the long time axis minor — a (T, 2) result would pay
+    a ~1 ms layout transpose on a v5e — and the framed (F, S) time axis
+    avoids a ~1 ms on-device tile relayout (S is not 128-aligned); hosts
+    flatten/transpose for free (numpy views, see assemble_framed_stereo).
+    This is the production serving loop: call step() back to back and drain
+    outputs asynchronously.
 
     draws: optional (pan_draws, phase_draws) device-resident pools (reuse
     them across calls to skip the H2D); defaults to host numpy pools matching
@@ -362,11 +366,26 @@ def run_offline_chain_device(bank: voicebank.VoiceBank, n_samples: int,
     step, n_frames = prepare_offline_chain_device(
         bank, n_samples, rconfig, vparams, carrier,
         block_size=block_size, draws=draws)
-    stereo_cm, mix, dropped = step()
-    # the fused program emits channel-major (2, T); the convenience wrapper
-    # restores the (T, 2) contract (outside the hot serving loop)
-    return OfflineChainResult(resynth=jnp.transpose(stereo_cm), vocoded=mix,
+    framed, mix, dropped = step()
+    # the fused program emits channel-major FRAMED (2, F, S); the
+    # convenience wrapper restores the (T, 2) contract on the host
+    # (outside the hot serving loop; the flatten is a free numpy view)
+    rcfg = resynth_mod._render_config(rconfig)
+    flat = assemble_framed_stereo(framed, rcfg.start_sample)
+    return OfflineChainResult(resynth=flat.T, vocoded=mix,
                               n_frames=n_frames, dropped=dropped)
+
+
+def assemble_framed_stereo(framed, start_sample: int) -> np.ndarray:
+    """Host assembly of the fused chain's framed output: (C, F, S) device
+    array -> (C, start_sample + F*S) numpy. The flatten is a numpy view;
+    only the leading-silence pad copies."""
+    a = np.asarray(framed)
+    flat = a.reshape(a.shape[0], -1)
+    if start_sample:
+        flat = np.concatenate(
+            [np.zeros((a.shape[0], start_sample), a.dtype), flat], axis=1)
+    return flat
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -567,7 +567,7 @@ def _match_parallel(tpitch, tvalid, maxd, Q: int):
 def _build_tables_parallel(tpitch, volume, loud_order, is_data, pan_draws,
                            phase_draws, *, S, sr, maxd, max_voices, P, Q,
                            attack, hold, decay, sustain, release,
-                           stereo_spread, total_frames, t_max):
+                           stereo_spread, total_frames, t_max, tail_E=16):
     """Frame-PARALLEL tracker: same table as the `_track_step` scan, built
     from batched (F, k) array ops (no per-frame scan).
 
@@ -757,7 +757,6 @@ def _build_tables_parallel(tpitch, volume, loud_order, is_data, pan_draws,
 
     defaults = jnp.asarray([1e-6, 0.0, 0.0, 0.0, 0.0, 0.0, -1e9, 0.0, 0.0,
                             1.0, 0.0, 0.0, 1.0, 1.0, 0.0, 0.0], f32)
-    contrib, cover = slot_scatter(a_tgt, alive_rows, alive)
 
     # ---- tail rows (release after the chain ends) ----
     cont_prev = lane_scatter(match_prev, mf) > 0.5
@@ -788,55 +787,82 @@ def _build_tables_parallel(tpitch, volume, loud_order, is_data, pan_draws,
     t_need = jnp.where(end, f1 - (f_iota + 1), 0)
     viol |= jnp.any(t_need > t_max)
 
+    # END lanes (where a tail starts) are sparse — typically a handful per
+    # frame out of k lanes. Pre-compact them to E lanes per frame with a
+    # small one-hot scatter BEFORE fanning out over t offsets: the final
+    # (F, t_max*E, P) slot contraction then does ~k/E times less work than
+    # the un-compacted (F, t_max*k, P) one (measured ~1.5 ms on the bench
+    # shapes on a v5e, where k=72 post-harmonize padding and t_max=16).
+    # More than E simultaneous note-ends in one frame trips the violation
+    # predicate and falls back to the exact scan path, like the other caps.
+    E = min(k, tail_E)
+    n_end = jnp.sum(end.astype(jnp.int32), axis=-1)
+    viol |= jnp.any(n_end > E)
+    e_rank = jnp.cumsum(end.astype(jnp.int32), axis=-1) - 1
+    e_tgt = jnp.where(end, e_rank, E)
+    end_src = jnp.stack([
+        inc_to, jnp.mod(phase_start + dphi_m, 2.0), q_loc, c_loc,
+        volb_start, alpha, press, rel, top_tail, A_n, D_n, R_n, gl_n, gr_n,
+        t_need.astype(f32), jnp.ones((F, k), f32),
+    ], axis=-1)  # (F, k, 16) per-end-lane tail sources + is_end marker
+    oh_e = ((e_tgt[..., None] == jnp.arange(E, dtype=e_tgt.dtype)
+             [None, None, :]) & end[..., None]).astype(f32)
+    end_c = jnp.einsum(
+        "fke,fkc->fec", oh_e,
+        jnp.where(end[..., None] & jnp.isfinite(end_src), end_src, 0.0),
+        precision=prec)  # (F, E, 16) compacted end lanes
+    ch = lambda i: end_c[..., i]
+
     # Tail rows for ALL t offsets at once: stack the t shifted views of each
-    # end-lane array (one concat per source), then compute every row field
-    # as a single batched (t_max, F, k) op — a per-t python loop would emit
-    # ~18 small ops per offset.
+    # compacted end-lane array (one concat per source), then compute every
+    # row field as a single batched (t_max, F, E) op — a per-t python loop
+    # would emit ~18 small ops per offset.
     def shifted_stack(a, fill):
         ap = jnp.concatenate(
             [jnp.full((t_max,) + a.shape[1:], fill, a.dtype), a[:F - 1]],
             axis=0)
         return jnp.stack([ap[t_max - 1 - t: t_max - 1 - t + F]
-                          for t in range(t_max)], axis=0)  # (t_max, F, k)
+                          for t in range(t_max)], axis=0)  # (t_max, F, E)
 
     t_iota = jnp.arange(t_max, dtype=f32)[:, None, None]
     # mask: t < t_need of the END lane, shifted to frame f_end + 1 + t
-    m_all = shifted_stack(end, False) & (
-        t_iota < shifted_stack(t_need.astype(f32), 0.0))
-    inc_e = shifted_stack(inc_to, 0.0)
+    m_all = (shifted_stack(ch(15), 0.0) > 0.5) & (
+        t_iota < shifted_stack(ch(14), 0.0))
+    inc_e = shifted_stack(ch(0), 0.0)
     step_m = jnp.mod(np.float32(S) * inc_e, 2.0)
     # t * (S*inc mod 2) mod 2 == t*S*inc mod 2 for integer t, and keeps
     # every operand small enough for f32
-    phase_g = jnp.mod(shifted_stack(jnp.mod(phase_start + dphi_m, 2.0), 0.0)
-                      + t_iota * step_m, 2.0)
-    q_e = shifted_stack(q_loc, 0.0)
+    phase_g = jnp.mod(shifted_stack(ch(1), 0.0) + t_iota * step_m, 2.0)
+    q_e = shifted_stack(ch(2), 0.0)
     qp = jnp.power(q_e, t_iota + 1.0)
-    c_e = shifted_stack(c_loc, 0.0)
-    volb_g = qp * shifted_stack(volb_start, 0.0) + (1.0 - qp) * c_e
-    gS = fS[None]  # (1, F, 1) frame g sample offset
-    zeros_tfk = jnp.zeros((t_max, F, k), f32)
+    c_e = shifted_stack(ch(3), 0.0)
+    volb_g = qp * shifted_stack(ch(4), 0.0) + (1.0 - qp) * c_e
+    gS = fS[:, :1][None]  # (1, F, 1) frame g sample offset
+    zeros_tfe = jnp.zeros((t_max, F, E), f32)
     rows_all = jnp.stack([
-        inc_e, zeros_tfk, phase_g.astype(f32), c_e, volb_g.astype(f32),
-        shifted_stack(alpha, 0.0),
-        jnp.broadcast_to(gS, (t_max, F, k)) - shifted_stack(press, 0.0),
-        jnp.maximum(gS - shifted_stack(rel, np.float32(FAR)),
+        inc_e, zeros_tfe, phase_g.astype(f32), c_e, volb_g.astype(f32),
+        shifted_stack(ch(5), 0.0),
+        jnp.broadcast_to(gS, (t_max, F, E)) - shifted_stack(ch(6), 0.0),
+        jnp.maximum(gS - shifted_stack(ch(7), np.float32(FAR)),
                     -np.float32(FAR)),
-        shifted_stack(top_tail, 0.0), shifted_stack(A_n, 0.0),
-        jnp.full((t_max, F, k), hold_eff, f32), shifted_stack(D_n, 0.0),
-        jnp.full((t_max, F, k), sus, f32), shifted_stack(R_n, 0.0),
-        shifted_stack(gl_n, 0.0), shifted_stack(gr_n, 0.0),
-    ], axis=-1)  # (t_max, F, k, 16)
-    tm = jnp.moveaxis(m_all, 0, 1).reshape(F, t_max * k)
+        shifted_stack(ch(8), 0.0), shifted_stack(ch(9), 0.0),
+        jnp.full((t_max, F, E), hold_eff, f32), shifted_stack(ch(10), 0.0),
+        jnp.full((t_max, F, E), sus, f32), shifted_stack(ch(11), 0.0),
+        shifted_stack(ch(12), 0.0), shifted_stack(ch(13), 0.0),
+    ], axis=-1)  # (t_max, F, E, 16)
+    tm = jnp.moveaxis(m_all, 0, 1).reshape(F, t_max * E)
     t_rank = jnp.cumsum(tm.astype(jnp.int32), axis=-1) - 1 + n_alive[:, None]
     viol |= jnp.any(n_alive + jnp.sum(tm.astype(jnp.int32), axis=-1) > P)
-    # ONE (F, t_max*k, P) one-hot contraction for every tail offset at once:
-    # per-offset (F, k, P) scatters are (128x64)x(128x16) batched matmuls —
-    # far below MXU granularity, so 12 of them cost ~0.2 ms each on a v5e
-    # while the single t_max*k-lane contraction amortizes to ~a tenth of that
-    rows_flat = jnp.moveaxis(rows_all, 0, 1).reshape(F, t_max * k, _NF)
-    c_all, cov_all = slot_scatter(t_rank, rows_flat, tm)
-    contrib = contrib + c_all
-    cover = cover + cov_all
+    # ONE (F, k + t_max*E, P) one-hot contraction places the alive rows AND
+    # every tail offset at once: per-offset (F, k, P) scatters are
+    # (128x64)x(128x16) batched matmuls — far below MXU granularity — and
+    # alive + tail ranks are gapless so they share the contraction
+    rows_flat = jnp.moveaxis(rows_all, 0, 1).reshape(F, t_max * E, _NF)
+    comb_tgt = jnp.concatenate([a_tgt.astype(jnp.int32),
+                                jnp.where(tm, t_rank, P)], axis=1)
+    comb_rows = jnp.concatenate([alive_rows, rows_flat], axis=1)
+    comb_mask = jnp.concatenate([alive, tm], axis=1)
+    contrib, cover = slot_scatter(comb_tgt, comb_rows, comb_mask)
     table = contrib + defaults[None, None, :] * (1.0 - cover)[..., None]
     return table, viol
 

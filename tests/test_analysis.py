@@ -51,6 +51,36 @@ class TestStft:
         sq = np.asarray(stft.stft_sqmag(sig, w, 2000))
         assert sq.shape[0] == (10000 - 4000) // 2000 + 1
 
+    def test_radix_top_select_matches_sort_path(self):
+        """The f32 radix-select top-k must be BIT-IDENTICAL to the stable
+        sort pair it replaces (stable tie-break, -inf padding order)."""
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(7)
+        R, W, k = 23, 517, 33
+        for trial in range(4):
+            s2 = np.full((R, W), -np.inf, np.float32)
+            f2 = np.sort(rng.uniform(0, 22050, (R, W)).astype(np.float32),
+                         axis=-1)
+            for r in range(R):
+                npk = int(rng.integers(0, W if trial % 2 else 20))
+                idx = rng.choice(W, npk, replace=False)
+                vals = rng.uniform(-100, 20, npk).astype(np.float32)
+                if npk > 4:
+                    vals[: npk // 2] = np.round(vals[: npk // 2])  # ties
+                s2[r, idx] = vals
+            s2j, f2j = jnp.asarray(s2), jnp.asarray(f2)
+            s_neg, s_freq = jax.lax.sort((-s2j, f2j), dimension=-1,
+                                         num_keys=1)
+            top_db, top_freq = -s_neg[:, :k], s_freq[:, :k]
+            key = jnp.where(jnp.isfinite(top_db), top_freq, jnp.inf)
+            _, ref_f, ref_db = jax.lax.sort((key, top_freq, top_db),
+                                            dimension=-1, num_keys=1)
+            got_f, got_db = stft._radix_top_select(s2j, f2j, k)
+            assert np.array_equal(np.asarray(ref_db), np.asarray(got_db))
+            assert np.array_equal(np.asarray(ref_f), np.asarray(got_f))
+
     def test_gaussian_window_shape(self):
         w = stft.gaussian_window(1000)
         assert len(w) == 1000
