@@ -50,10 +50,19 @@ def _fused_analyze_vocode(fp, ip, up, gains, codes, window, carrier, edges,
                           car_fft: int, n_mod_frames: int, vol_mod: float,
                           vol_car: float, vol_voc: float,
                           use_matmul_dft: bool = False):
-    # 1. synth render + mono mixdown (stays on device)
-    out = voicebank.voicebank_blocks_impl(
-        fp, ip, up, gains, codes, block_size=block_size, n_blocks=n_blocks,
-        a_itp=a_itp, d_itp=d_itp, r_itp=r_itp, out_dtype=dtype)
+    # 1. synth render + mono mixdown (stays on device). 3-D fp means
+    # per-block compacted voice tables (voicebank.compact_block_args —
+    # silent (voice, block) tiles dropped host-side)
+    if fp.ndim == 3:
+        out = voicebank.voicebank_blocks_compact_impl(
+            fp, ip, up, gains, codes, block_size=block_size,
+            n_blocks=n_blocks, a_itp=a_itp, d_itp=d_itp, r_itp=r_itp,
+            out_dtype=dtype)
+    else:
+        out = voicebank.voicebank_blocks_impl(
+            fp, ip, up, gains, codes, block_size=block_size,
+            n_blocks=n_blocks, a_itp=a_itp, d_itp=d_itp, r_itp=r_itp,
+            out_dtype=dtype)
     mono = out.reshape(-1, out.shape[-1])[:n].sum(axis=1)
 
     # 2. analysis: sliding Gaussian STFT -> device top-k peaks
@@ -156,6 +165,7 @@ def run_offline_chain(bank: voicebank.VoiceBank, n_samples: int,
     dtype = rconfig.dtype
     args, statics = voicebank.prepare_bank_arrays(bank, n_samples, block_size,
                                                   dtype)
+    args, statics = voicebank.compact_block_args(args, statics)
 
     # analysis statics
     window = stft_ops.gaussian_window(rconfig.window_size, sigmas=4.0)
@@ -298,6 +308,7 @@ def prepare_offline_chain_device(bank: voicebank.VoiceBank, n_samples: int,
     dtype = rconfig.dtype
     args, statics = voicebank.prepare_bank_arrays(bank, n_samples, block_size,
                                                   dtype)
+    args, statics = voicebank.compact_block_args(args, statics)
     window = stft_ops.gaussian_window(rconfig.window_size, sigmas=4.0)
     fft_len = stft_ops.fft_length_for(rconfig.window_size)
     k = rconfig.max_voices + 1

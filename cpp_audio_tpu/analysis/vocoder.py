@@ -97,6 +97,8 @@ def _modulator_band_amps_fast(signal, edges, *, window: int, stride: int,
     edges: (n_bands+1,) band edge frequencies. Returns (n_frames, n_bands).
     """
     n = signal.shape[0]
+    if n_frames <= 0:
+        return jnp.zeros((0, edges.shape[0] - 1), signal.dtype)
     # TPU FFTs need power-of-two lengths; zero-pad the whole-signal transform
     n_fft = 1
     while n_fft < n:
@@ -123,11 +125,21 @@ def _modulator_band_amps_fast(signal, edges, *, window: int, stride: int,
         else:
             z = jnp.fft.ifft(X * mask_a)
             ys.append(jnp.real(z)[:n])
-    y = jnp.stack(ys, axis=-1)  # (n, bands)
-    e = cumsum_chunked(y * y, axis=0)
-    starts = jnp.arange(n_frames) * stride
-    ends = jnp.minimum(starts + window, n - 1)
-    band_e = e[ends] - e[starts]  # (n_frames, bands)
+    # band-MAJOR layout: (bands, n) keeps the long time axis in lanes — a
+    # (n, 5) layout runs the cumsum and slices at 5/128 lane occupancy
+    y = jnp.stack(ys, axis=0)
+    e = cumsum_chunked(y * y, axis=-1)  # (bands, n) inclusive
+    # windowed energies at stride positions are REGULAR: e[f*S + W] - e[f*S].
+    # Strided lax.slice instead of e[ends] - e[starts] index-array gathers
+    # (general gathers pay per index on TPU — ~1 ms for 2x12k indices here).
+    # Edge-replicate pad reproduces the min(end, n-1) clamp exactly.
+    e_pad = jnp.concatenate(
+        [e, jnp.broadcast_to(e[:, -1:], (e.shape[0], window + 1))], axis=-1)
+    lim = stride * (n_frames - 1) + 1
+    ends_e = jax.lax.slice(e_pad, (0, window), (e.shape[0], window + lim),
+                           (1, stride))
+    starts_e = jax.lax.slice(e_pad, (0, 0), (e.shape[0], lim), (1, stride))
+    band_e = (ends_e - starts_e).T  # (n_frames, bands)
     # amp = sqrt(2 E / W), times the zero-padding bin-density factor of the
     # windowed-FFT path (fft_len/W extra bins sample the same spectrum; the
     # reference inherits the same factor from its power-of-two FFT sizes)

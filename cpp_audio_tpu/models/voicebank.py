@@ -120,7 +120,8 @@ N_FIELDS = 8
 
 def voicebank_blocks_impl(fp, ip, up, gains, codes,
                           *, block_size: int, n_blocks: int,
-                          a_itp, d_itp, r_itp, out_dtype: str):
+                          a_itp, d_itp, r_itp, out_dtype: str,
+                          block_offset=0):
     """Render n_blocks blocks of block_size samples. Returns (nb, B, C).
 
     fp:    (V, N_FIELDS) working-dtype packed per-voice floats
@@ -128,9 +129,23 @@ def voicebank_blocks_impl(fp, ip, up, gains, codes,
     up:    (V, 2) uint32 [inc_fix, phase0_fix] NCO words
     gains: (V, C) mix gains
     codes: (V, 3) int32 easing codes (used when a/d/r_itp is None)
+    block_offset: index of the first block (may be traced — the compact
+    per-block path renders one offset block per lax.map step)
 
     Un-jitted so parallel/mesh.py can wrap it in shard_map (voice sharding).
     """
+    def one_block(b):
+        return _render_block(b + block_offset, fp, ip, up, gains, codes,
+                             block_size=block_size, a_itp=a_itp, d_itp=d_itp,
+                             r_itp=r_itp, out_dtype=out_dtype)
+
+    return jax.lax.map(one_block, jnp.arange(n_blocks))
+
+
+def _render_block(b, fp, ip, up, gains, codes, *, block_size: int,
+                  a_itp, d_itp, r_itp, out_dtype: str):
+    """One (V, block_size) synth tile mixed to (block_size, C) — the shared
+    body of the dense and per-block-compacted renderers."""
     wdt = jnp.dtype(out_dtype)
     k = jnp.arange(block_size, dtype=wdt)[None, :]
     k_u = jnp.arange(block_size, dtype=jnp.uint32)[None, :]
@@ -159,34 +174,95 @@ def voicebank_blocks_impl(fp, ip, up, gains, codes,
     def ease_r(x):
         return ease(r_itp, x) if r_itp is not None else ease_select(codes[:, 2:3], x)
 
-    def one_block(b):
-        b0_i = (b * block_size).astype(jnp.int32)
-        # int32 sample arithmetic (wraps only for the NEVER clamp, where the
-        # sign still keeps the voice inactive)
-        tp0 = (b0_i - press_i).astype(wdt)[:, None]
-        tr0 = (b0_i - release_i).astype(wdt)[:, None]
-        tp = tp0 + k
-        trm = tr0 + k  # t - release
-        va = ease_a((tp + 1.0) / Ae)
-        vd = 1.0 + (Se - 1.0) * ease_d((tp - Ae - He + 1.0) / jnp.maximum(De, 1.0))
-        pressed = jnp.where(
-            tp < Ae, va, jnp.where(tp < Ae + He, 1.0, jnp.where(tp < Ae + He + De, vd, Se))
-        )
-        rel = topE * (1.0 - ease_r((trm + 1.0) / Re))
-        env = jnp.where(
-            (tp < 0) | skippedE,
-            0.0,
-            jnp.where(trm < 0, pressed, jnp.where(trm + 1.0 < Re, rel, 0.0)),
-        )
-        # exact NCO phase: ((b0 - press + 1) + k) * inc + phase0, all mod 2**32
-        b0_u = (b * block_size).astype(jnp.uint32)
-        base_u = (b0_u - press_i.astype(jnp.uint32) + jnp.uint32(1))[:, None]
-        ph_u = (base_u + k_u) * inc_fix + phase0_fix[:, None]
-        phases = ph_u.astype(wdt) * nco_scale
-        sig = ampE * env * oscillators.sine(phases)
-        return oscillators.mixdown(sig, gains_w)
+    b0_i = (b * block_size).astype(jnp.int32)
+    # int32 sample arithmetic (wraps only for the NEVER clamp, where the
+    # sign still keeps the voice inactive)
+    tp0 = (b0_i - press_i).astype(wdt)[:, None]
+    tr0 = (b0_i - release_i).astype(wdt)[:, None]
+    tp = tp0 + k
+    trm = tr0 + k  # t - release
+    va = ease_a((tp + 1.0) / Ae)
+    vd = 1.0 + (Se - 1.0) * ease_d((tp - Ae - He + 1.0) / jnp.maximum(De, 1.0))
+    pressed = jnp.where(
+        tp < Ae, va, jnp.where(tp < Ae + He, 1.0, jnp.where(tp < Ae + He + De, vd, Se))
+    )
+    rel = topE * (1.0 - ease_r((trm + 1.0) / Re))
+    env = jnp.where(
+        (tp < 0) | skippedE,
+        0.0,
+        jnp.where(trm < 0, pressed, jnp.where(trm + 1.0 < Re, rel, 0.0)),
+    )
+    # exact NCO phase: ((b0 - press + 1) + k) * inc + phase0, all mod 2**32
+    b0_u = (b * block_size).astype(jnp.uint32)
+    base_u = (b0_u - press_i.astype(jnp.uint32) + jnp.uint32(1))[:, None]
+    ph_u = (base_u + k_u) * inc_fix + phase0_fix[:, None]
+    phases = ph_u.astype(wdt) * nco_scale
+    sig = ampE * env * oscillators.sine(phases)
+    return oscillators.mixdown(sig, gains_w)
 
-    return jax.lax.map(one_block, jnp.arange(n_blocks))
+
+def compact_block_args(args, statics):
+    """Per-block active-voice compaction of prepare_bank_arrays output.
+
+    A voice contributes to block b only if its envelope can be nonzero
+    there: press < block_end and release + R > block_start (the AHDSR is
+    identically zero outside [press, release + R - 1], models above /
+    reference include/audioelement.h:960-999). On sparse schedules most
+    (voice, block) tiles are silent — the bench workload renders 64 voices
+    x 11 blocks but only ~48 voices ever touch one block — so gathering
+    each block's active voices into a (n_blocks, V_max) table cuts the
+    synth kernel's voice-lanes by the same ratio. V_max is the max active
+    count over blocks, padded to a multiple of 8 lanes with inert rows
+    (skip=1, press=+FAR). Host-side and exact: dropped rows are exact
+    zeros; only the mixdown's f32 summation order changes.
+
+    Returns ((fpb, ipb, upb, gainsb, codesb), statics) with a leading
+    n_blocks axis on every array.
+    """
+    fp, ip, up, gains, codes = (np.asarray(a) for a in args)
+    B = statics["block_size"]
+    nb = statics["n_blocks"]
+    press = ip[:, 0].astype(np.float64)
+    release = ip[:, 1].astype(np.float64)
+    R = fp[:, _F_R].astype(np.float64)
+    skip = fp[:, _F_SKIP] > 0.5
+    lists = [np.nonzero((press < (b + 1) * B)
+                        & (release + R > b * B) & ~skip)[0]
+             for b in range(nb)]
+    vmax = max(8, -(-max((len(a) for a in lists), default=1) // 8) * 8)
+
+    def gather(src, fill):
+        out = np.full((nb, vmax) + src.shape[1:], fill, src.dtype)
+        for b, idx in enumerate(lists):
+            out[b, : len(idx)] = src[idx]
+        return out
+
+    fpb = gather(fp, 0.0)
+    for b, idx in enumerate(lists):  # inert pad rows
+        fpb[b, len(idx):, _F_SKIP] = 1.0
+        fpb[b, len(idx):, _F_A] = 1.0
+        fpb[b, len(idx):, _F_R] = 1.0
+    ipb = gather(ip, _I32_FAR)
+    upb = gather(up, 0)
+    gainsb = gather(gains, 0.0)
+    codesb = gather(codes, 0)
+    return (fpb, ipb, upb, gainsb, codesb), statics
+
+
+def voicebank_blocks_compact_impl(fpb, ipb, upb, gainsb, codesb,
+                                  *, block_size: int, n_blocks: int,
+                                  a_itp, d_itp, r_itp, out_dtype: str):
+    """voicebank_blocks_impl over per-block compacted voice tables
+    (compact_block_args): lax.map carries each block's own (V_max, ...)
+    parameter rows alongside the block index."""
+    def one(xs):
+        b, fp, ip, up, gains, codes = xs
+        return _render_block(b, fp, ip, up, gains, codes,
+                             block_size=block_size, a_itp=a_itp, d_itp=d_itp,
+                             r_itp=r_itp, out_dtype=out_dtype)
+
+    xs = (jnp.arange(n_blocks), fpb, ipb, upb, gainsb, codesb)
+    return jax.lax.map(one, xs)
 
 
 _voicebank_blocks = jax.jit(

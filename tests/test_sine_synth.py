@@ -210,3 +210,43 @@ class TestSparseRender:
         dense = voicebank.render_bank(bank, n, block_size=4096)
         sparse = voicebank.render_bank_sparse(bank, n, block_size=4096)
         np.testing.assert_allclose(sparse, dense, atol=0)
+
+
+class TestCompactBlockArgs:
+    def test_blocked_render_matches_dense(self):
+        """Per-block voice compaction (voicebank.compact_block_args) must
+        reproduce the dense render — dropped (voice, block) tiles are exact
+        envelope zeros; only the mixdown summation order may differ."""
+        import jax
+        from cpp_audio_tpu.models import voicebank
+
+        rng = np.random.default_rng(3)
+        sr = 8000
+        n = sr * 2
+        notes = []
+        for i in range(12):
+            press = int(rng.uniform(0, n * 0.8))
+            release = press + int(rng.uniform(sr // 16, sr // 4))
+            notes.append(events.Note(i, press, release,
+                                     float(rng.uniform(80, 2000)),
+                                     float(rng.uniform(0.2, 1.0)),
+                                     float(rng.uniform(-1, 1))))
+        sch = voices.schedule_from_notes(notes, pad_to=16)
+        cfg = sine_synth.SineSynthConfig(
+            sample_rate=sr,
+            ahdsr=envelopes.AHDSR(attack=100, hold=20, decay=300,
+                                  release=800, sustain=0.6),
+            block_size=2048, dtype="float32")
+        bank = sine_synth.bank_from_schedule(sch, cfg)
+        args, statics = voicebank.prepare_bank_arrays(bank, n,
+                                                      cfg.block_size,
+                                                      "float32")
+        dense = voicebank.voicebank_blocks_impl(
+            *jax.device_put(args), out_dtype="float32", **statics)
+        bargs, bstatics = voicebank.compact_block_args(args, statics)
+        assert bargs[0].shape[1] < args[0].shape[0]  # actually compacted
+        blocked = voicebank.voicebank_blocks_compact_impl(
+            *jax.device_put(bargs), out_dtype="float32", **bstatics)
+        d, b = np.asarray(dense), np.asarray(blocked)
+        assert d.shape == b.shape
+        np.testing.assert_allclose(b, d, atol=5e-6, rtol=0)
