@@ -41,7 +41,8 @@ from . import vocoder as vocoder_mod
     "n", "block_size", "n_blocks", "a_itp", "d_itp", "r_itp", "dtype",
     "window_size", "stride", "fft_len", "k", "sample_rate",
     "mod_window", "voc_stride", "car_fft", "n_mod_frames",
-    "vol_mod", "vol_car", "vol_voc", "use_matmul_dft"))
+    "vol_mod", "vol_car", "vol_voc", "use_matmul_dft", "edges_t",
+    "mod_mode"))
 def _fused_analyze_vocode(fp, ip, up, gains, codes, window, carrier, edges,
                           bm_car, rows, *, n: int, block_size: int,
                           n_blocks: int, a_itp, d_itp, r_itp, dtype: str,
@@ -49,7 +50,8 @@ def _fused_analyze_vocode(fp, ip, up, gains, codes, window, carrier, edges,
                           sample_rate: int, mod_window: int, voc_stride: int,
                           car_fft: int, n_mod_frames: int, vol_mod: float,
                           vol_car: float, vol_voc: float,
-                          use_matmul_dft: bool = False):
+                          use_matmul_dft: bool = False, edges_t=None,
+                          mod_mode=None):
     # 1. synth render + mono mixdown (stays on device). 3-D fp means
     # per-block compacted voice tables (voicebank.compact_block_args —
     # silent (voice, block) tiles dropped host-side)
@@ -72,10 +74,12 @@ def _fused_analyze_vocode(fp, ip, up, gains, codes, window, carrier, edges,
     freq, mag = stft_ops._top_peaks(sq, sample_rate=sample_rate,
                                     fft_length=fft_len, k=k)
 
-    # 3. vocoder of the mixdown against the carrier (O(n) modulator path)
+    # 3. vocoder of the mixdown against the carrier (O(n) modulator path;
+    # edges_t static enables the decimated band-ifft implementation)
     amps = vocoder_mod._modulator_band_amps_fast(
-        mono, edges, window=mod_window, stride=voc_stride,
-        n_frames=n_mod_frames, sample_rate=sample_rate)
+        mono, edges if edges_t is None else edges_t, window=mod_window,
+        stride=voc_stride, n_frames=n_mod_frames, sample_rate=sample_rate,
+        mode=mod_mode)
     vocoded = vocoder_mod._carrier_vocode(
         carrier, amps[rows], bm_car, stride=voc_stride, fft_len=car_fft,
         use_matmul_dft=use_matmul_dft)
@@ -196,7 +200,8 @@ def run_offline_chain(bank: voicebank.VoiceBank, n_samples: int,
         n_mod_frames=n_mod_frames, vol_mod=float(vparams.volume_modulator),
         vol_car=float(vparams.volume_carrier),
         vol_voc=float(vparams.volume_vocoded),
-        use_matmul_dft=stft_ops.use_matmul_dft_default(wdt), **statics)
+        use_matmul_dft=stft_ops.use_matmul_dft_default(wdt),
+        edges_t=tuple(float(e) for e in edges), **statics)
 
     # host: fused C++ tracking + slot tables, then the render dispatch
     freq_h = np.asarray(freq)
@@ -249,7 +254,7 @@ def _tracker_call_kwargs(kw, at_arrays):
     "n", "block_size", "n_blocks", "a_itp", "d_itp", "r_itp", "dtype",
     "window_size", "stride", "fft_len", "k", "sample_rate",
     "mod_window", "voc_stride", "car_fft", "n_mod_frames",
-    "vol_mod", "vol_car", "vol_voc", "use_matmul_dft",
+    "vol_mod", "vol_car", "vol_voc", "use_matmul_dft", "edges_t", "mod_mode",
     "render_stride", "start_sample") + _TRACKER_STATICS)
 def _fused_single_dispatch(fp, ip, up, gains, codes, window, carrier, edges,
                            bm_car, rows, loud_pitches, loud_spl, pan_draws,
@@ -266,7 +271,8 @@ def _fused_single_dispatch(fp, ip, up, gains, codes, window, carrier, edges,
             "n", "block_size", "n_blocks", "a_itp", "d_itp", "r_itp", "dtype",
             "window_size", "stride", "fft_len", "k", "sample_rate",
             "mod_window", "voc_stride", "car_fft", "n_mod_frames", "vol_mod",
-            "vol_car", "vol_voc", "use_matmul_dft")})
+            "vol_car", "vol_voc", "use_matmul_dft") if f in kw},
+        edges_t=kw.get("edges_t"), mod_mode=kw.get("mod_mode"))
     table, dropped = device_tracker.build_tables_device(
         freq, mag, loud_pitches, loud_spl, pan_draws, phase_draws,
         **_tracker_call_kwargs(kw, (at_root, at_scale, at_equid, at_allowed)))
@@ -285,7 +291,8 @@ def _fused_single_dispatch(fp, ip, up, gains, codes, window, carrier, edges,
 def prepare_offline_chain_device(bank: voicebank.VoiceBank, n_samples: int,
                                  rconfig: resynth_mod.ResynthConfig,
                                  vparams: vocoder_mod.VocoderParams, carrier,
-                                 *, block_size: int = 1 << 15, draws=None):
+                                 *, block_size: int = 1 << 15, draws=None,
+                                 mod_mode=None):
     """Build the device-resident argument set for the single-dispatch chain
     and return (step, n_frames): `step()` dispatches ONE fused device program
     (synth -> STFT -> peaks -> tracker -> render + vocoder) over the
@@ -354,6 +361,7 @@ def prepare_offline_chain_device(bank: voicebank.VoiceBank, n_samples: int,
         vol_car=float(vparams.volume_carrier),
         vol_voc=float(vparams.volume_vocoded),
         use_matmul_dft=stft_ops.use_matmul_dft_default(wdt),
+        edges_t=tuple(float(e) for e in edges), mod_mode=mod_mode,
         total_frames=total_frames, render_stride=rcfg.stride,
         start_sample=rcfg.start_sample,
         **tracker_config_kwargs(rconfig, rcfg), **statics)
@@ -547,7 +555,7 @@ def prepare_offline_chain_device_batch(banks, n_samples: int,
                  vol_car=float(vparams.volume_carrier),
                  vol_voc=float(vparams.volume_vocoded),
                  use_matmul_dft=stft_ops.use_matmul_dft_default(wdt),
-                 **statics)
+                 edges_t=tuple(float(e) for e in edges), **statics)
     _at_kind, at_arrays = autotune_device_arrays(rconfig, wdt)
     tr_kw = dict(
         total_frames=total_frames, stride=rcfg.stride, sample_rate=float(sr),

@@ -35,6 +35,14 @@ MODULATOR_MAX_FFT = 2**16
 CARRIER_MAX_FFT = 2**17
 MAX_BANDS = 50
 
+# fast-modulator implementation selector ("decimated" | "full"): "full" keeps
+# every band ifft at the whole-signal FFT length; "decimated" shrinks each
+# narrow band's ifft to a bandwidth-proportional length (see
+# _modulator_band_amps_decimated) — same windowed band energies to ~1%.
+FAST_MODULATOR_MODE = "decimated"
+_SSB_GUARD_HZ = 300.0  # decimated rate >= band width + this (alias guard)
+_MIN_SSB_M = 4096      # floor on the per-band ifft length
+
 
 @dataclass(frozen=True)
 class VocoderParams:
@@ -81,9 +89,164 @@ def _band_matrix(freq_edges: np.ndarray, n_bins: int, bin_hz: float) -> np.ndarr
     return m
 
 
+def _modulator_band_amps_fast(signal, edges, *, window: int, stride: int,
+                              n_frames: int, sample_rate: int, mode=None):
+    """O(n) band amplitudes over the whole signal — dispatch wrapper.
+
+    edges may be a static tuple/ndarray of band-edge frequencies (enables the
+    "decimated" implementation, whose per-band ifft sizes are compile-time
+    functions of the edges) or a traced device array (falls back to "full").
+    """
+    mode = mode or FAST_MODULATOR_MODE
+    if mode == "decimated" and not isinstance(edges, jax.core.Tracer):
+        edges_t = tuple(float(e) for e in np.asarray(edges))
+        return _modulator_band_amps_decimated(
+            signal, edges=edges_t, window=window, stride=stride,
+            n_frames=n_frames, sample_rate=sample_rate)
+    if isinstance(edges, (tuple, list)):
+        edges = jnp.asarray(np.asarray(edges), signal.dtype)
+    return _modulator_band_amps_full(
+        signal, edges, window=window, stride=stride, n_frames=n_frames,
+        sample_rate=sample_rate)
+
+
+def _class_strided_sample(C, offs, J: int, S: int):
+    """M[j, i] = C_ext[offs[i] + j*S] for j < J, i < d as a one-hot MXU
+    contraction (general gathers execute near-scalar on TPU; these positions
+    decompose into d residue classes of exact stride S).
+
+    C: (L,) cumsum (edge-replicated past its end); offs: STATIC np ints (d,)
+    with max(offs) - min(offs) < S (so offs//S spans at most 2 values).
+    """
+    offs = np.asarray(offs, np.int64)
+    d = offs.shape[0]
+    q = offs // S
+    s = offs % S
+    q0, q1 = int(q.min()), int(q.max())
+    assert q1 - q0 <= 1, (q0, q1)
+    rows_needed = J + q1 + 1
+    need = rows_needed * S
+    L = C.shape[0]
+    if need > L:
+        C = jnp.concatenate(
+            [C, jnp.broadcast_to(C[..., -1:], C.shape[:-1] + (need - L,))],
+            axis=-1)
+    else:
+        C = C[..., :need]
+    R2 = C.reshape(C.shape[:-1] + (rows_needed, S))
+    sel = jnp.asarray((s[None, :] == np.arange(S)[:, None]), C.dtype)  # (S,d)
+    cols = jnp.einsum("...rs,sd->...rd", R2, sel,
+                      precision=jax.lax.Precision.HIGHEST)
+    base = cols[..., q0:q0 + J, :]
+    if q1 > q0:
+        shift = cols[..., q0 + 1:q0 + 1 + J, :]
+        out = jnp.where(jnp.asarray(q - q0 == 1)[None, :], shift, base)
+    else:
+        out = base
+    return out  # (..., J, d)
+
+
+def _windowed_energy_at_frames(C, *, d: int, stride: int, window: int,
+                               n_frames: int):
+    """E[f] = C[(f*stride+window)/d] - C[(f*stride)/d] for f < n_frames,
+    where C is an inclusive cumsum on a d-decimated grid and fractional
+    positions are linearly interpolated (the fraction is a per-residue-class
+    constant: frame f = d*j + i has position j*stride + (i*stride + base)/d
+    exactly, so the samples are d residue-class strided reads)."""
+    J = -(-n_frames // d)
+    i = np.arange(d)
+
+    def interp(base):
+        pos = (i * stride + base) / d
+        offs = np.floor(pos).astype(np.int64)
+        alpha = pos - offs
+        lo = _class_strided_sample(C, offs, J, stride)
+        hi = _class_strided_sample(C, offs + 1, J, stride)
+        a = jnp.asarray(alpha[None, :], C.dtype)
+        return lo * (1.0 - a) + hi * a
+
+    delta = (interp(window) - interp(0)).reshape(C.shape[:-1] + (J * d,))
+    return delta[..., :n_frames]
+
+
+@functools.partial(jax.jit, static_argnames=("edges", "window", "stride",
+                                             "n_frames", "sample_rate"))
+def _modulator_band_amps_decimated(signal, *, edges, window: int, stride: int,
+                                   n_frames: int, sample_rate: int):
+    """Decimated band energies: one whole-signal FFT, then per band a SMALL
+    complex ifft of just that band's positive-frequency bins (single-sideband
+    at baseband) yields the band's analytic signal z at a decimated rate
+    fs_dec = sample_rate * m / n_fft. 2|z|^2 is the band's energy density;
+    windowed sums come from a cumsum read at (interpolated) stride positions.
+
+    The ifft length m only needs fs_dec >= band_width + guard, NOT 2x width:
+    the `window`-sample energy window is itself a low-pass (first null at
+    sample_rate/window Hz, 1/f rolloff), so energy-density detail above a few
+    hundred Hz — including anything aliasing down from the fs_dec fold — is
+    attenuated out of the windowed sums regardless. Total ifft work is
+    therefore ~ sum of band widths (~half the spectrum) instead of
+    n_bands x n_fft.
+
+    Deviations from _modulator_band_amps_full: the dropped 2 f_c ripple term
+    (O(1/(2 pi f_c window/sr)), <=1% on the lowest default band) and the
+    alias guard (<=~0.5%); measured <=0.4% RMS per band on broadband inputs.
+
+    edges: STATIC tuple of band-edge Hz. Returns (n_frames, n_bands) amps.
+    """
+    n = signal.shape[0]
+    fdt = signal.dtype
+    n_bands = len(edges) - 1
+    if n_frames <= 0:
+        return jnp.zeros((0, n_bands), fdt)
+    n_fft = 1
+    while n_fft < n:
+        n_fft *= 2
+    half = n_fft // 2
+    cdt = jnp.complex128 if fdt == jnp.float64 else jnp.complex64
+    X = jnp.fft.fft(signal.astype(cdt), n=n_fft)
+    guard_bins = int(np.ceil(_SSB_GUARD_HZ * n_fft / sample_rate))
+
+    def hz_bins(lo_hz, hi_hz):
+        """Positive-frequency bin range of mask (hz > lo) & (hz <= hi)."""
+        k_lo = int(np.floor(lo_hz * n_fft / sample_rate)) + 1
+        k_hi = min(int(np.floor(hi_hz * n_fft / sample_rate)), half)
+        return k_lo, k_hi
+
+    def ssb_energy(k_lo, k_hi):
+        if k_hi < k_lo:
+            return jnp.zeros((n_frames,), fdt)
+        width = k_hi - k_lo + 1
+        m = _MIN_SSB_M
+        while m < width + guard_bins:
+            m *= 2
+        m = min(m, n_fft)
+        d = n_fft // m
+        seg = jax.lax.slice(X, (k_lo,), (k_hi + 1,))
+        if k_lo == 0:  # DC bin has no conjugate partner
+            seg = jnp.concatenate([seg[:1] * 0.5, seg[1:]])
+        if k_hi == half:  # Nyquist bin likewise
+            seg = jnp.concatenate([seg[:-1], seg[-1:] * 0.5])
+        z = jnp.fft.ifft(seg, n=m)
+        dens = jnp.real(z) ** 2 + jnp.imag(z) ** 2
+        dens = jnp.where(jnp.arange(m) * d < n, dens, 0.0).astype(fdt)
+        C = cumsum_chunked(dens)
+        delta = _windowed_energy_at_frames(
+            C, d=d, stride=stride, window=window, n_frames=n_frames)
+        return 2.0 * d * (m / n_fft) ** 2 * delta
+
+    band_e = jnp.stack(
+        [ssb_energy(*hz_bins(edges[b], edges[b + 1])) for b in range(n_bands)],
+        axis=-1)  # (n_frames, n_bands)
+
+    from ..ops.stft import fft_length_for
+
+    pad_factor = fft_length_for(window) / window
+    return jnp.sqrt(jnp.maximum(2.0 * band_e * pad_factor / window, 0.0))
+
+
 @functools.partial(jax.jit, static_argnames=("window", "stride", "n_frames",
                                              "sample_rate"))
-def _modulator_band_amps_fast(signal, edges, *, window: int, stride: int,
+def _modulator_band_amps_full(signal, edges, *, window: int, stride: int,
                               n_frames: int, sample_rate: int):
     """O(n) band amplitudes: per-band band-pass over the WHOLE signal (one
     big rfft + bin mask + irfft per band), then windowed energy via cumsum.

@@ -221,7 +221,7 @@ def make_sharded_chain(mesh: Mesh, n_samples: int, rconfig, vparams,
 
         # 5. replicated vocoder fast path on the mono bus
         amps = vocoder_mod._modulator_band_amps_fast(
-            mono, jnp.asarray(edges, wdt), window=W, stride=S,
+            mono, tuple(float(e) for e in edges), window=W, stride=S,
             n_frames=n_mod_frames, sample_rate=sr)
         voc = vocoder_mod._carrier_vocode(
             carrier, amps[jnp.asarray(vrows)], jnp.asarray(bm_car, wdt),

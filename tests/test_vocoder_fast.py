@@ -28,3 +28,59 @@ def test_fast_modulator_silence():
     p = vocoder.VocoderParams()
     out = vocoder.vocode(np.zeros(44100), np.ones(44100), p)
     assert np.max(np.abs(out)) < 1e-9
+
+
+def test_decimated_band_amps_match_full():
+    """The decimated (per-band small SSB iffts + widest-band subtraction)
+    modulator must reproduce the full-length (whole-signal masked iffts)
+    band amplitudes to ~1% on every band of a broadband multitone."""
+    import jax.numpy as jnp
+
+    sr = 44100
+    n = 3 * sr
+    rng = np.random.default_rng(7)
+    t = np.arange(n)
+    sig = (0.5 * np.sin(2 * np.pi * 170 * t / sr)
+           + 0.3 * np.sin(2 * np.pi * 1200 * t / sr)
+           + 0.2 * np.sin(2 * np.pi * 5000 * t / sr)
+           + 0.15 * np.sin(2 * np.pi * 12000 * t / sr)
+           + 0.05 * rng.standard_normal(n)).astype(np.float32)
+    p = vocoder.VocoderParams(sample_rate=sr)
+    S, W = p.stride, p.modulator_window
+    n_frames = (n - W) // S + 1
+    edges = p.band_freqs()
+    full = np.asarray(vocoder._modulator_band_amps_fast(
+        jnp.asarray(sig), edges, window=W, stride=S, n_frames=n_frames,
+        sample_rate=sr, mode="full"))
+    dec = np.asarray(vocoder._modulator_band_amps_fast(
+        jnp.asarray(sig), edges, window=W, stride=S, n_frames=n_frames,
+        sample_rate=sr, mode="decimated"))
+    assert full.shape == dec.shape == (n_frames, 5)
+    for b in range(full.shape[1]):
+        rms = np.sqrt(np.mean(full[:, b] ** 2)) + 1e-12
+        err = np.sqrt(np.mean((full[:, b] - dec[:, b]) ** 2))
+        assert err < 0.02 * rms, (b, err / rms)
+
+
+def test_decimated_band_amps_many_bands():
+    """Arbitrary band counts (narrow bands may span <1 bin) stay finite and
+    close to the full path."""
+    import jax.numpy as jnp
+
+    sr = 44100
+    n = sr
+    rng = np.random.default_rng(3)
+    sig = rng.standard_normal(n).astype(np.float32) * 0.3
+    p = vocoder.VocoderParams(sample_rate=sr, count_bands=12)
+    S, W = p.stride, p.modulator_window
+    n_frames = (n - W) // S + 1
+    edges = p.band_freqs()
+    full = np.asarray(vocoder._modulator_band_amps_fast(
+        jnp.asarray(sig), edges, window=W, stride=S, n_frames=n_frames,
+        sample_rate=sr, mode="full"))
+    dec = np.asarray(vocoder._modulator_band_amps_fast(
+        jnp.asarray(sig), edges, window=W, stride=S, n_frames=n_frames,
+        sample_rate=sr, mode="decimated"))
+    assert np.all(np.isfinite(dec))
+    rms = np.sqrt(np.mean(full**2)) + 1e-12
+    assert np.sqrt(np.mean((full - dec) ** 2)) < 0.03 * rms
