@@ -268,3 +268,180 @@ def make_sharded_chain(mesh: Mesh, n_samples: int, rconfig, vparams,
         return step
 
     return build
+
+
+def default_mesh_2d(nv: int, nf: int) -> Mesh:
+    """2-D ('v', 'f') mesh: voice-data-parallel x time/frame-sequence-
+    parallel. Uses the first nv*nf devices."""
+    devs = np.array(jax.devices()[: nv * nf]).reshape(nv, nf)
+    return Mesh(devs, ("v", "f"))
+
+
+def make_sharded_chain_2d(mesh: Mesh, n_samples: int, rconfig, vparams,
+                          *, block_size: int = 1 << 15):
+    """The full offline chain over a 2-D ('v', 'f') mesh — the tensor axes
+    map to DIFFERENT mesh axes per stage:
+
+      * synth: voices sharded over 'v' AND render blocks sharded over 'f'
+        (each (v, f) shard renders its voice slice of its time slice via
+        `block_offset`); the mono bus is a `psum` over 'v' followed by an
+        `all_gather` of the time shards over 'f' (analysis windows straddle
+        time-shard boundaries; a halo `ppermute` of one window would
+        suffice for window << shard and is the bandwidth-optimal variant);
+      * STFT/peaks + tracked-note render: frames sharded over the FLATTENED
+        ('v', 'f') product (sequence parallelism over all chips);
+      * tracker + vocoder: replicated (control-sized).
+
+    Same config subset as make_sharded_chain. Voice rows must divide the
+    'v' axis size.
+    """
+    import functools
+
+    import jax.numpy as jnp
+
+    from ..analysis import device_tracker, resynth as resynth_mod
+    from ..analysis import vocoder as vocoder_mod
+    from ..models import resynth_bank, voicebank
+    from ..ops import stft as stft_ops
+    from ..utils import loudness
+
+    assert mesh.axis_names == ("v", "f"), mesh.axis_names
+    nv, nf = mesh.devices.shape
+    n_dev = nv * nf
+    sr = rconfig.sample_rate
+    window = stft_ops.gaussian_window(rconfig.window_size, sigmas=4.0)
+    fft_len = stft_ops.fft_length_for(rconfig.window_size)
+    k = rconfig.max_voices + 1
+    n_frames = max(0, (n_samples - rconfig.window_size) // rconfig.stride + 1)
+    Fp = ((n_frames + n_dev - 1) // n_dev) * n_dev
+    total_frames = ((n_frames + 8 + n_dev - 1) // n_dev) * n_dev
+    rcfg = resynth_mod._render_config(rconfig)
+    li = loudness.phons_to_index(60.0)
+    wdt = jnp.float32
+
+    S = vparams.stride
+    W = vparams.modulator_window
+    car_fft = stft_ops.fft_length_for(2 * S)
+    edges = np.asarray(vparams.band_freqs())
+    bm_car = vocoder_mod._band_matrix(edges, car_fft // 2 + 1, sr / car_fft)
+    n_mod_frames = max(0, (n_samples - W) // S + 1)
+    n_car_frames = max(0, (n_samples - 2 * S) // S + 1)
+    offset = max(0, -(-(W - 2 * S) // S))
+    vrows = np.clip(np.arange(n_car_frames) - offset, 0,
+                    max(n_mod_frames - 1, 0))
+
+    from ..analysis.chain import tracker_config_kwargs
+
+    tr_kw = dict(
+        total_frames=total_frames, stride=rcfg.stride, sample_rate=float(sr),
+        **tracker_config_kwargs(rconfig, rcfg))
+
+    def shard_fn(fp, ip, up, gains, codes, starts_shard, carrier, loud_p,
+                 loud_s, pan_draws, phase_draws, *, nb_local, **statics):
+        # 1. (voice-slice x time-slice) synth; psum over 'v' builds the
+        # mono bus per time shard, all_gather over 'f' assembles the signal
+        f_idx = jax.lax.axis_index("f")
+        out = voicebank.voicebank_blocks_impl(
+            fp, ip, up, gains, codes, out_dtype="float32",
+            block_offset=f_idx * nb_local,
+            **{**statics, "n_blocks": nb_local})
+        Ls = nb_local * statics["block_size"]
+        mono_local = jax.lax.psum(
+            out.reshape(Ls, -1).sum(axis=1), "v")
+        gidx = f_idx * Ls + jnp.arange(Ls)
+        mono_local = jnp.where(gidx < n_samples, mono_local, 0.0)
+        mono = jax.lax.all_gather(mono_local, "f").reshape(-1)[:n_samples]
+
+        # 2. frame-sharded STFT + peaks over the flattened ('v','f') product
+        win = jnp.asarray(window, wdt)
+        idx = starts_shard[:, None] + jnp.arange(rconfig.window_size)[None, :]
+        frames = mono[idx] * win[None, :]
+        scale = 2.0 / jnp.sum(win)
+        spec = jnp.fft.rfft(frames, n=fft_len)
+        sq = (jnp.abs(spec) ** 2 * scale**2).astype(wdt)
+        freq_sh, mag_sh = stft_ops._top_peaks(sq, sample_rate=sr,
+                                              fft_length=fft_len, k=k)
+        freq = jax.lax.all_gather(freq_sh, ("v", "f")).reshape(
+            Fp, -1)[:n_frames]
+        mag = jax.lax.all_gather(mag_sh, ("v", "f")).reshape(
+            Fp, -1)[:n_frames]
+
+        # 3. replicated tracker
+        table, dropped = device_tracker.build_tables_device(
+            freq, mag, loud_p, loud_s, pan_draws, phase_draws, **tr_kw)
+
+        # 4. tracked-note render, frame rows over the flattened product
+        Fl = total_frames // n_dev
+        me = jax.lax.axis_index("v") * nf + jax.lax.axis_index("f")
+        my_rows = jax.lax.dynamic_slice_in_dim(table, me * Fl, Fl, axis=0)
+        out_rows = resynth_bank._render_slots(my_rows, stride=rcfg.stride,
+                                              n_channels=2, dtype="float32")
+        stereo = jax.lax.all_gather(out_rows, ("v", "f")).reshape(
+            total_frames * rcfg.stride, -1)[:, :2]
+        stereo = jnp.pad(stereo, ((rcfg.start_sample, 0), (0, 0)))
+
+        # 5. replicated vocoder (decimated fast modulator)
+        amps = vocoder_mod._modulator_band_amps_fast(
+            mono, tuple(float(e) for e in edges), window=W, stride=S,
+            n_frames=n_mod_frames, sample_rate=sr)
+        voc = vocoder_mod._carrier_vocode(
+            carrier, amps[jnp.asarray(vrows)], jnp.asarray(bm_car, wdt),
+            stride=S, fft_len=car_fft)
+        return stereo, voc, dropped
+
+    def build(bank, carrier):
+        args, statics = voicebank.prepare_bank_arrays(
+            bank, n_samples, block_size, "float32")
+        nb = statics["n_blocks"]
+        nb_local = -(-nb // nf)
+        cap = n_frames * rconfig.max_voices + 16
+        pan = np.random.default_rng(rconfig.seed).uniform(-1, 1, cap)
+        phase = np.random.default_rng(0).uniform(0, 2, cap)
+        starts = (np.arange(Fp) * rconfig.stride).clip(
+            0, max(n_samples - rconfig.window_size, 0))
+        fn = jax.shard_map(
+            functools.partial(shard_fn, nb_local=nb_local, **statics),
+            mesh=mesh,
+            in_specs=(P("v"), P("v"), P("v"), P("v"), P("v"),
+                      P(("v", "f")), P(), P(), P(), P(), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False)  # replicated tracker over gathered inputs
+        jfn = jax.jit(fn)
+        carrier_dev = jnp.asarray(carrier, wdt)[:n_samples]
+        consts = (jnp.asarray(starts, np.int32), carrier_dev,
+                  jnp.asarray(np.asarray(loudness.PITCHES), wdt),
+                  jnp.asarray(np.asarray(loudness.ELVS[li]), wdt),
+                  jnp.asarray(pan, jnp.float32),
+                  jnp.asarray(phase, jnp.float32))
+
+        def step():
+            return jfn(*args, *consts)
+
+        return step
+
+    return build
+
+
+def render_jobs_farm(banks, n_samples: int, rconfig, vparams, carriers,
+                     *, n_groups: int = 2, block_size: int = 1 << 15,
+                     devices=None):
+    """Job-level parallelism (the DCN/'farm-style batch rendering' analog,
+    SURVEY §2.9/§5.8): partition the devices into `n_groups` independent
+    sub-meshes, build the voice-sharded chain once per group, and
+    round-robin the (bank, carrier) jobs over the groups. JAX's async
+    dispatch overlaps the groups' device work; results are fetched in job
+    order. Independent jobs need no cross-group collectives at all — this
+    is the multi-host layout where only hosts talk DCN.
+
+    Returns a list of (stereo, vocoded, dropped) per job.
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    per = len(devs) // n_groups
+    assert per >= 1, (len(devs), n_groups)
+    meshes = [Mesh(np.array(devs[g * per:(g + 1) * per]), ("v",))
+              for g in range(n_groups)]
+    builders = [make_sharded_chain(m, n_samples, rconfig, vparams,
+                                   block_size=block_size) for m in meshes]
+    steps = [builders[j % n_groups](bank, car)
+             for j, (bank, car) in enumerate(zip(banks, carriers))]
+    return [s() for s in steps]

@@ -99,3 +99,86 @@ def test_sharded_full_chain_matches_single_device():
     vpeak = max(np.abs(va).max(), 1e-9)
     assert np.abs(va - vb[: len(va)]).max() < 1e-3 * vpeak + 1e-6
     assert int(dropped) == int(single.dropped)
+
+
+def _chain_workload(sr, n, n_voices=8):
+    rng = np.random.default_rng(3)
+    notes = []
+    for i in range(n_voices):
+        press = int(rng.uniform(0, n * 0.4))
+        release = press + int(rng.uniform(sr // 4, n // 2))
+        notes.append(events.Note(i, press, release,
+                                 float(rng.uniform(110, 1760)),
+                                 float(rng.uniform(0.3, 1.0)),
+                                 float(rng.uniform(-1, 1))))
+    sch = voices.schedule_from_notes(notes, pad_to=n_voices)
+    cfg = sine_synth.SineSynthConfig(
+        sample_rate=sr, block_size=4096, dtype="float32",
+        ahdsr=envelopes.AHDSR(attack=441, hold=0, decay=1000,
+                              release=2205, sustain=0.7))
+    return sine_synth.bank_from_schedule(sch, cfg), cfg
+
+
+def test_sharded_chain_2d_matches_single_device():
+    """(voices x time) 2-D mesh: voice-DP synth with time-sharded blocks
+    (psum over 'v' + all_gather over 'f'), frames/render over the flattened
+    product — must reproduce the single-device fused chain."""
+    from cpp_audio_tpu.analysis import chain, resynth, vocoder
+
+    sr = 44100
+    n = sr * 2
+    bank, cfg = _chain_workload(sr, n)
+    rcfg = resynth.ResynthConfig(sample_rate=sr, analysis_volume=1.0,
+                                 dtype="float32")
+    vparams = vocoder.VocoderParams(sample_rate=sr)
+    carrier = np.sign(np.sin(2 * np.pi * 110.0 * np.arange(n) / sr))
+
+    single = chain.run_offline_chain_device(bank, n, rcfg, vparams, carrier,
+                                            block_size=cfg.block_size)
+    m2 = pmesh.default_mesh_2d(2, 4)
+    build = pmesh.make_sharded_chain_2d(m2, n, rcfg, vparams,
+                                        block_size=cfg.block_size)
+    stereo, voc, dropped = build(bank, carrier)()
+
+    a = np.asarray(single.resynth)
+    b = np.asarray(stereo)[: a.shape[0]]
+    peak = max(np.abs(a).max(), 1e-9)
+    assert np.abs(a - b[: len(a)]).max() < 1e-3 * peak + 1e-6
+    va = np.asarray(single.vocoded)
+    vb = np.asarray(voc)[: len(va)]
+    vpeak = max(np.abs(va).max(), 1e-9)
+    assert np.abs(va - vb[: len(va)]).max() < 1e-3 * vpeak + 1e-6
+    assert int(dropped) == int(single.dropped)
+
+
+def test_render_jobs_farm_matches_per_job():
+    """Two independent jobs over two 4-device sub-meshes must each match
+    their single-device render (job-level parallelism, no cross-group
+    collectives)."""
+    from cpp_audio_tpu.analysis import chain, resynth, vocoder
+
+    sr = 44100
+    n = sr
+    bank, cfg = _chain_workload(sr, n, n_voices=8)
+    rng = np.random.default_rng(9)
+    # second job: different carrier
+    carriers = [np.sign(np.sin(2 * np.pi * 110.0 * np.arange(n) / sr)),
+                np.sign(np.sin(2 * np.pi * 220.0 * np.arange(n) / sr))]
+    banks = [bank, bank]
+    rcfg = resynth.ResynthConfig(sample_rate=sr, analysis_volume=1.0,
+                                 dtype="float32")
+    vparams = vocoder.VocoderParams(sample_rate=sr)
+    outs = pmesh.render_jobs_farm(banks, n, rcfg, vparams, carriers,
+                                  n_groups=2, block_size=cfg.block_size)
+    assert len(outs) == 2
+    for (stereo, voc, dropped), car in zip(outs, carriers):
+        single = chain.run_offline_chain_device(bank, n, rcfg, vparams, car,
+                                                block_size=cfg.block_size)
+        a = np.asarray(single.resynth)
+        b = np.asarray(stereo)[: a.shape[0]]
+        peak = max(np.abs(a).max(), 1e-9)
+        assert np.abs(a - b[: len(a)]).max() < 1e-3 * peak + 1e-6
+        va = np.asarray(single.vocoded)
+        vb = np.asarray(voc)[: len(va)]
+        vpeak = max(np.abs(va).max(), 1e-9)
+        assert np.abs(va - vb[: len(va)]).max() < 1e-3 * vpeak + 1e-6
