@@ -202,8 +202,10 @@ def _modulator_band_amps_decimated(signal, *, edges, window: int, stride: int,
     while n_fft < n:
         n_fft *= 2
     half = n_fft // 2
-    cdt = jnp.complex128 if fdt == jnp.float64 else jnp.complex64
-    X = jnp.fft.fft(signal.astype(cdt), n=n_fft)
+    # only positive-frequency bins are consumed (SSB segments), so the
+    # forward transform is a real FFT — half the work of the full complex
+    # transform the masked-ifft path needs
+    X = jnp.fft.rfft(signal, n=n_fft)
     guard_bins = int(np.ceil(_SSB_GUARD_HZ * n_fft / sample_rate))
 
     def hz_bins(lo_hz, hi_hz):
