@@ -84,3 +84,49 @@ def test_decimated_band_amps_many_bands():
     assert np.all(np.isfinite(dec))
     rms = np.sqrt(np.mean(full**2)) + 1e-12
     assert np.sqrt(np.mean((full - dec) ** 2)) < 0.03 * rms
+
+
+def test_class_strided_sample_matches_gather():
+    """The one-hot residue-class sampler must equal direct indexing."""
+    import jax.numpy as jnp
+
+    from cpp_audio_tpu.analysis.vocoder import _class_strided_sample
+
+    rng = np.random.default_rng(11)
+    S = 37
+    C = rng.standard_normal(500).astype(np.float64)
+    for d in (1, 3, 8):
+        # offsets with span < S (the residue-class invariant)
+        offs = np.sort(rng.integers(0, S, size=d)) + 5
+        J = 9
+        got = np.asarray(_class_strided_sample(jnp.asarray(C), offs, J, S))
+        # edge-replicated reference
+        Cx = np.concatenate([C, np.full(1000, C[-1])])
+        want = np.stack([[Cx[offs[i] + j * S] for i in range(d)]
+                         for j in range(J)])
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_windowed_energy_at_frames_matches_direct():
+    import jax.numpy as jnp
+
+    from cpp_audio_tpu.analysis.vocoder import _windowed_energy_at_frames
+
+    rng = np.random.default_rng(5)
+    dens = rng.uniform(0, 1, 4096)
+    C = np.cumsum(dens)
+    stride, window, n_frames = 221, 1000, 12
+    for d in (1, 4, 16):
+        got = np.asarray(_windowed_energy_at_frames(
+            jnp.asarray(C), d=d, stride=stride, window=window,
+            n_frames=n_frames))
+        Cx = np.concatenate([C, np.full(4096, C[-1])])
+
+        def at(pos):
+            lo = int(np.floor(pos))
+            a = pos - lo
+            return (1 - a) * Cx[lo] + a * Cx[lo + 1]
+
+        want = np.array([at((f * stride + window) / d) - at(f * stride / d)
+                         for f in range(n_frames)])
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
