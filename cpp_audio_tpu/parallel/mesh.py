@@ -422,6 +422,171 @@ def make_sharded_chain_2d(mesh: Mesh, n_samples: int, rconfig, vparams,
     return build
 
 
+def make_pipelined_chain(mesh_a: Mesh, mesh_b: Mesh, n_samples: int, rconfig,
+                         vparams, *, block_size: int = 1 << 15):
+    """Pipeline parallelism across jobs: stage 1 (voice-DP synth ->
+    frame-SP STFT/peaks -> vocoder) runs on `mesh_a` while stage 2
+    (replicated tracker -> frame-SP tracked render) of the PREVIOUS job runs
+    on `mesh_b`. The natural cut point is the peak lists — a tiny
+    (frames, k) x2 transfer between device groups per job (the reference's
+    analysis-thread -> synth handoff, rt.resynth.lib.cpp:1670-1759, as a
+    device-group boundary).
+
+    Returns (stage1, stage2): stage1(bank, carrier) -> (freq, mag, vocoded)
+    on mesh_a; stage2(freq, mag) -> (stereo, dropped) on mesh_b. Drive them
+    with render_jobs_pipelined (or your own loop — JAX async dispatch
+    overlaps the two groups).
+    """
+    import functools
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+
+    from ..analysis import device_tracker, resynth as resynth_mod
+    from ..analysis import vocoder as vocoder_mod
+    from ..models import resynth_bank, voicebank
+    from ..ops import stft as stft_ops
+    from ..utils import loudness
+
+    sr = rconfig.sample_rate
+    window = stft_ops.gaussian_window(rconfig.window_size, sigmas=4.0)
+    fft_len = stft_ops.fft_length_for(rconfig.window_size)
+    k = rconfig.max_voices + 1
+    n_frames = max(0, (n_samples - rconfig.window_size) // rconfig.stride + 1)
+    na, nb_dev = mesh_a.devices.size, mesh_b.devices.size
+    Fp = ((n_frames + na - 1) // na) * na
+    total_frames = ((n_frames + 8 + nb_dev - 1) // nb_dev) * nb_dev
+    rcfg = resynth_mod._render_config(rconfig)
+    li = loudness.phons_to_index(60.0)
+    wdt = jnp.float32
+
+    S = vparams.stride
+    W = vparams.modulator_window
+    car_fft = stft_ops.fft_length_for(2 * S)
+    edges = np.asarray(vparams.band_freqs())
+    bm_car = vocoder_mod._band_matrix(edges, car_fft // 2 + 1, sr / car_fft)
+    n_mod_frames = max(0, (n_samples - W) // S + 1)
+    n_car_frames = max(0, (n_samples - 2 * S) // S + 1)
+    offset = max(0, -(-(W - 2 * S) // S))
+    vrows = np.clip(np.arange(n_car_frames) - offset, 0,
+                    max(n_mod_frames - 1, 0))
+
+    from ..analysis.chain import tracker_config_kwargs
+
+    tr_kw = dict(
+        total_frames=total_frames, stride=rcfg.stride, sample_rate=float(sr),
+        **tracker_config_kwargs(rconfig, rcfg))
+    ax_a = mesh_a.axis_names[0]
+    ax_b = mesh_b.axis_names[0]
+
+    def stage1_fn(fp, ip, up, gains, codes, starts_shard, carrier, **statics):
+        out = voicebank.voicebank_blocks_impl(fp, ip, up, gains, codes,
+                                              out_dtype="float32", **statics)
+        mono = jax.lax.psum(
+            out.reshape(-1, out.shape[-1])[:n_samples].sum(axis=1), ax_a)
+        win = jnp.asarray(window, wdt)
+        idx = starts_shard[:, None] + jnp.arange(rconfig.window_size)[None, :]
+        frames = mono[idx] * win[None, :]
+        scale = 2.0 / jnp.sum(win)
+        spec = jnp.fft.rfft(frames, n=fft_len)
+        sq = (jnp.abs(spec) ** 2 * scale**2).astype(wdt)
+        freq_sh, mag_sh = stft_ops._top_peaks(sq, sample_rate=sr,
+                                              fft_length=fft_len, k=k)
+        freq = jax.lax.all_gather(freq_sh, ax_a).reshape(Fp, -1)[:n_frames]
+        mag = jax.lax.all_gather(mag_sh, ax_a).reshape(Fp, -1)[:n_frames]
+        amps = vocoder_mod._modulator_band_amps_fast(
+            mono, tuple(float(e) for e in edges), window=W, stride=S,
+            n_frames=n_mod_frames, sample_rate=sr)
+        voc = vocoder_mod._carrier_vocode(
+            carrier, amps[jnp.asarray(vrows)], jnp.asarray(bm_car, wdt),
+            stride=S, fft_len=car_fft)
+        return freq, mag, voc
+
+    def stage2_fn(freq, mag, loud_p, loud_s, pan_draws, phase_draws):
+        table, dropped = device_tracker.build_tables_device(
+            freq, mag, loud_p, loud_s, pan_draws, phase_draws, **tr_kw)
+        Fl = total_frames // nb_dev
+        me = jax.lax.axis_index(ax_b)
+        my_rows = jax.lax.dynamic_slice_in_dim(table, me * Fl, Fl, axis=0)
+        out_rows = resynth_bank._render_slots(my_rows, stride=rcfg.stride,
+                                              n_channels=2, dtype="float32")
+        stereo = jax.lax.all_gather(out_rows, ax_b).reshape(
+            total_frames * rcfg.stride, -1)[:, :2]
+        stereo = jnp.pad(stereo, ((rcfg.start_sample, 0), (0, 0)))
+        return stereo, dropped
+
+    cap = n_frames * rconfig.max_voices + 16
+    pan = np.random.default_rng(rconfig.seed).uniform(-1, 1, cap)
+    phase = np.random.default_rng(0).uniform(0, 2, cap)
+    repl_b = NamedSharding(mesh_b, P())
+    consts_b = tuple(
+        jax.device_put(jnp.asarray(c), repl_b)
+        for c in (np.asarray(loudness.PITCHES, np.float32),
+                  np.asarray(loudness.ELVS[li], np.float32),
+                  pan.astype(np.float32), phase.astype(np.float32)))
+    jfn2 = jax.jit(jax.shard_map(
+        stage2_fn, mesh=mesh_b,
+        in_specs=(P(), P(), P(), P(), P(), P()), out_specs=(P(), P()),
+        check_vma=False))
+
+    def stage2(freq, mag):
+        freq = jax.device_put(freq, repl_b)
+        mag = jax.device_put(mag, repl_b)
+        return jfn2(freq, mag, *consts_b)
+
+    repl_a = NamedSharding(mesh_a, P())
+    starts = (np.arange(Fp) * rconfig.stride).clip(
+        0, max(n_samples - rconfig.window_size, 0))
+    _jit1 = {}
+
+    def stage1(bank, carrier):
+        args, statics = voicebank.prepare_bank_arrays(
+            bank, n_samples, block_size, "float32")
+        key = repr(sorted(statics.items()))
+        if key not in _jit1:
+            _jit1[key] = jax.jit(jax.shard_map(
+                functools.partial(stage1_fn, **statics), mesh=mesh_a,
+                in_specs=(P(ax_a), P(ax_a), P(ax_a), P(ax_a), P(ax_a),
+                          P(ax_a), P()),
+                out_specs=(P(), P(), P()), check_vma=False))
+        carrier_dev = jax.device_put(
+            jnp.asarray(np.asarray(carrier)[:n_samples], wdt), repl_a)
+        return _jit1[key](*args, jnp.asarray(starts, np.int32), carrier_dev)
+
+    return stage1, stage2
+
+
+def render_jobs_pipelined(banks, n_samples: int, rconfig, vparams, carriers,
+                          *, block_size: int = 1 << 15, devices=None):
+    """Two-stage pipeline over the device list: the first half runs stage 1
+    (synth/analysis/vocoder) of job k while the second half runs stage 2
+    (tracker/render) of job k-1 — JAX async dispatch overlaps the groups;
+    only the tiny peak lists cross the group boundary.
+
+    Returns a list of (stereo, vocoded, dropped) per job.
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    half = max(1, len(devs) // 2)
+    mesh_a = Mesh(np.array(devs[:half]), ("v",))
+    mesh_b = Mesh(np.array(devs[half:half * 2]), ("f",))
+    stage1, stage2 = make_pipelined_chain(mesh_a, mesh_b, n_samples, rconfig,
+                                          vparams, block_size=block_size)
+    outs = []
+    pending = None  # (vocoded, (freq, mag)) of the previous job
+    for job in list(zip(banks, carriers)) + [None]:
+        fut1 = stage1(*job) if job is not None else None
+        if pending is not None:
+            voc_prev, (freq_prev, mag_prev) = pending
+            stereo, dropped = stage2(freq_prev, mag_prev)
+            outs.append((stereo, voc_prev, dropped))
+        if fut1 is not None:
+            freq, mag, voc = fut1
+            pending = (voc, (freq, mag))
+        else:
+            pending = None
+    return outs
+
+
 def render_jobs_farm(banks, n_samples: int, rconfig, vparams, carriers,
                      *, n_groups: int = 2, block_size: int = 1 << 15,
                      devices=None):

@@ -182,3 +182,33 @@ def test_render_jobs_farm_matches_per_job():
         vb = np.asarray(voc)[: len(va)]
         vpeak = max(np.abs(va).max(), 1e-9)
         assert np.abs(va - vb[: len(va)]).max() < 1e-3 * vpeak + 1e-6
+
+
+def test_render_jobs_pipelined_matches_single():
+    """Two-stage pipeline (synth/analysis group -> tracker/render group,
+    peak lists crossing the boundary) must match the single-device chain."""
+    from cpp_audio_tpu.analysis import chain, resynth, vocoder
+
+    sr = 44100
+    n = sr
+    bank, cfg = _chain_workload(sr, n, n_voices=8)
+    carriers = [np.sign(np.sin(2 * np.pi * 110.0 * np.arange(n) / sr)),
+                np.sign(np.sin(2 * np.pi * 220.0 * np.arange(n) / sr))]
+    rcfg = resynth.ResynthConfig(sample_rate=sr, analysis_volume=1.0,
+                                 dtype="float32")
+    vparams = vocoder.VocoderParams(sample_rate=sr)
+    outs = pmesh.render_jobs_pipelined([bank, bank], n, rcfg, vparams,
+                                       carriers, block_size=cfg.block_size)
+    assert len(outs) == 2
+    for (stereo, voc, dropped), car in zip(outs, carriers):
+        single = chain.run_offline_chain_device(bank, n, rcfg, vparams, car,
+                                                block_size=cfg.block_size)
+        a = np.asarray(single.resynth)
+        b = np.asarray(stereo)[: a.shape[0]]
+        peak = max(np.abs(a).max(), 1e-9)
+        assert np.abs(a - b[: len(a)]).max() < 1e-3 * peak + 1e-6
+        va = np.asarray(single.vocoded)
+        vb = np.asarray(voc)[: len(va)]
+        vpeak = max(np.abs(va).max(), 1e-9)
+        assert np.abs(va - vb[: len(va)]).max() < 1e-3 * vpeak + 1e-6
+        assert int(dropped) == int(single.dropped)
