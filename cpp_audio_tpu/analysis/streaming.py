@@ -137,7 +137,7 @@ class StreamingVocoder:
         sig = np.fft.irfft(spec * gains, n=self._car_fft)[: 2 * self.stride]
         S = self.stride
         k = np.arange(S)
-        w_new = np.sin(0.5 * np.pi * (k + 1.0) / S) ** 2
+        w_new = (k + 1.0) / S  # linear equal-gain (vocoder.cpp:538-541)
         out = sig[:S] * w_new + self._prev_tail * (1.0 - w_new)
         self._prev_tail = sig[S:]
         # the crossfaded half plays right after its window completes: absolute

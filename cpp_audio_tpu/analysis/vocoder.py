@@ -8,9 +8,10 @@ log-spaced bands 100..20000 Hz — rt.resynth.lib.cpp:987-992):
   carrier:   window of 2S samples, raw FFT -> scale each bin by its band's
              modulator amplitude -> IFFT (FFTCarrier, vocoder.cpp:396-475)
   output:    sample k of the new frame crossfades with sample k+S of the
-             previous frame using a sinusoidal equal-gain crossfade
-             (vocoder.cpp:500-541; stride forced odd by good_stride,
-             vocoder.cpp:84-93)
+             previous frame using a LINEAR equal-gain crossfade
+             (vocoder.cpp:500-541, law per the comment at :538-541; stride
+             forced odd by good_stride so the stride+1-point xfade table is
+             even, vocoder.cpp:84-93)
 
 Offline TPU form: all modulator windows and all carrier frames batch through
 one rfft each; band summation and bin scaling are (bins x bands) matmuls; the
@@ -354,11 +355,13 @@ def _carrier_vocode(carrier, band_amps, band_mat_full, *, stride: int, fft_len: 
         spec = jnp.fft.rfft(frames, n=fft_len)
         sig = jnp.fft.irfft(spec * gains, n=fft_len)[:, :window]
 
-    # sinusoidal equal-gain crossfade of the first half of frame r with the
-    # second half of frame r-1 (vocoder.cpp:500-541)
+    # LINEAR equal-gain crossfade of the first half of frame r with the
+    # second half of frame r-1: "during its 2nd half, 'old' contribution
+    # goes linearily from 1 to 0" (vocoder.cpp:538-541); the xfade table
+    # spans stride+1 points (good_stride forces that even, vocoder.cpp:89),
+    # so step i = k+1 of the new frame weighs (k+1)/stride
     k = jnp.arange(stride)
-    x = (k + 1.0) / stride
-    w_new = jnp.sin(0.5 * jnp.pi * x) ** 2
+    w_new = (k + 1.0) / stride
     w_old = 1.0 - w_new
     new_part = sig[:, :stride]
     old_part = jnp.concatenate(
