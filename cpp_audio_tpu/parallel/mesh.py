@@ -127,6 +127,52 @@ def render_schedule_sharded(schedule: NoteSchedule, n_samples: int,
     )
 
 
+class _ChainSetup:
+    """Analysis/vocoder/tracker statics shared by every sharded-chain
+    builder (mirrors the host-side setup of chain.prepare_offline_chain_device)."""
+
+    def __init__(self, rconfig, vparams, n_samples: int, frame_pad: int,
+                 total_pad: int):
+        from ..analysis import resynth as resynth_mod
+        from ..analysis import vocoder as vocoder_mod
+        from ..analysis.chain import tracker_config_kwargs
+        from ..ops import stft as stft_ops
+        from ..utils import loudness
+
+        self.sr = sr = rconfig.sample_rate
+        self.window = stft_ops.gaussian_window(rconfig.window_size, sigmas=4.0)
+        self.fft_len = stft_ops.fft_length_for(rconfig.window_size)
+        self.k = rconfig.max_voices + 1
+        self.n_frames = max(
+            0, (n_samples - rconfig.window_size) // rconfig.stride + 1)
+        # frame counts padded so every device gets equal frame shards
+        self.Fp = ((self.n_frames + frame_pad - 1) // frame_pad) * frame_pad
+        self.total_frames = (
+            (self.n_frames + 8 + total_pad - 1) // total_pad) * total_pad
+        self.rcfg = resynth_mod._render_config(rconfig)
+        self.li = loudness.phons_to_index(60.0)
+
+        self.S = S = vparams.stride
+        self.W = W = vparams.modulator_window
+        self.car_fft = stft_ops.fft_length_for(2 * S)
+        self.edges = np.asarray(vparams.band_freqs())
+        self.bm_car = vocoder_mod._band_matrix(
+            self.edges, self.car_fft // 2 + 1, sr / self.car_fft)
+        self.n_mod_frames = max(0, (n_samples - W) // S + 1)
+        n_car_frames = max(0, (n_samples - 2 * S) // S + 1)
+        offset = max(0, -(-(W - 2 * S) // S))
+        self.vrows = np.clip(np.arange(n_car_frames) - offset, 0,
+                             max(self.n_mod_frames - 1, 0))
+        self.tr_kw = dict(
+            total_frames=self.total_frames, stride=self.rcfg.stride,
+            sample_rate=float(sr), **tracker_config_kwargs(rconfig, self.rcfg))
+
+
+def _chain_setup(rconfig, vparams, n_samples: int, *, frame_pad: int,
+                 total_pad: int) -> _ChainSetup:
+    return _ChainSetup(rconfig, vparams, n_samples, frame_pad, total_pad)
+
+
 def make_sharded_chain(mesh: Mesh, n_samples: int, rconfig, vparams,
                        *, block_size: int = 1 << 15, axis: str = "v"):
     """The FULL offline chain (synth -> STFT/peaks -> tracker -> tracked
@@ -148,42 +194,21 @@ def make_sharded_chain(mesh: Mesh, n_samples: int, rconfig, vparams,
     """
     import jax.numpy as jnp
 
-    from ..analysis import device_tracker, resynth as resynth_mod
+    from ..analysis import device_tracker
     from ..analysis import vocoder as vocoder_mod
     from ..models import resynth_bank
     from ..ops import stft as stft_ops
     from ..utils import loudness
 
     n_dev = mesh.devices.size
-    sr = rconfig.sample_rate
-    window = stft_ops.gaussian_window(rconfig.window_size, sigmas=4.0)
-    fft_len = stft_ops.fft_length_for(rconfig.window_size)
-    k = rconfig.max_voices + 1
-    n_frames = max(0, (n_samples - rconfig.window_size) // rconfig.stride + 1)
-    # frame counts padded so every device gets equal frame shards
-    Fp = ((n_frames + n_dev - 1) // n_dev) * n_dev
-    total_frames = ((n_frames + 8 + n_dev - 1) // n_dev) * n_dev
-    rcfg = resynth_mod._render_config(rconfig)
-    a = rcfg.ahdsr
-    li = loudness.phons_to_index(60.0)
+    cs = _chain_setup(rconfig, vparams, n_samples, frame_pad=n_dev,
+                      total_pad=n_dev)
+    sr, window, fft_len, k, n_frames = (cs.sr, cs.window, cs.fft_len, cs.k,
+                                        cs.n_frames)
+    Fp, total_frames, rcfg, li = cs.Fp, cs.total_frames, cs.rcfg, cs.li
+    S, W, car_fft, edges, bm_car = cs.S, cs.W, cs.car_fft, cs.edges, cs.bm_car
+    n_mod_frames, vrows, tr_kw = cs.n_mod_frames, cs.vrows, cs.tr_kw
     wdt = jnp.float32
-
-    S = vparams.stride
-    W = vparams.modulator_window
-    car_fft = stft_ops.fft_length_for(2 * S)
-    edges = np.asarray(vparams.band_freqs())
-    bm_car = vocoder_mod._band_matrix(edges, car_fft // 2 + 1, sr / car_fft)
-    n_mod_frames = max(0, (n_samples - W) // S + 1)
-    n_car_frames = max(0, (n_samples - 2 * S) // S + 1)
-    offset = max(0, -(-(W - 2 * S) // S))
-    vrows = np.clip(np.arange(n_car_frames) - offset, 0,
-                    max(n_mod_frames - 1, 0))
-
-    from ..analysis.chain import tracker_config_kwargs
-
-    tr_kw = dict(
-        total_frames=total_frames, stride=rcfg.stride, sample_rate=float(sr),
-        **tracker_config_kwargs(rconfig, rcfg))
 
     def shard_fn(fp, ip, up, gains, codes, starts_shard, carrier, loud_p,
                  loud_s, pan_draws, phase_draws, **statics):
@@ -299,7 +324,7 @@ def make_sharded_chain_2d(mesh: Mesh, n_samples: int, rconfig, vparams,
 
     import jax.numpy as jnp
 
-    from ..analysis import device_tracker, resynth as resynth_mod
+    from ..analysis import device_tracker
     from ..analysis import vocoder as vocoder_mod
     from ..models import resynth_bank, voicebank
     from ..ops import stft as stft_ops
@@ -308,33 +333,14 @@ def make_sharded_chain_2d(mesh: Mesh, n_samples: int, rconfig, vparams,
     assert mesh.axis_names == ("v", "f"), mesh.axis_names
     nv, nf = mesh.devices.shape
     n_dev = nv * nf
-    sr = rconfig.sample_rate
-    window = stft_ops.gaussian_window(rconfig.window_size, sigmas=4.0)
-    fft_len = stft_ops.fft_length_for(rconfig.window_size)
-    k = rconfig.max_voices + 1
-    n_frames = max(0, (n_samples - rconfig.window_size) // rconfig.stride + 1)
-    Fp = ((n_frames + n_dev - 1) // n_dev) * n_dev
-    total_frames = ((n_frames + 8 + n_dev - 1) // n_dev) * n_dev
-    rcfg = resynth_mod._render_config(rconfig)
-    li = loudness.phons_to_index(60.0)
+    cs = _chain_setup(rconfig, vparams, n_samples, frame_pad=n_dev,
+                      total_pad=n_dev)
+    sr, window, fft_len, k, n_frames = (cs.sr, cs.window, cs.fft_len, cs.k,
+                                        cs.n_frames)
+    Fp, total_frames, rcfg, li = cs.Fp, cs.total_frames, cs.rcfg, cs.li
+    S, W, car_fft, edges, bm_car = cs.S, cs.W, cs.car_fft, cs.edges, cs.bm_car
+    n_mod_frames, vrows, tr_kw = cs.n_mod_frames, cs.vrows, cs.tr_kw
     wdt = jnp.float32
-
-    S = vparams.stride
-    W = vparams.modulator_window
-    car_fft = stft_ops.fft_length_for(2 * S)
-    edges = np.asarray(vparams.band_freqs())
-    bm_car = vocoder_mod._band_matrix(edges, car_fft // 2 + 1, sr / car_fft)
-    n_mod_frames = max(0, (n_samples - W) // S + 1)
-    n_car_frames = max(0, (n_samples - 2 * S) // S + 1)
-    offset = max(0, -(-(W - 2 * S) // S))
-    vrows = np.clip(np.arange(n_car_frames) - offset, 0,
-                    max(n_mod_frames - 1, 0))
-
-    from ..analysis.chain import tracker_config_kwargs
-
-    tr_kw = dict(
-        total_frames=total_frames, stride=rcfg.stride, sample_rate=float(sr),
-        **tracker_config_kwargs(rconfig, rcfg))
 
     def shard_fn(fp, ip, up, gains, codes, starts_shard, carrier, loud_p,
                  loud_s, pan_draws, phase_draws, *, nb_local, **statics):
@@ -442,40 +448,21 @@ def make_pipelined_chain(mesh_a: Mesh, mesh_b: Mesh, n_samples: int, rconfig,
     import jax.numpy as jnp
     from jax.sharding import NamedSharding
 
-    from ..analysis import device_tracker, resynth as resynth_mod
+    from ..analysis import device_tracker
     from ..analysis import vocoder as vocoder_mod
     from ..models import resynth_bank, voicebank
     from ..ops import stft as stft_ops
     from ..utils import loudness
 
-    sr = rconfig.sample_rate
-    window = stft_ops.gaussian_window(rconfig.window_size, sigmas=4.0)
-    fft_len = stft_ops.fft_length_for(rconfig.window_size)
-    k = rconfig.max_voices + 1
-    n_frames = max(0, (n_samples - rconfig.window_size) // rconfig.stride + 1)
     na, nb_dev = mesh_a.devices.size, mesh_b.devices.size
-    Fp = ((n_frames + na - 1) // na) * na
-    total_frames = ((n_frames + 8 + nb_dev - 1) // nb_dev) * nb_dev
-    rcfg = resynth_mod._render_config(rconfig)
-    li = loudness.phons_to_index(60.0)
+    cs = _chain_setup(rconfig, vparams, n_samples, frame_pad=na,
+                      total_pad=nb_dev)
+    sr, window, fft_len, k, n_frames = (cs.sr, cs.window, cs.fft_len, cs.k,
+                                        cs.n_frames)
+    Fp, total_frames, rcfg, li = cs.Fp, cs.total_frames, cs.rcfg, cs.li
+    S, W, car_fft, edges, bm_car = cs.S, cs.W, cs.car_fft, cs.edges, cs.bm_car
+    n_mod_frames, vrows, tr_kw = cs.n_mod_frames, cs.vrows, cs.tr_kw
     wdt = jnp.float32
-
-    S = vparams.stride
-    W = vparams.modulator_window
-    car_fft = stft_ops.fft_length_for(2 * S)
-    edges = np.asarray(vparams.band_freqs())
-    bm_car = vocoder_mod._band_matrix(edges, car_fft // 2 + 1, sr / car_fft)
-    n_mod_frames = max(0, (n_samples - W) // S + 1)
-    n_car_frames = max(0, (n_samples - 2 * S) // S + 1)
-    offset = max(0, -(-(W - 2 * S) // S))
-    vrows = np.clip(np.arange(n_car_frames) - offset, 0,
-                    max(n_mod_frames - 1, 0))
-
-    from ..analysis.chain import tracker_config_kwargs
-
-    tr_kw = dict(
-        total_frames=total_frames, stride=rcfg.stride, sample_rate=float(sr),
-        **tracker_config_kwargs(rconfig, rcfg))
     ax_a = mesh_a.axis_names[0]
     ax_b = mesh_b.axis_names[0]
 
