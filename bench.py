@@ -50,6 +50,30 @@ def make_synth_workload(sr, n, seed=42):
     return sch, cfg
 
 
+def _wait_for_backend(tries: int = 12, delay_s: float = 30.0):
+    """The test rig reaches its TPU through a tunnel that has outage
+    windows; retry backend init instead of failing the whole bench run."""
+    import jax
+
+    for i in range(tries):
+        try:
+            devs = jax.devices()
+            float(jax.numpy.sum(jax.numpy.arange(4.0)))  # probe a dispatch
+            return devs
+        except Exception as e:  # backend unavailable / tunnel down
+            if i == tries - 1:
+                raise
+            print(f"# backend unavailable ({type(e).__name__}); "
+                  f"retry {i + 1}/{tries} in {delay_s:.0f}s", flush=True)
+            try:  # jax memoizes failed backend init; drop the cache
+                from jax._src import xla_bridge as _xb
+
+                _xb.backends.cache_clear()
+            except Exception:
+                pass
+            time.sleep(delay_s)
+
+
 def main():
     import jax
 
@@ -60,6 +84,8 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
+
+    _wait_for_backend()
 
     from cpp_audio_tpu.analysis import chain, resynth, vocoder
     from cpp_audio_tpu.models import sine_synth
