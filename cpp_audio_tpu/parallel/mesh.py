@@ -114,6 +114,74 @@ def stft_sqmag_sharded(signal, window, stride: int, mesh: Mesh | None = None,
     return jax.jit(fn)(starts, signal, window)[:n_frames]
 
 
+def stft_sqmag_sharded_halo(signal, window, stride: int,
+                            mesh: Mesh | None = None,
+                            fft_length: int | None = None):
+    """Sequence-parallel STFT where the SIGNAL ITSELF is time-sharded: each
+    device holds one contiguous sample chunk and FFTs the frames that start
+    inside it; windows straddling a shard boundary read a one-window halo
+    `ppermute`d from the next device. Unlike stft_sqmag_sharded (replicated
+    signal), per-device memory and interconnect traffic are O(n/n_dev + ws)
+    — the layout for signals too long for one chip's HBM.
+
+    Per-shard frame counts differ by at most one, so shards compute a fixed
+    capacity of frames and a host-precomputed index map reassembles the
+    global frame order after the all_gather (rows are (n_frames, bins) —
+    control-sized). Returns (n_frames, n_bins).
+    """
+    import jax.numpy as jnp
+
+    from ..ops import stft as stft_ops
+
+    if mesh is None:
+        mesh = default_mesh()
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    signal = jnp.asarray(signal)
+    window = jnp.asarray(window, signal.dtype)
+    ws = int(window.shape[0])
+    if fft_length is None:
+        fft_length = stft_ops.fft_length_for(ws)
+    n = int(signal.shape[0])
+    n_frames = max(0, (n - ws) // stride + 1)
+    Ls = -(-n // n_dev)  # samples per shard
+    sig_pad = jnp.concatenate(
+        [signal, jnp.zeros((n_dev * Ls - n,), signal.dtype)])
+
+    # host-side frame -> (shard, local slot) assignment
+    g_starts = np.arange(n_frames) * stride
+    shard_of = np.minimum(g_starts // Ls, n_dev - 1)
+    counts = np.bincount(shard_of, minlength=n_dev)
+    Flc = max(1, int(counts.max()))
+    local_starts = np.zeros((n_dev, Flc), np.int32)
+    flat_index = np.zeros(n_frames, np.int64)
+    for d in range(n_dev):
+        gs = np.nonzero(shard_of == d)[0]
+        local_starts[d, : len(gs)] = g_starts[gs] - d * Ls
+        flat_index[gs] = d * Flc + np.arange(len(gs))
+
+    def shard_fn(sig_shard, starts_loc, win):
+        sig_shard = sig_shard.reshape(-1)   # (Ls,)
+        starts_loc = starts_loc.reshape(-1)  # (Flc,)
+        # halo: receive the NEXT shard's first ws samples (the wrap-around
+        # pair feeds shard n_dev-1 garbage it never reads: its frame starts
+        # satisfy start + ws <= n)
+        halo = jax.lax.ppermute(
+            sig_shard[:ws], axis,
+            perm=[(d, (d - 1) % n_dev) for d in range(n_dev)])
+        ext = jnp.concatenate([sig_shard, halo])
+        idx = starts_loc[:, None] + jnp.arange(ws)[None, :]
+        frames = ext[idx] * win[None, :]
+        scale = 2.0 / jnp.sum(win)
+        spec = jnp.fft.rfft(frames, n=fft_length)
+        return (jnp.abs(spec) ** 2 * scale**2).astype(sig_shard.dtype)
+
+    fn = jax.shard_map(shard_fn, mesh=mesh,
+                       in_specs=(P(axis), P(axis), P()), out_specs=P(axis))
+    sq = jax.jit(fn)(sig_pad, jnp.asarray(local_starts).reshape(-1), window)
+    return sq.reshape(n_dev * Flc, -1)[jnp.asarray(flat_index)]
+
+
 def render_schedule_sharded(schedule: NoteSchedule, n_samples: int,
                             config: sine_synth.SineSynthConfig,
                             mesh: Mesh | None = None) -> np.ndarray:

@@ -212,3 +212,19 @@ def test_render_jobs_pipelined_matches_single():
         vpeak = max(np.abs(va).max(), 1e-9)
         assert np.abs(va - vb[: len(va)]).max() < 1e-3 * vpeak + 1e-6
         assert int(dropped) == int(single.dropped)
+
+
+def test_sharded_stft_halo_matches_single():
+    """Time-sharded-signal STFT with ppermute halos must match the
+    replicated-signal STFT exactly (one-window boundary exchange)."""
+    from cpp_audio_tpu.ops import stft as stft_ops
+
+    sr = 44100
+    rng = np.random.default_rng(2)
+    sig = (np.sin(2 * np.pi * 440 * np.arange(sr // 2) / sr)
+           + 0.1 * rng.standard_normal(sr // 2))
+    w = stft_ops.gaussian_window(2000)
+    single = np.asarray(stft_ops.stft_sqmag(sig, w, 777))
+    halo = np.asarray(pmesh.stft_sqmag_sharded_halo(sig, w, 777))
+    assert halo.shape == single.shape
+    np.testing.assert_allclose(halo, single, rtol=2e-4, atol=1e-8)
