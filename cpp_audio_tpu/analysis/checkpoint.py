@@ -1,0 +1,238 @@
+"""Resumable long offline renders: render-state checkpointing.
+
+The reference checkpoints only *presets* (JSON autosave thread,
+source/rt.resynth.lib.cpp:1124-1161) because its renders are short and
+realtime. SURVEY.md 5.4 calls for the rebuild to "add render-state
+checkpointing only for long offline jobs" — this module is that subsystem.
+
+The offline chain runs here as the reference's own offline duplex loop
+(sample-blockwise feed -> pull, rt.resynth.lib.cpp:1185-1235) built from the
+streaming components (LiveResynth, StreamingVocoder). After every segment
+(a fixed number of blocks) the FULL pipeline state — PeriodicFFT window
+buffers, pitch-tracker voices, synth voice states, vocoder crossfade
+carries, feedback delay line, accumulated output — is snapshotted to disk
+with an atomic tmp+rename. A killed job resumes from the last snapshot and
+produces bit-identical output to an uninterrupted run: the block loop is
+the same sequence of feed/pull calls regardless of where segment boundaries
+fall, and every piece of state round-trips exactly through the snapshot.
+
+Checkpoints are keyed by a fingerprint of (preset, input lengths, sample
+rate, post, block size); a stale/mismatched checkpoint is ignored and the
+render restarts from scratch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import pickle
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..ops import limiter as lim
+from ..utils import wav as wavio
+from . import offline_job as oj
+from .presets_json import OfflineJobConfig, ResynthPreset
+from .streaming import LiveResynth, StreamingVocoder
+
+_MAGIC = "cpp_audio_tpu-render-checkpoint-v1"
+
+
+def _fingerprint(preset: ResynthPreset, n_voice: int, n_carrier: int,
+                 sample_rate: int, post: str, block_size: int) -> str:
+    blob = json.dumps(
+        [_MAGIC, preset.to_json_dict(), n_voice, n_carrier, sample_rate,
+         post, block_size],
+        sort_keys=True)
+    return hashlib.sha256(blob.encode()).hexdigest()
+
+
+@dataclass
+class _PipelineState:
+    """Everything that must survive a kill (all numpy/python -> picklable)."""
+
+    fingerprint: str
+    pos: int                       # samples fully processed
+    out: np.ndarray                # (n, 2) accumulated raw mix (pre-post)
+    live: LiveResynth | None       # analysis -> resynthesis leg
+    svoc: StreamingVocoder | None  # vocoder leg
+    fb_mono: np.ndarray | None     # analysis-leg mono output (feedback src)
+
+
+def save_checkpoint(path, state: _PipelineState) -> None:
+    """Atomic snapshot: write to a tmp file, fsync, rename into place."""
+    tmp = f"{path}.tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(state, f, protocol=pickle.HIGHEST_PROTOCOL)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path, fingerprint: str) -> _PipelineState | None:
+    """Load a snapshot; None if absent, unreadable, or config-mismatched."""
+    try:
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+    except (OSError, pickle.UnpicklingError, EOFError, AttributeError):
+        return None
+    if not isinstance(state, _PipelineState):
+        return None
+    if state.fingerprint != fingerprint:
+        return None
+    return state
+
+
+def run_offline_streaming(preset: ResynthPreset, voice: np.ndarray | None,
+                          carrier: np.ndarray | None, sample_rate: int,
+                          post: str = "none", *,
+                          checkpoint_path=None,
+                          segment_seconds: float = 5.0,
+                          block_size: int = 512,
+                          resume: bool = True,
+                          max_segments: int | None = None,
+                          max_feedback_level: float = 4.0,
+                          ) -> np.ndarray | None:
+    """Streaming (block-loop) form of offline_job.run_offline with optional
+    resumable checkpointing.
+
+    Semantics follow the reference's offline ctor loop: the same pipeline as
+    the live app, driven block by block. Output therefore matches
+    offline_job.run_offline at the documented streaming latencies (analysis
+    events land at window-completion samples; the vocoded stream lags 2
+    strides), not bitwise — but is itself exactly reproducible: any
+    interrupt/resume sequence yields the identical array.
+
+    checkpoint_path: enable snapshots every `segment_seconds` of audio.
+    max_segments: stop (returning None) after that many segments this call —
+    used by tests to simulate a kill mid-render.
+    """
+    n = max(len(voice) if voice is not None else 0,
+            len(carrier) if carrier is not None else 0)
+    voice = np.zeros(n) if voice is None else np.asarray(voice, np.float64)
+    carrier = (np.zeros(n) if carrier is None
+               else np.asarray(carrier, np.float64))
+    gained = preset.analysis_input_gain * voice
+
+    seg_blocks = max(1, int(round(segment_seconds * sample_rate / block_size)))
+    fp = _fingerprint(preset, len(voice), len(carrier), sample_rate, post,
+                      block_size)
+
+    state = None
+    if checkpoint_path and resume:
+        state = load_checkpoint(checkpoint_path, fp)
+    if state is None:
+        use_analysis = preset.analysis_volume != 0.0
+        use_vocoder = preset.vocoder_volume != 0.0 and len(carrier) > 0
+        live = None
+        if use_analysis:
+            cfg = oj.resynth_config_from_preset(preset, sample_rate)
+            live = LiveResynth(cfg)
+        svoc = None
+        if use_vocoder:
+            vp = oj.vocoder_params_from_preset(preset, sample_rate)
+            svoc = StreamingVocoder(vp)
+        fb_mono = (np.zeros(n)
+                   if use_analysis and preset.analysis_output_feedback_gain
+                   else None)
+        state = _PipelineState(fingerprint=fp, pos=0, out=np.zeros((n, 2)),
+                               live=live, svoc=svoc, fb_mono=fb_mono)
+
+    fb_gain = preset.analysis_output_feedback_gain
+    delay = max(1, int(0.5 + preset.output_delay_seconds * sample_rate))
+    # feedback must be causal at block granularity (the live delay line is
+    # written by the output callback before the analysis thread reads it)
+    blk = min(block_size, delay) if state.fb_mono is not None else block_size
+    if state.fb_mono is not None:
+        seg_blocks = max(1, seg_blocks * block_size // blk)
+
+    segments_done = 0
+    while state.pos < n:
+        end_seg = min(state.pos + seg_blocks * blk, n)
+        while state.pos < end_seg:
+            lo = state.pos
+            hi = min(lo + blk, n)
+            if state.live is not None:
+                feed = gained[lo:hi]
+                if state.fb_mono is not None:
+                    delayed = np.zeros(hi - lo)
+                    src_lo = lo - delay
+                    if src_lo + (hi - lo) > 0:
+                        a = max(src_lo, 0)
+                        delayed[a - src_lo:] = state.fb_mono[a: src_lo
+                                                             + (hi - lo)]
+                    feed = np.clip(feed + fb_gain * delayed,
+                                   -max_feedback_level, max_feedback_level)
+                state.live.feed(feed)
+                r = state.live.pull(hi - lo)
+                state.out[lo:hi] += r
+                if state.fb_mono is not None:
+                    state.fb_mono[lo:hi] = r.sum(axis=1)
+            if state.svoc is not None:
+                v = state.svoc.process(gained[lo:hi], carrier[lo:hi])
+                state.out[lo:hi, 0] += preset.vocoder_volume * v
+                state.out[lo:hi, 1] += preset.vocoder_volume * v
+            state.pos = hi
+        if checkpoint_path:
+            save_checkpoint(checkpoint_path, state)
+        segments_done += 1
+        if max_segments is not None and segments_done >= max_segments \
+                and state.pos < n:
+            return None
+
+    out = state.out.copy()
+    # direct legs + post, as in offline_job.run_offline (stateless: applied
+    # on the completed mix, not checkpointed)
+    if preset.voice_volume != 0.0:
+        out[: len(voice), 0] += preset.voice_volume * voice
+        out[: len(voice), 1] += preset.voice_volume * voice
+    if preset.carrier_volume != 0.0:
+        out[: len(carrier), 0] += preset.carrier_volume * carrier
+        out[: len(carrier), 1] += preset.carrier_volume * carrier
+    if post == "limit":
+        out = np.asarray(lim.limit(out, sample_rate=sample_rate))
+    out = np.asarray(lim.clamp_and_guard(out))
+    if checkpoint_path:
+        try:
+            os.remove(checkpoint_path)
+        except OSError:
+            pass
+    return out
+
+
+def run_job_checkpointed(config: OfflineJobConfig, checkpoint_path,
+                         segment_seconds: float = 5.0,
+                         resume: bool = True) -> np.ndarray:
+    """offline_job.run_job with resumable render-state checkpointing."""
+    preset = (ResynthPreset.load(config.preset_file) if config.preset_file
+              else ResynthPreset())
+    voice = carrier = None
+    sample_rate = None
+    if config.input_voice_file:
+        data, sample_rate = wavio.read_wav(config.input_voice_file)
+        if data.shape[1] != 1:
+            raise ValueError("single channel only")
+        voice = data[:, 0]
+    if config.input_carrier_file:
+        data, sr2 = wavio.read_wav(config.input_carrier_file)
+        if data.shape[1] != 1:
+            raise ValueError("single channel only")
+        if sample_rate is not None and sr2 != sample_rate:
+            raise ValueError("sample rate mismatch between carrier and voice")
+        sample_rate = sr2
+        carrier = data[:, 0]
+    if sample_rate is None:
+        raise ValueError("must have at least one of carrier or voice")
+    if not config.output_file:
+        raise ValueError("no output file")
+
+    out = run_offline_streaming(preset, voice, carrier, sample_rate,
+                                post=config.post,
+                                checkpoint_path=checkpoint_path,
+                                segment_seconds=segment_seconds,
+                                resume=resume)
+    wavio.write_wav(config.output_file, out, sample_rate,
+                    bits=32, fmt=wavio.WAVE_FORMAT_IEEE_FLOAT)
+    return out

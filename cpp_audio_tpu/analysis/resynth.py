@@ -280,6 +280,20 @@ class PitchTracker:
     def result(self):
         return list(self.voices.values()), self.stats, self.dropped_note_on
 
+    # the autotune function is a closure over config (unpicklable); it is
+    # deterministic in config, so render-state snapshots (analysis/checkpoint
+    # .py) drop it and rebuild it on load
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        del state["autotune_fn"]
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self.autotune_fn = at.mk_autotune_function(
+            use_autotune=self.config.use_autotune,
+            **self.config.autotune_kwargs)
+
 
 def track_python(peaks_per_frame, config: ResynthConfig):
     """Pure-python pitch pipeline + tracking (semantic reference)."""

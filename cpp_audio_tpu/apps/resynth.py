@@ -66,6 +66,12 @@ def main(argv=None):
     ap.add_argument("input", nargs="?")
     ap.add_argument("output", nargs="?")
     ap.add_argument("--job", help="JSON job config path")
+    ap.add_argument("--checkpoint", metavar="PATH",
+                    help="with --job: resumable render-state snapshots at "
+                         "PATH (a killed job restarted with the same flags "
+                         "resumes and yields the identical output)")
+    ap.add_argument("--checkpoint-seconds", type=float, default=5.0,
+                    help="audio seconds between snapshots for --checkpoint")
     ap.add_argument("--autotune", action="store_true")
     ap.add_argument("--live", action="store_true",
                     help="stream through the live duplex pipeline")
@@ -96,7 +102,15 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     if args.job:
-        offline_job.run_job_file(args.job)
+        if args.checkpoint:
+            from ..analysis import checkpoint
+            from ..analysis.presets_json import OfflineJobConfig
+
+            checkpoint.run_job_checkpointed(
+                OfflineJobConfig.load(args.job), args.checkpoint,
+                segment_seconds=args.checkpoint_seconds)
+        else:
+            offline_job.run_job_file(args.job)
         print(f"ran job {args.job}")
         return 0
     if not args.input or not args.output:
