@@ -68,11 +68,17 @@ def _harmonize_lanes(tpitch, tvol, h: float):
     existing pitch merges its volume into it instead. Doubles the lane count
     (F, k) -> (F, 2k), output re-sorted ascending with inf padding.
 
-    The reference searches the *growing* vector for the closest element;
-    a copy can only land within eps of another COPY when the two source
-    pitches are within eps of each other — impossible for distinct reduced
-    groups (aggregation keeps them > nearby_distance apart) — so matching
-    against the originals is exact.
+    The reference searches the *growing* vector with a lower_bound whose
+    sorted precondition its own appends break (algo.cpp:338-348), so its
+    search can MISS a true-closest original once any copy was appended; the
+    host paths (pitch.py, native/pitchpipe.cpp) reproduce that probe
+    sequence exactly (pinned by tests/test_reference_oracle.py). This device
+    kernel merges by true closest instead: the two differ only when a copy
+    lands within PITCH_EPSILON (1e-4 halftones) of an original AND an
+    earlier copy was appended — an eps-exact configuration (e.g. harmonize
+    by exactly 12 over octave content). Copy-vs-copy merges remain
+    impossible (copies inherit the > nearby_distance spacing of their
+    sources).
     """
     F, k = tpitch.shape
     fdt = tpitch.dtype

@@ -123,22 +123,46 @@ def shift_pitches(shift_amount: float, pitches: list[PitchVolume]) -> None:
         p.midipitch += shift_amount
 
 
+def _lower_bound_closest_idx(pitch: float, items: list, key) -> int:
+    """find_closest_pitch (algo.cpp:189-218): lower_bound probe sequence +
+    neighbor comparison. The probe positions (mid = lo + (hi-lo)//2, branch
+    on key(items[mid]) < pitch) are exactly std::lower_bound's, which matters
+    because harmonize_pitches calls this on a vector whose sorted invariant
+    is broken by its own mid-loop appends (algo.cpp:338-348) — on such input
+    the binary search can MISS the true closest element, and the reference's
+    output reflects that (pinned by tests/test_reference_oracle.py)."""
+    lo, hi = 0, len(items)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if key(items[mid]) < pitch:
+            lo = mid + 1
+        else:
+            hi = mid
+    if lo == len(items):
+        return lo - 1
+    if lo == 0:
+        return 0
+    return (lo if abs(pitch - key(items[lo])) < abs(pitch - key(items[lo - 1]))
+            else lo - 1)
+
+
 def harmonize_pitches(harmonize_amount: float, pitches: list[PitchVolume]) -> list[PitchVolume]:
-    """Add a transposed copy of each pitch, merging near-identical ones
-    (algo.cpp:318-371). Returns a new sorted list."""
+    """Add a transposed copy of each pitch, merging a copy that lands within
+    PITCH_EPSILON of the element find_closest_pitch returns (algo.cpp:318-371
+    — the search runs over the growing vector). Returns a new sorted list."""
     if not harmonize_amount:
         return pitches
     sz = len(pitches)
     for i in range(sz):
         p = pitches[i]
         hp = p.midipitch + harmonize_amount
-        # closest among the ORIGINAL sorted prefix (reference searches the
-        # full vector, which stays sorted in [0, sz) during the loop)
-        closest = min(pitches[:sz] + pitches[sz:], key=lambda q: abs(q.midipitch - hp))
+        closest = pitches[_lower_bound_closest_idx(
+            hp, pitches, lambda q: q.midipitch)]
         if abs(closest.midipitch - hp) <= PITCH_EPSILON:
             closest.volume += p.volume
         else:
             pitches.append(PitchVolume(hp, p.volume))
+    # merge_sort_step of the two sorted runs == stable sort (algo.cpp:350-360)
     pitches.sort(key=lambda q: q.midipitch)
     return pitches
 

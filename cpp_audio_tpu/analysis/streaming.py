@@ -42,45 +42,63 @@ class PeriodicFFT:
         self.window_size = window_size
         self.stride = stride
         self.on_window = on_window
-        self._buf = np.zeros(0)
-        self._skip = 0            # pending skip for stride > window
-        self._t = 0               # absolute sample index of end of _buf
+        self._win = np.zeros(window_size)
+        self._end = 0             # fill position (reference `end`)
+        self._skip = 0            # reference `ignore_frames` (may go <0
+        #                           after an uncovered drop — no skipping
+        #                           happens then, periodicfft.cpp:55-59,69-78)
+        self._t = 0               # absolute source-sample index consumed
 
     def feed(self, samples) -> int:
-        """Consume a block; returns how many windows completed."""
+        """Consume a block; returns how many windows completed.
+
+        Exact PeriodicFFT::feed/onFullBuffer semantics (periodicfft.cpp:
+        55-66,136-180), pinned against the compiled reference by
+        tests/test_reference_oracle.py::TestPeriodicFFT."""
         samples = np.atleast_1d(np.asarray(samples, np.float64))
-        self._t += len(samples)
-        if self._skip:
-            drop = min(self._skip, len(samples))
-            samples = samples[drop:]
-            self._skip -= drop
-        self._buf = np.concatenate([self._buf, samples])
         fired = 0
-        while len(self._buf) >= self.window_size:
-            end = self._t - (len(self._buf) - self.window_size)
-            self.on_window(self._buf[: self.window_size], end)
-            fired += 1
-            if self.stride >= self.window_size:
-                # negative overlap: drop the window and skip the gap
-                self._buf = self._buf[self.window_size:]
-                self._skip = self.stride - self.window_size
-                if self._skip and len(self._buf):
-                    drop = min(self._skip, len(self._buf))
-                    self._buf = self._buf[drop:]
-                    self._skip -= drop
-            else:
-                self._buf = self._buf[self.stride:]  # keep the overlap
+        i, n = 0, len(samples)
+        while i < n:
+            if self._skip > 0:
+                take = min(self._skip, n - i)
+                self._skip -= take
+                i += take
+                self._t += take
+                continue
+            take = min(self.window_size - self._end, n - i)
+            self._win[self._end:self._end + take] = samples[i:i + take]
+            self._end += take
+            i += take
+            self._t += take
+            if self._end == self.window_size:
+                self._end = 0
+                fired += 1
+                self.on_window(self._win.copy(), self._t)
+                overlap = self.window_size - self.stride
+                if overlap >= 0:
+                    self._win[:overlap] = self._win[self.stride:]
+                    self._end = overlap
+                    self._skip = 0
+                else:
+                    self._skip = -overlap
         return fired
 
-    def on_dropped_frames(self, n: int) -> None:
-        """Resync after an input overrun: restart the window
-        (periodicfft.cpp:69-78)."""
-        self._t += n
-        self._buf = np.zeros(0)
+    def on_dropped_frames(self, n: int | None) -> None:
+        """Resync after an input overrun (periodicfft.cpp:69-78): a drop
+        fully covered by a pending skip is absorbed; otherwise the window
+        CONTENT is zeroed but the fill position (and so the fire cadence)
+        is kept, exactly like the reference's reset_samples. n=None means
+        an unknown drop count (unconditional zeroing, position kept)."""
+        if n is not None:
+            self._t += n
+            self._skip -= n
+            if self._skip >= 0:
+                return
+        self._win[:] = 0.0
 
     def samples_until_fire(self) -> int:
         """How many more fed samples complete the next window."""
-        return self._skip + self.window_size - len(self._buf)
+        return max(0, self._skip) + self.window_size - self._end
 
 
 class StreamingVocoder:

@@ -74,7 +74,7 @@ def _stereo_gains(pan: np.ndarray, n_channels: int) -> np.ndarray:
     """Constant-power pan (reference include/stereo.h): gains = cos/sin(pi/4*(pan+1))."""
     if n_channels == 1:
         return np.ones((len(pan), 1))
-    th = 0.25 * np.pi * (pan + 1.0)
+    th = 0.25 * np.pi * (np.clip(pan, -1.0, 1.0) + 1.0)
     g = np.zeros((len(pan), n_channels))
     g[:, 0] = np.cos(th)
     g[:, 1] = np.sin(th)

@@ -116,6 +116,11 @@ class Midi:
         return freq * self.half_tone_ratio**n
 
     def midi_pitch_offset_nth_harmonic(self, n: int) -> float:
+        # the reference computes log2 in float32 (include/midi.h:270-272:
+        # log2<is_constexpr>(static_cast<float>(n))); we keep float64, which
+        # stays within 1 f32 ulp of it (pinned by tests/test_reference_oracle
+        # .py at that tolerance — glibc log2f and numpy's f32 log2 themselves
+        # disagree by 1 ulp, so bitwise parity is not meaningful here)
         return (NUM_HALFTONES_PER_OCTAVE / self.tuning_stretch) * math.log2(n)
 
 

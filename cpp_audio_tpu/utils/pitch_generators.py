@@ -46,9 +46,17 @@ class MultiOctave:
                     self.octave -= 1
                     self.i = len(self.seq) - 1
                     return self.seq[self.i] + self.octave * NUM_HALFTONES_PER_OCTAVE
+                # re-ascend: the base pitch was just played, so the new
+                # ascent starts at seq[1] and continues from seq[2]
+                # (pitch_generators.h:92-97: ++m_nextPitch then
+                # *(m_nextPitch++); out-of-bounds for 1-element sequences
+                # in the reference — here seq[0] repeats instead)
                 self.asc = True
-                self.i = 1
-                return self.seq[1 % len(self.seq)]
+                if len(self.seq) == 1:
+                    self.i = 1
+                    return self.seq[0]
+                self.i = 2
+                return self.seq[1]
 
 
 class ShufflePattern:

@@ -131,22 +131,30 @@ void shift(std::vector<PitchVolume>& v, double amount) {
 }
 
 void harmonize(std::vector<PitchVolume>& v, double amount) {
-  // algo.cpp:318-371
+  // algo.cpp:318-371. The reference finds the merge target with
+  // find_closest_pitch (lower_bound + neighbor compare, algo.cpp:189-218)
+  // over the GROWING vector, whose sorted invariant its own appends break —
+  // so the search can miss the true closest element. We reproduce that
+  // probe-for-probe (pinned against compiled reference code by
+  // tests/test_reference_oracle.py).
   if (!amount) return;
   size_t sz = v.size();
   for (size_t i = 0; i < sz; ++i) {
     double hp = v[i].pitch + amount;
-    // closest among current entries
-    size_t best = 0; double bestd = 1e300;
-    for (size_t j = 0; j < v.size(); ++j) {
-      double d = std::abs(v[j].pitch - hp);
-      if (d < bestd) { bestd = d; best = j; }
+    auto lb = std::lower_bound(v.begin(), v.end(), hp,
+                               [](const PitchVolume& a, double p) { return a.pitch < p; });
+    size_t best;
+    if (lb == v.end()) best = v.size() - 1;
+    else if (lb == v.begin()) best = 0;
+    else {
+      size_t k = static_cast<size_t>(lb - v.begin());
+      best = (std::abs(hp - v[k].pitch) < std::abs(hp - v[k - 1].pitch)) ? k : k - 1;
     }
-    if (bestd <= kPitchEpsilon) v[best].volume += v[i].volume;
+    if (std::abs(v[best].pitch - hp) <= kPitchEpsilon) v[best].volume += v[i].volume;
     else v.push_back({hp, v[i].volume});
   }
-  std::sort(v.begin(), v.end(),
-            [](const PitchVolume& a, const PitchVolume& b) { return a.pitch < b.pitch; });
+  std::stable_sort(v.begin(), v.end(),
+                   [](const PitchVolume& a, const PitchVolume& b) { return a.pitch < b.pitch; });
 }
 
 double closest_allowed(const std::vector<double>& allowed, double pitch) {

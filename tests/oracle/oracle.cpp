@@ -1,0 +1,493 @@
+// Reference-code test oracle.
+//
+// Compiles the reference's self-contained leaf headers *from /root/reference*
+// (read-only; nothing is copied into this repo) behind tests/oracle/shim.h,
+// and dumps golden values as text for tests/test_reference_oracle.py to
+// compare against the Python implementations (utils/midi.py,
+// utils/loudness.py, utils/scales.py, utils/convert.py, ops/oscillators.py,
+// analysis/autotune.py).
+//
+// This closes the round-1 fidelity gap: previously all parity tests compared
+// the repo's implementations against each other, which cannot catch a shared
+// misreading of the reference. Here the reference's own arithmetic runs.
+//
+// Output format: one datum per line, "<key> <args...> <value...>", doubles
+// printed with %.17g.
+
+#include "shim.h"
+
+#include "midi.h"                    // /root/reference/include/midi.h
+
+// NoteSpec (include/note.h:3-8); note.h itself drags the Request/Sounds
+// engine types, so the struct is re-declared here instead of included
+namespace imajuscule::audio {
+struct NoteSpec {
+  std::optional<Note> note;  // no value means silence
+  bool loud;
+  unsigned int duration : 7;
+};
+}  // namespace imajuscule::audio
+#include "parse.music.cpp"           // the score language parser
+#include "stereo.h"                  // constant-power pan
+#include "pitch_generators.h"        // MultiOctave/ShufflePattern/Drifter
+#include "smoothparam.h"             // step-limited parameter smoothing
+
+#include "loudness.h"                // /root/reference/include/loudness.h
+#include "scales.h"                  // /root/reference/include/scales.h
+#include "sound.functions.h"         // /root/reference/include/sound.functions.h
+#include "rt.resynth.lib.autotune.cpp"  // /root/reference/source/...
+#include "rt.resynth.lib.algo.cpp"      // the full pitch pipeline
+#include "rt.resynth.lib.periodicfft.cpp"  // sliding-window FFT driver
+
+#include <cstring>
+#include <functional>
+
+using namespace imajuscule;
+using namespace imajuscule::audio;
+using namespace imajuscule::audio::rtresynth;
+
+static void print1(const char* key, double a, double v) {
+  std::printf("%s %.17g %.17g\n", key, a, v);
+}
+
+static void dump_midi(double stretch) {
+  Midi midi{stretch};
+  std::printf("half_tone_ratio %.17g\n", midi.getHalfToneRatio());
+  for (double p = -5.0; p <= 155.0; p += 1.37) {
+    print1("p2f", p, midi.midi_pitch_to_freq(MidiPitch{p}));
+  }
+  for (double f = 1.0; f <= 50000.0; f *= 1.7) {
+    auto mp = midi.frequency_to_midi_pitch(f);
+    print1("f2p", f, mp ? mp->get() : -1e9);
+  }
+  for (int n = -24; n <= 24; n += 5) {
+    std::printf("transpose %d %.17g\n", n,
+                midi.transpose_frequency(440.0, n));
+  }
+  for (int n = 1; n <= 16; ++n) {
+    std::printf("harmonic %d %.17g\n", n,
+                midi.midi_pitch_offset_nth_harmonic(n));
+  }
+  {
+    auto adds = compute_harmonic_pitch_adds<10>(midi);
+    for (int i = 0; i < 10; ++i)
+      std::printf("harmonic_add %d %.17g\n", i, adds[i]);
+  }
+  for (int note = 0; note < 12; ++note) {
+    for (int octave = -1; octave <= 8; octave += 3) {
+      std::printf("get_pitch %d %d %.17g\n", note, octave,
+                  midi.get_pitch(NoteOctave{static_cast<Note>(note), octave})
+                      .get());
+    }
+  }
+  for (double p = 0.0; p <= 151.0; p += 3.77) {
+    auto [no, dev] = midi_pitch_to_note_deviation(MidiPitch{p});
+    std::printf("note_dev %.17g %d %d %.17g\n", p,
+                static_cast<int>(to_underlying(no.note)), no.octave, dev);
+  }
+  // NoteOctave arithmetic (testAutotune exercises these,
+  // rt.resynth.lib.test.cpp:1-31)
+  for (long n = -30; n <= 30; n += 7) {
+    auto no = NoteOctave{Note::La, 4}.add_halftones(n);
+    std::printf("add_halftones %ld %d %d\n", n,
+                static_cast<int>(to_underlying(no.note)), no.octave);
+  }
+  std::printf("dist_halftones %d\n",
+              NoteOctave{Note::Do, 3}.dist_halftones(NoteOctave{Note::Sol, 5}));
+}
+
+static void dump_loudness() {
+  for (int i = 0; i < static_cast<int>(loudness::elvs.size()); ++i)
+    for (int j = 0; j < loudness::n_freq; ++j)
+      std::printf("elvs %d %d %.17g\n", i, j,
+                  static_cast<double>(loudness::elvs[i][j]));
+  for (int j = 0; j < loudness::n_freq; ++j)
+    std::printf("pitches %d %.17g\n", j, loudness::pitches[j].get());
+  const double levels[] = {20., 35., 40., 63., 100.};
+  const double ratios[] = {0.0, 0.5, 1.0};
+  for (double f = 10.0; f <= 30000.0; f *= 1.33) {
+    for (double level : levels) {
+      for (double r : ratios) {
+        std::printf("freq %.17g %.17g %.17g %.17g\n", f, level, r,
+                    static_cast<double>(loudness::equal_loudness_volume_from_freq(
+                        static_cast<float>(f), 0, static_cast<float>(r),
+                        static_cast<float>(level))));
+      }
+    }
+  }
+  for (double p = 0.0; p <= 151.0; p += 2.39) {
+    std::printf("pitchvol %.17g %.17g\n", p,
+                static_cast<double>(loudness::equal_loudness_volume_from_pitch(
+                    MidiPitch{p}, 0, 1.f, 40.f)));
+  }
+  for (double db = -40.0; db <= 140.0; db += 7.3) {
+    std::printf("db2amp %.17g %.17g\n", db,
+                static_cast<double>(loudness::db_to_amplitude(
+                    static_cast<float>(db), 110.f, 0.6f)));
+  }
+}
+
+static void dump_scales() {
+  for (int i = 0; i < 7; ++i)
+    std::printf("well_major %d %.17g\n", i, well_tempered::c_majorScaleAsc[i]);
+  for (int i = 0; i < 7; ++i)
+    std::printf("well_minor %d %.17g\n", i, well_tempered::c_minorScaleAsc[i]);
+  auto j = just::mkMajorScaleAsc<Constexpr::No>();
+  for (int i = 0; i < 7; ++i) std::printf("just %d %.17g\n", i, j[i]);
+  auto p = pythagorean::mkMajorScaleAsc<Constexpr::No>();
+  for (int i = 0; i < 7; ++i) std::printf("pyth %d %.17g\n", i, p[i]);
+  auto mp = toMidiPitches(MidiPitch{62.5}, j);
+  for (int i = 0; i < 7; ++i)
+    std::printf("to_midi %d %.17g\n", i, mp[i].get());
+}
+
+static void dump_soundfunc() {
+  const int srs[] = {44100, 48000, 96000};
+  for (int sr : srs) {
+    std::printf("ms_to_frames %d %.17g %d\n", sr, 12.34,
+                ms_to_frames(12.34f, sr));
+    std::printf("frames_to_ms %d %d %.17g\n", sr, 777,
+                static_cast<double>(frames_to_ms(777, sr)));
+    std::printf("nanos_to_frames %d %llu %d\n", sr, 123456789ull,
+                nanoseconds_to_frames(DurationNanos{123456789ull}, sr));
+    std::printf("f2inc %d %.17g %.17g\n", sr, 440.0,
+                freq_to_angle_increment(440.0, sr));
+    std::printf("inc2f %d %.17g %.17g\n", sr, 0.02,
+                angle_increment_to_freq(0.02, sr));
+    std::printf("f2period %d %.17g %d\n", sr, 439.3,
+                freq_to_period_in_samples(439.3f, static_cast<float>(sr)));
+    std::printf("nyquist %d %.17g\n", sr,
+                get_nyquist_frequency(static_cast<double>(sr)));
+  }
+  std::printf("inc2csamples %.17g %.17g\n", 0.031,
+              angle_increment_to_period_in_continuous_samples(0.031));
+  // waveforms over angle in [0, 2) rad/pi (the reference's unit)
+  for (double a = 0.0; a < 2.0; a += 0.0703) {
+    print1("saw", a, saw(a));
+    print1("triangle", a, triangle(a));
+    print1("square", a, square(a));
+    std::printf("pulse %.17g %.17g %.17g %.17g %.17g\n", a, 0.37, 1.25, -0.5,
+                pulse(a, 0.37, 1.25, -0.5));
+  }
+}
+
+static void dump_autotune() {
+  const MusicalScaleMode modes[] = {MusicalScaleMode::Major,
+                                    MusicalScaleMode::MinorNatural,
+                                    MusicalScaleMode::MinorHarmonic};
+  const double roots[] = {60.0, 61.5, 69.0, 0.25};
+  for (int m = 0; m < 3; ++m) {
+    auto const& scale = getMusicalScale(modes[m]);
+    for (double root : roots) {
+      for (double p = -10.0; p <= 160.0; p += 0.83) {
+        std::printf("closest %d %.17g %.17g %.17g\n", m, root, p,
+                    scale.closest_pitch(MidiPitch{root}, MidiPitch{p}).get());
+      }
+    }
+  }
+  // find_closest_pitch over a fixed sorted pitch list
+  std::vector<double> pitches{12.0, 40.0, 40.5, 69.0, 100.0};
+  for (double p = 0.0; p <= 120.0; p += 1.9) {
+    double* r = find_closest_pitch(MidiPitch{p}, pitches,
+                                   [](double d) { return MidiPitch{d}; });
+    print1("findc", p, r ? *r : -1e9);
+  }
+}
+
+// Constant-power pan (include/stereo.h), pitch generators
+// (include/pitch_generators.h) and smoothed params (include/smoothparam.h)
+static void dump_small_helpers() {
+  for (double pan = -1.4; pan <= 1.4; pan += 0.09) {
+    auto g = stereo(pan);
+    std::printf("pan %.17g %.17g %.17g\n", pan, g.left(), g.right());
+  }
+  {
+    MidiPitch seq[] = {MidiPitch{60.}, MidiPitch{64.}, MidiPitch{67.}};
+    MultiOctave mo{seq, seq + 3, 2};
+    for (int i = 0; i < 40; ++i)
+      std::printf("multioctave %d %.17g\n", i, mo().get());
+    // (1-element sequences hit an out-of-bounds read in the reference's
+    // re-ascend path, pitch_generators.h:92-97 — UB, not oracled)
+    MultiOctave mo0{seq, seq + 3, 0};
+    for (int i = 0; i < 5; ++i)
+      std::printf("multioctave0 %d %.17g\n", i, mo0().get());
+  }
+  {
+    MidiPitch seq[] = {MidiPitch{60.}, MidiPitch{62.}, MidiPitch{64.},
+                       MidiPitch{65.}, MidiPitch{67.}};
+    MultiOctave mo{seq, seq + 5, 1};
+    ShufflePattern<MultiOctave> sp{mo, {0, 2, 1, 2}};
+    for (int i = 0; i < 30; ++i)
+      std::printf("shuffle %d %.17g\n", i, sp().get());
+  }
+  {
+    PitchDrifter pd{0.013};
+    for (int i = 0; i < 50; ++i)
+      std::printf("drift %d %.17g\n", i, pd(MidiPitch{69.}).get());
+  }
+  {
+    static const float inc = 0.25f;
+    SmoothedFloat<&inc> s;
+    const float targets[] = {1.f, 1.f, -0.4f, -0.4f, -0.4f, 0.33f};
+    int i = 0;
+    for (float t : targets) {
+      s.setTarget(t);
+      for (int k = 0; k < 3; ++k)
+        std::printf("smoothed %d %.17g\n", i++, double(s.step()));
+    }
+  }
+}
+
+// Score language: each stdin line is a score; prints one line per parsed
+// NoteSpec: "N <note|-1> <loud> <duration>", then "S" after each score.
+static void dump_score() {
+  std::string line;
+  while (std::getline(std::cin, line)) {
+    auto specs = parseMusic(line);
+    for (auto const& s : specs)
+      std::printf("N %d %d %u\n",
+                  s.note ? static_cast<int>(to_underlying(*s.note)) : -1,
+                  s.loud ? 1 : 0, static_cast<unsigned>(s.duration));
+    std::printf("S\n");
+  }
+}
+
+// Drives the reference's PeriodicFFT sliding-window machinery
+// (rt.resynth.lib.periodicfft.cpp:14-181) with a trivial "copy the window"
+// op, pinning the feed/overlap/negative-overlap/drop-resync bookkeeping.
+// argv: periodicfft <window> <stride>; stdin commands:
+//   f <n>  feed n samples of a global ramp (value = counter++)
+//   d <n>  on_dropped_frames(n), ramp counter += n (frames lost at source)
+//   r      on_dropped_frames(nullopt) (unknown drop count -> reset)
+// prints "W <v0> <v1> ..." per completed window.
+struct CopyWindowOp {
+  using FPT = float;
+  using Result = std::vector<float>;
+  explicit CopyWindowOp(int reserve) { res.reserve(reserve); }
+  bool init_data(int window_size) {
+    bool changed = window_size != size_;
+    size_ = window_size;
+    return changed;
+  }
+  template <typename It>
+  void operator()(It b, It e) {
+    res.assign(b, e);
+  }
+  Result const& get_results() const { return res; }
+  int size_ = -1;
+  Result res;
+};
+
+static void dump_periodicfft(int window, int stride) {
+  PeriodicFFT<CopyWindowOp> pfft{1 << 16};
+  pfft.setLambdas([window]() { return window; }, [stride]() { return stride; },
+                  [](int, CopyWindowOp::Result const& r) {
+                    std::printf("W");
+                    for (float v : r) std::printf(" %.17g", double(v));
+                    std::printf("\n");
+                  });
+  long counter = 0;
+  char cmd[8];
+  while (std::scanf("%7s", cmd) == 1) {
+    if (cmd[0] == 'f') {
+      int n;
+      if (std::scanf("%d", &n) != 1) std::exit(2);
+      for (int i = 0; i < n; ++i)
+        pfft.feed(static_cast<float>(counter++));
+    } else if (cmd[0] == 'd') {
+      int n;
+      if (std::scanf("%d", &n) != 1) std::exit(2);
+      counter += n;
+      pfft.on_dropped_frames(n);
+    } else if (cmd[0] == 'r') {
+      pfft.on_dropped_frames(std::nullopt);
+    } else {
+      std::exit(2);
+    }
+  }
+}
+
+// Drives the reference's ENTIRE per-frame pitch pipeline
+// (rt.resynth.lib.algo.cpp stage functions, called in the exact order of
+// RtResynth::step, rt.resynth.lib.cpp:1670-1759) plus the synthesize_sounds
+// event policy skeleton (:265-382, minus the synth itself). All stage logic
+// below is the reference's compiled code; this function is only I/O glue.
+//
+// stdin: one config line then frames:
+//   nearby pmethod vmethod min_volume shift_pre harm_pre at_on at_mode
+//     at_root_note at_transpose at_max_pitch at_tol shift_post harm_post
+//     max_track max_voices
+//   frame <n>
+//   <freq> <mag_db>   (xn, strictly increasing freq)
+static void dump_pitchpipe() {
+  double nearby, min_volume;
+  int pmethod, vmethod, at_on, at_mode, at_root_note, at_transpose;
+  double shift_pre, harm_pre, at_max_pitch, at_tol, shift_post, harm_post;
+  double max_track;
+  int max_voices;
+  if (std::scanf("%lf %d %d %lf %lf %lf %d %d %d %d %lf %lf %lf %lf %lf %d",
+                 &nearby, &pmethod, &vmethod, &min_volume, &shift_pre,
+                 &harm_pre, &at_on, &at_mode, &at_root_note, &at_transpose,
+                 &at_max_pitch, &at_tol, &shift_post, &harm_post, &max_track,
+                 &max_voices) != 16) {
+    std::fprintf(stderr, "bad config line\n");
+    std::exit(2);
+  }
+
+  // the autotune function, built the way RtResynth::mkAutotuneFunction
+  // builds its MusicalScale / identity variants (rt.resynth.lib.cpp:
+  // 1763-1764,1864-1873)
+  std::function<std::optional<MidiPitch>(MidiPitch)> autotune;
+  if (!at_on) {
+    autotune = [](MidiPitch v) -> std::optional<MidiPitch> { return {v}; };
+  } else {
+    auto const* scale =
+        &getMusicalScale(static_cast<MusicalScaleMode>(at_mode));
+    MidiPitch const root_pitch =
+        A_pitch + at_transpose +
+        half_tones_distance(Note::La, static_cast<Note>(at_root_note));
+    autotune = [scale, root_pitch](MidiPitch p) -> std::optional<MidiPitch> {
+      return scale->closest_pitch(root_pitch, p);
+    };
+  }
+
+  Midi midi;
+  std::vector<FreqMag<double>> fs;
+  std::vector<PitchVolume> freqmags_data, reduced_pitches, autotuned_pitches,
+      pitches_tmp;
+  std::vector<PitchInterval> pitch_intervals;
+  std::vector<std::optional<int>> pitch_changes;
+  std::vector<bool> continue_playing;
+  std::vector<float> loudnesses;
+  std::vector<int> order;
+  std::vector<PlayedNote> played_pitches;
+  int64_t next_noteid = 0;
+  int64_t frame_idx = 0;
+
+  char word[16];
+  int n;
+  while (std::scanf("%15s %d", word, &n) == 2) {
+    ++frame_idx;
+    fs.clear();
+    for (int i = 0; i < n; ++i) {
+      double f, db;
+      if (std::scanf("%lf %lf", &f, &db) != 2) std::exit(2);
+      fs.push_back({f, db});
+    }
+
+    frequencies_to_pitches(midi, fs, freqmags_data);
+    aggregate_pitches(nearby, freqmags_data, pitch_intervals);
+    reduce_pitches(static_cast<PitchReductionMethod>(pmethod),
+                   static_cast<VolumeReductionMethod>(vmethod), min_volume,
+                   pitch_intervals, reduced_pitches);
+    shift_pitches(static_cast<float>(shift_pre), reduced_pitches);
+    harmonize_pitches(static_cast<float>(harm_pre), pitches_tmp,
+                      reduced_pitches);
+    autotune_pitches(MidiPitch{at_max_pitch}, static_cast<float>(at_tol),
+                     autotune, reduced_pitches, autotuned_pitches);
+    shift_pitches(static_cast<float>(shift_post), autotuned_pitches);
+    harmonize_pitches(static_cast<float>(harm_post), pitches_tmp,
+                      autotuned_pitches);
+    track_pitches(max_track, autotuned_pitches, played_pitches, pitch_changes,
+                  continue_playing);
+    int constexpr loudness_idx = loudness::phons_to_index(60.f);
+    order_pitches_by_perceived_loudness(
+        [loudness_idx](PitchVolume const& pv) {
+          return pv.volume / loudness::equal_loudness_volume_db(
+                                 loudness::pitches, pv.midipitch,
+                                 loudness_idx);
+        },
+        autotuned_pitches, loudnesses, order);
+
+    for (auto const& pv : autotuned_pitches)
+      std::printf("T %.17g %.17g\n", pv.midipitch.get(), pv.volume);
+    for (std::size_t i = 0; i < pitch_changes.size(); ++i)
+      std::printf("C %zu %d\n", i,
+                  pitch_changes[i] ? *pitch_changes[i] : -1);
+    for (std::size_t j = 0; j < continue_playing.size(); ++j)
+      std::printf("K %zu %d\n", j, continue_playing[j] ? 1 : 0);
+    for (int i : order) std::printf("O %d\n", i);
+
+    // synthesize_sounds event policy (rt.resynth.lib.cpp:294-382): offs for
+    // !continue_playing, then changes/ons loudest-first; note-on skipped at
+    // volume<=0, dropped past the voice cap
+    int active = 0;
+    for (bool k : continue_playing) active += k ? 1 : 0;
+    for (std::size_t j = 0; j < continue_playing.size(); ++j)
+      if (!continue_playing[j])
+        std::printf("E off %lld\n",
+                    static_cast<long long>(played_pitches[j].noteid.noteid));
+    for (int idx : order) {
+      MidiPitch const new_pitch = autotuned_pitches[idx].midipitch;
+      float const new_freq =
+          static_cast<float>(midi.midi_pitch_to_freq(new_pitch));
+      float const volume = static_cast<float>(autotuned_pitches[idx].volume);
+      if (pitch_changes[idx]) {
+        PlayedNote& played = played_pitches[*pitch_changes[idx]];
+        played.cur_freq = new_freq;
+        played.midi_pitch = new_pitch;
+        played.cur_velocity = volume;
+        std::printf("E change %lld %.17g %.17g\n",
+                    static_cast<long long>(played.noteid.noteid),
+                    static_cast<double>(new_freq),
+                    static_cast<double>(volume));
+      } else {
+        if (volume <= 0) continue;
+        if (active >= max_voices) {
+          std::printf("E dropped\n");
+          continue;
+        }
+        ++active;
+        ++next_noteid;
+        played_pitches.push_back(PlayedNote{frame_idx, NoteId{next_noteid},
+                                            new_pitch, new_freq, volume});
+        std::printf("E on %lld %.17g %.17g\n",
+                    static_cast<long long>(next_noteid),
+                    static_cast<double>(new_freq),
+                    static_cast<double>(volume));
+      }
+    }
+    remove_dead_notes(continue_playing, played_pitches);
+    sort_by_current_pitch(played_pitches);
+    for (auto const& pn : played_pitches)
+      std::printf("P %lld %.17g %.17g %.17g %lld\n",
+                  static_cast<long long>(pn.noteid.noteid),
+                  pn.midi_pitch.get(), static_cast<double>(pn.cur_freq),
+                  static_cast<double>(pn.cur_velocity),
+                  static_cast<long long>(pn.note_on_frame_id));
+    std::printf("F %lld\n", static_cast<long long>(frame_idx));
+  }
+}
+
+int main(int argc, char** argv) {
+  if (argc < 2) {
+    std::fprintf(stderr,
+                 "usage: oracle midi <stretch>|loudness|scales|soundfunc|"
+                 "autotune\n");
+    return 2;
+  }
+  if (!std::strcmp(argv[1], "midi")) {
+    dump_midi(argc > 2 ? std::atof(argv[2]) : 1.0);
+  } else if (!std::strcmp(argv[1], "loudness")) {
+    dump_loudness();
+  } else if (!std::strcmp(argv[1], "scales")) {
+    dump_scales();
+  } else if (!std::strcmp(argv[1], "soundfunc")) {
+    dump_soundfunc();
+  } else if (!std::strcmp(argv[1], "autotune")) {
+    dump_autotune();
+  } else if (!std::strcmp(argv[1], "pitchpipe")) {
+    dump_pitchpipe();
+  } else if (!std::strcmp(argv[1], "score")) {
+    dump_score();
+  } else if (!std::strcmp(argv[1], "helpers")) {
+    dump_small_helpers();
+  } else if (!std::strcmp(argv[1], "periodicfft")) {
+    if (argc < 4) return 2;
+    dump_periodicfft(std::atoi(argv[2]), std::atoi(argv[3]));
+  } else {
+    std::fprintf(stderr, "unknown table %s\n", argv[1]);
+    return 2;
+  }
+  return 0;
+}

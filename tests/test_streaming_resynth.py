@@ -41,12 +41,26 @@ class TestPeriodicFFT:
         np.testing.assert_allclose(got[2][0], np.arange(12, 16))
 
     def test_dropped_frames_resync(self):
+        # reference reset_samples zeroes the CONTENT but keeps the fill
+        # position, so the fire cadence is preserved (periodicfft.cpp:69-83)
         got = []
-        p = PeriodicFFT(4, 4, lambda w, e: got.append(e))
+        p = PeriodicFFT(4, 4, lambda w, e: got.append((w.copy(), e)))
         p.feed(np.arange(3.0))
-        p.on_dropped_frames(5)   # overrun: restart window
-        p.feed(np.arange(4.0))
-        assert got == [12]       # 3 + 5 + 4
+        p.on_dropped_frames(5)   # uncovered overrun: zero content, keep pos
+        p.feed(np.arange(10.0, 14.0))
+        assert [e for _, e in got] == [9]   # 3 fed + 5 dropped + 1 fed
+        np.testing.assert_allclose(got[0][0], [0.0, 0.0, 0.0, 10.0])
+
+    def test_dropped_frames_covered_by_pending_skip(self):
+        # negative overlap: a drop within the pending skip is absorbed
+        # without resetting (periodicfft.cpp:70-75)
+        got = []
+        p = PeriodicFFT(4, 8, lambda w, e: got.append((w.copy(), e)))
+        p.feed(np.arange(4.0))             # fire; skip = 4 pending
+        p.on_dropped_frames(3)             # covered: skip 1 remains
+        p.feed(np.arange(20.0, 25.0))      # 1 skipped, 4 fill -> fire
+        assert [e for _, e in got] == [4, 12]
+        np.testing.assert_allclose(got[1][0], [21.0, 22.0, 23.0, 24.0])
 
 
 class TestLiveResynth:
