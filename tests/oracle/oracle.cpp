@@ -35,6 +35,11 @@ struct NoteSpec {
 #include "loudness.h"                // /root/reference/include/loudness.h
 #include "scales.h"                  // /root/reference/include/scales.h
 #include "sound.functions.h"         // /root/reference/include/sound.functions.h
+
+#include "shim_audioelement.h"       // itp/maybeAtomic/... for audioelement
+#include "sound.h"                   // Sound taxonomy + soundBaseVolume
+#include "audioelement.h"            // AHDSR envelope, LogRamp, oscillators
+
 #include "rt.resynth.lib.autotune.cpp"  // /root/reference/source/...
 #include "rt.resynth.lib.algo.cpp"      // the full pitch pipeline
 #include "rt.resynth.lib.periodicfft.cpp"  // sliding-window FFT driver
@@ -191,6 +196,104 @@ static void dump_autotune() {
     double* r = find_closest_pitch(MidiPitch{p}, pitches,
                                    [](double d) { return MidiPitch{d}; });
     print1("findc", p, r ? *r : -1e9);
+  }
+}
+
+// Drives the reference's AHDSR envelope state machine
+// (EnvelopeCRT::step + AHDSREnvelopeBase, audioelement.h:666-1102) sample by
+// sample. stdin lines:
+//   A aItp H D dItp R rItp sustain sr minChange relMode zeroAttack
+//     pressDelay relAtStep relDelay nSteps
+// relMode: 0 = WaitForKeyRelease, 1 = ReleaseAfterDecay; relAtStep: the
+// 0-based step index AFTER which onKeyReleased(relDelay) is called (-1 =
+// never). Prints "V <value> <state>" per step then "E".
+template <typename Env>
+static void run_envelope(audioelement::AHDSR const& s, int sr, int min_change,
+                         int press_delay, long rel_at, int rel_delay,
+                         int n_steps) {
+  Env env;
+  env.setAHDSR(s, sr);
+  env.setMinChangeDurationSamples(min_change);
+  env.forgetPastSignals();
+  env.tryAcquire();
+  env.onKeyPressed(press_delay);
+  for (long i = 0; i < n_steps; ++i) {
+    env.step();
+    std::printf("V %.17g %d\n", double(env.value()),
+                static_cast<int>(env.getRelaxedState()));
+    if (i == rel_at) env.onKeyReleased(rel_delay);
+  }
+  std::printf("E\n");
+}
+
+static void dump_envelope() {
+  int A, aItp, H, D, dItp, R, rItp, sr, min_change, rel_mode, zero_attack,
+      press_delay, rel_delay, n_steps;
+  double sustain;
+  long rel_at;
+  while (std::scanf("%d %d %d %d %d %d %d %lf %d %d %d %d %d %ld %d %d", &A,
+                    &aItp, &H, &D, &dItp, &R, &rItp, &sustain, &sr,
+                    &min_change, &rel_mode, &zero_attack, &press_delay,
+                    &rel_at, &rel_delay, &n_steps) == 16) {
+    audioelement::AHDSR s{A,
+                          static_cast<itp::interpolation>(aItp),
+                          H,
+                          D,
+                          static_cast<itp::interpolation>(dItp),
+                          R,
+                          static_cast<itp::interpolation>(rItp),
+                          static_cast<float>(sustain)};
+    using audioelement::AHDSREnvelope;
+    using audioelement::AllowZeroAttack;
+    using audioelement::EnvelopeRelease;
+    if (rel_mode == 0 && zero_attack == 0)
+      run_envelope<AHDSREnvelope<Atomicity::No, double,
+                                 EnvelopeRelease::WaitForKeyRelease,
+                                 AllowZeroAttack::No>>(
+          s, sr, min_change, press_delay, rel_at, rel_delay, n_steps);
+    else if (rel_mode == 0)
+      run_envelope<AHDSREnvelope<Atomicity::No, double,
+                                 EnvelopeRelease::WaitForKeyRelease,
+                                 AllowZeroAttack::Yes>>(
+          s, sr, min_change, press_delay, rel_at, rel_delay, n_steps);
+    else if (zero_attack == 0)
+      run_envelope<AHDSREnvelope<Atomicity::No, double,
+                                 EnvelopeRelease::ReleaseAfterDecay,
+                                 AllowZeroAttack::No>>(
+          s, sr, min_change, press_delay, rel_at, rel_delay, n_steps);
+    else
+      run_envelope<AHDSREnvelope<Atomicity::No, double,
+                                 EnvelopeRelease::ReleaseAfterDecay,
+                                 AllowZeroAttack::Yes>>(
+          s, sr, min_change, press_delay, rel_at, rel_delay, n_steps);
+  }
+}
+
+// Drives the reference's LogRamp (periodic exponential frequency glide with
+// PROPORTIONAL_VALUE_DERIVATIVE stepping, audioelement.h:2464-2572).
+// stdin lines: "from to duration start_sample itpKind nSteps [resetupAt
+// from2 to2 dur2 start2 itp2]" (resetupAt = -1 for none).
+// Prints "V <value>" per step then "E".
+static void dump_logramp() {
+  double from, to, dur, start, from2, to2, dur2, start2;
+  int kind, n, kind2;
+  long resetup_at;
+  while (std::scanf("%lf %lf %lf %lf %d %d %ld", &from, &to, &dur, &start,
+                    &kind, &n, &resetup_at) == 7) {
+    if (resetup_at >= 0) {
+      if (std::scanf("%lf %lf %lf %lf %d", &from2, &to2, &dur2, &start2,
+                     &kind2) != 5)
+        std::exit(2);
+    }
+    audioelement::LogRamp<double> ramp;
+    ramp.setup(from, to, dur, start, static_cast<itp::interpolation>(kind));
+    for (long i = 0; i < n; ++i) {
+      std::printf("V %.17g\n", ramp.step());
+      if (i == resetup_at)
+        ramp.setup(from2, to2, dur2, start2,
+                   static_cast<itp::interpolation>(kind2));
+    }
+    std::printf("E\n");
   }
 }
 
@@ -482,6 +585,10 @@ int main(int argc, char** argv) {
     dump_score();
   } else if (!std::strcmp(argv[1], "helpers")) {
     dump_small_helpers();
+  } else if (!std::strcmp(argv[1], "envelope")) {
+    dump_envelope();
+  } else if (!std::strcmp(argv[1], "logramp")) {
+    dump_logramp();
   } else if (!std::strcmp(argv[1], "periodicfft")) {
     if (argc < 4) return 2;
     dump_periodicfft(std::atoi(argv[2]), std::atoi(argv[3]));

@@ -1,0 +1,283 @@
+// Supplements shim.h with the cpp.algorithms surface that
+// /root/reference/include/audioelement.h imports, so its envelope / ramp /
+// oscillator machinery can compile and run as a test oracle. Everything here
+// is original shim code. Of these, only `itp` carries semantics the oracle
+// relies on (the easing curves — implemented to match utils/interp.py, so
+// envelope STRUCTURE comparisons are meaningful independent of curve
+// formulas); the Filter/fft declarations are parse-only stubs for templates
+// the oracle never instantiates.
+#pragma once
+
+#include <cfloat>
+#include <complex>
+#include <map>
+#include <random>
+
+#include "shim.h"
+
+#define FLOAT_EPSILON FLT_EPSILON
+
+#define likely(x) (x)
+#define unlikely(x) (x)
+
+namespace imajuscule {
+
+template <typename T>
+using Optional = std::optional<T>;
+
+template <typename T>
+T get_value(Optional<T> const& o) {
+  return *o;
+}
+
+template <typename T>
+constexpr T clamp_ret(T v, T lo, T hi) {
+  return std::min(hi, std::max(lo, v));
+}
+
+template <typename T>
+void hash_combine(std::size_t& h, T const& v) {
+  h ^= std::hash<T>{}(v) + 0x9e3779b9 + (h << 6) + (h >> 2);
+}
+
+enum class Atomicity { Yes, No };
+
+template <Atomicity A, typename T>
+struct maybeAtomic;
+template <typename T>
+struct maybeAtomic<Atomicity::No, T> {
+  using type = T;
+  static void write(type& v, T val, std::memory_order) { v = val; }
+  static T read(type const& v, std::memory_order) { return v; }
+  static bool compareExchangeStrong(type& v, T expected, T desired,
+                                    std::memory_order) {
+    if (v == expected) {
+      v = desired;
+      return true;
+    }
+    return false;
+  }
+};
+template <typename T>
+struct maybeAtomic<Atomicity::Yes, T> {
+  using type = std::atomic<T>;
+  static void write(type& v, T val, std::memory_order o) { v.store(val, o); }
+  static T read(type const& v, std::memory_order o) { return v.load(o); }
+  static bool compareExchangeStrong(type& v, T expected, T desired,
+                                    std::memory_order o) {
+    return v.compare_exchange_strong(expected, desired, o);
+  }
+};
+
+template <typename T>
+struct range {
+  T min_ = std::numeric_limits<T>::max();
+  T max_ = std::numeric_limits<T>::lowest();
+  T getAt(T ratio) const { return min_ + ratio * (max_ - min_); }
+  T getMin() const { return min_; }
+  T getMax() const { return max_; }
+  T delta() const { return max_ - min_; }
+  bool empty() const { return min_ > max_; }
+  void extend(T v) {
+    min_ = std::min(min_, v);
+    max_ = std::max(max_, v);
+  }
+};
+
+constexpr int cache_line_n_bytes = 64;
+
+// the sibling repo's complex<T> — std::complex with a one-arg unit polar
+template <typename T>
+using complex = std::complex<T>;
+template <typename T>
+inline complex<T> polar(T theta) {
+  return std::polar(T(1), theta);
+}
+
+// v^N by squaring (compensation (1+w^2)^ORDER, audioelement.h:2131,2244+)
+template <int N, typename T>
+constexpr T expt(T v) {
+  if constexpr (N == 0)
+    return T(1);
+  else if constexpr (N % 2)
+    return v * expt<N - 1>(v);
+  else {
+    T h = expt<N / 2>(v);
+    return h * h;
+  }
+}
+
+// minimum of Getter<AE>::value over the pack (audioelement.h:1757-1760)
+template <template <typename> typename Getter, typename... AEs>
+constexpr float minValue() {
+  return std::min({Getter<AEs>::value...});
+}
+
+// parse-only stubs for the FFT-convolution loudness filter
+// (never instantiated by the oracle)
+struct Latency {
+  int n{};
+};
+struct FFTConvolutionCRTPSetupParam {
+  int fft_length;
+};
+template <typename T, template <typename> typename A, typename Tag>
+struct AlgoFFTConvolutionCRTP;
+template <typename A>
+struct AlgoFFTConvolutionIntermediate;
+template <typename A>
+struct SelfContainedXYConvolution;
+
+namespace audio::loudness {
+template <typename T>
+std::vector<T> getLoudnessCompensationFIRCoefficients(int sample_rate,
+                                                      unsigned fft_length,
+                                                      unsigned num_taps);
+}  // namespace audio::loudness
+
+enum class SEEDED { Yes, No };
+template <SEEDED S>
+inline std::mt19937& mersenne() {
+  static std::mt19937 engine{std::mt19937::default_seed};
+  return engine;
+}
+
+namespace audio::audioelement {
+// phase (rad/pi) + gain of one harmonic (recovered from usage at
+// audioelement.h:401-446 and main.tune.cpp:1996-2001)
+struct harmonicProperties_t {
+  float phase;
+  float volume;
+};
+}  // namespace audio::audioelement
+
+template <int N, typename... Ts>
+using NthTypeOf = std::tuple_element_t<N, std::tuple<Ts...>>;
+
+// parse-only stubs (never instantiated by the oracle)
+enum class FilterType { LOW_PASS, HIGH_PASS };
+template <typename T, int NDims, FilterType K, int ORDER>
+struct Filter;
+template <FilterType K>
+double get_inv_square_filter_magnitude(double);
+
+// easing library (the reference's itp:: from cpp.algorithms). Curve
+// formulas mirror cpp_audio_tpu/utils/interp.py exactly, so the oracle
+// pins the reference's envelope/ramp STRUCTURE around shared curves.
+namespace itp {
+
+enum interpolation {
+  LINEAR = 0,
+  PROPORTIONAL_VALUE_DERIVATIVE,
+  EASE_IN_QUAD,
+  EASE_OUT_QUAD,
+  EASE_INOUT_QUAD,
+  EASE_IN_CUBIC,
+  EASE_OUT_CUBIC,
+  EASE_INOUT_CUBIC,
+  EASE_IN_QUART,
+  EASE_OUT_QUART,
+  EASE_INOUT_QUART,
+  EASE_IN_QUINT,
+  EASE_OUT_QUINT,
+  EASE_INOUT_QUINT,
+  EASE_IN_SINE,
+  EASE_OUT_SINE,
+  EASE_INOUT_SINE,
+  EASE_IN_EXPO,
+  EASE_OUT_EXPO,
+  EASE_INOUT_EXPO,
+  EASE_IN_CIRC,
+  EASE_OUT_CIRC,
+  EASE_INOUT_CIRC,
+};
+
+template <typename T>
+T ease_in(interpolation kind, T x) {
+  switch (kind) {
+    case EASE_IN_QUAD:
+      return x * x;
+    case EASE_IN_CUBIC:
+      return x * x * x;
+    case EASE_IN_QUART:
+      return x * x * x * x;
+    case EASE_IN_QUINT:
+      return x * x * x * x * x;
+    case EASE_IN_SINE:
+      return 1 - std::cos(x * (T(M_PI) / 2));
+    case EASE_IN_EXPO:
+      return x <= 0 ? T(0) : std::exp2(10 * (x - 1));
+    case EASE_IN_CIRC:
+      return 1 - std::sqrt(std::max(T(0), 1 - x * x));
+    default:
+      return x;
+  }
+}
+
+template <typename T>
+T ease_out(interpolation kind, T x) {
+  switch (kind) {
+    case EASE_OUT_QUAD:
+      return x * (2 - x);
+    case EASE_OUT_CUBIC:
+      return (x - 1) * (x - 1) * (x - 1) + 1;
+    case EASE_OUT_QUART:
+      return 1 - (x - 1) * (x - 1) * (x - 1) * (x - 1);
+    case EASE_OUT_QUINT:
+      return (x - 1) * (x - 1) * (x - 1) * (x - 1) * (x - 1) + 1;
+    case EASE_OUT_SINE:
+      return std::sin(x * (T(M_PI) / 2));
+    case EASE_OUT_EXPO:
+      return x >= 1 ? T(1) : 1 - std::exp2(-10 * x);
+    case EASE_OUT_CIRC:
+      return std::sqrt(std::max(T(0), 1 - (x - 1) * (x - 1)));
+    default:
+      return x;
+  }
+}
+
+template <typename T>
+T ease(interpolation kind, T x) {
+  x = std::min(T(1), std::max(T(0), x));
+  switch (kind) {
+    case LINEAR:
+    case PROPORTIONAL_VALUE_DERIVATIVE:
+      return x;
+    case EASE_INOUT_QUAD:
+    case EASE_INOUT_CUBIC:
+    case EASE_INOUT_QUART:
+    case EASE_INOUT_QUINT:
+    case EASE_INOUT_SINE:
+    case EASE_INOUT_EXPO:
+    case EASE_INOUT_CIRC: {
+      auto in = static_cast<interpolation>(kind - 2);
+      auto out = static_cast<interpolation>(kind - 1);
+      return x < T(0.5) ? T(0.5) * ease_in(in, 2 * x)
+                        : T(0.5) + T(0.5) * ease_out(out, 2 * x - 1);
+    }
+    default:
+      return kind >= EASE_IN_QUAD && ((kind - EASE_IN_QUAD) % 3 == 0)
+                 ? ease_in(kind, x)
+                 : ease_out(kind, x);
+  }
+}
+
+// Penner-style: value at time t of a curve from `from` over `toMinusFrom`,
+// duration `d`
+template <typename T>
+T interpolate(interpolation kind, T t, T from, T toMinusFrom, T d) {
+  return from + toMinusFrom * ease(kind, d == 0 ? T(1) : t / d);
+}
+
+}  // namespace itp
+
+template <typename T = float>
+struct NormalizedInterpolation {
+  itp::interpolation kind = itp::LINEAR;
+  void setInterpolation(itp::interpolation i) { kind = i; }
+  T get_unfiltered_value(T t, T d, T from, T to) const {
+    return itp::interpolate(kind, t, from, to - from, d);
+  }
+};
+
+}  // namespace imajuscule

@@ -323,6 +323,138 @@ class TestPitchPipeline:
                 assert gfr + 1 == int(rp[4]), f"frame {i}"  # 0- vs 1-based
 
 
+class TestEnvelopeOracle:
+    """Closed-form AHDSR (ops/envelopes.py) vs the reference's compiled
+    per-sample envelope state machine (EnvelopeCRT::step +
+    AHDSREnvelopeBase::stepPressed, audioelement.h:666-1102), covering
+    attack/hold/decay/sustain/release, easing curves, no-decay sustain=1,
+    release-during-attack, delayed press/release, skipped notes,
+    min-change-duration floors, the 1ms attack floor, and
+    ReleaseAfterDecay auto-release."""
+
+    # A aItp H D dItp R rItp sustain sr minCh relMode zeroAtk pressD relAt
+    # relDelay nSteps
+    CASES = [
+        (4, 0, 2, 3, 0, 5, 0, 0.5, 1000, 0, 0, 1, 0, 20, 0, 40),
+        (6, 4, 3, 8, 6, 7, 14, 0.3, 1000, 0, 0, 1, 3, 30, 2, 60),
+        (5, 2, 0, 4, 0, 6, 3, 0.25, 1000, 0, 0, 1, 0, 25, 0, 50),   # H=0
+        (5, 0, 2, 4, 0, 6, 0, 1.0, 1000, 0, 0, 1, 0, 25, 0, 50),    # no decay
+        (10, 0, 2, 4, 0, 5, 0, 0.5, 1000, 0, 0, 1, 0, 4, 0, 40),    # rel in attack
+        (8, 0, 1, 3, 0, 4, 0, 0.6, 1000, 0, 0, 1, 5, 1, 0, 30),     # skip note
+        (10, 0, 2, 8, 0, 5, 0, 0.5, 1000, 50, 0, 0, 0, 120, 0, 250),  # minCh 50
+        (2, 0, 1, 2, 0, 3, 0, 0.4, 44100, 0, 0, 0, 0, 200, 0, 400),  # 1ms floor
+        (6, 0, 3, 5, 0, 8, 0, 0.5, 1000, 0, 1, 1, 0, -1, 0, 40),    # auto-rel
+        (6, 0, 3, 5, 0, 8, 0, 1.0, 1000, 0, 1, 1, 2, -1, 0, 40),    # auto, no dec
+    ]
+
+    def test_matches_reference(self, oracle):
+        import jax.numpy as jnp
+
+        from cpp_audio_tpu.ops import envelopes as envs
+
+        lines = "\n".join(" ".join(map(str, c)) for c in self.CASES) + "\n"
+        out = oracle("envelope", input_text=lines, raw=True)
+        traces, cur = [], []
+        for line in out.splitlines():
+            if line == "E":
+                traces.append(np.array(cur))
+                cur = []
+            else:
+                cur.append(float(line.split()[1]))
+        assert len(traces) == len(self.CASES)
+
+        for case, ref in zip(self.CASES, traces):
+            (A, ai, H, D, di, R, ri, sus, sr, minch, relmode, zatk, pd,
+             relat, reld, n) = case
+            # setAHDSR's own floors (audioelement.h:923-952)
+            min_dt = 0 if zatk else sr // 1000
+            has_decay = sus < 0.999999
+            params = envs.AHDSR(
+                attack=max(A, min_dt), attack_itp=ai, hold=max(H, 0),
+                decay=max(D, min_dt) if has_decay else 0, decay_itp=di,
+                release=max(R, min_dt), release_itp=ri, sustain=sus)
+            press = pd
+            release = (relat + 1 + reld) if relat >= 0 else envs.NEVER
+            got = np.asarray(envs.ahdsr_envelope(
+                jnp.arange(n, dtype=jnp.float64), params, press, release,
+                min_change=float(minch), auto_release=relmode == 1,
+                dtype=jnp.float64))
+            np.testing.assert_allclose(got, ref, atol=1e-12, err_msg=str(case))
+
+
+class TestLogRampOracle:
+    """The scalar LogRamp port (tests/test_logramp_exact.py) and the
+    closed-form device implementation vs the reference's compiled
+    LogRamp::setup/do_step (audioelement.h:2464-2572) — including the C
+    proportionality constant computed by the reference itself."""
+
+    CASES = [
+        (0.01, 0.04, 1000.0, 0.0, 0, 4000),
+        (0.05, 0.008, 2500.0, 0.0, 0, 6000),
+        (0.004, 0.02, 700.0, 350.0, 0, 3000),
+        (0.02, 0.004, 1500.0, 1200.0, 0, 5000),
+        (0.01, 0.03, 900.0, 0.0, 4, 3000),    # EASE_INOUT_QUAD
+        (0.03, 0.01, 1200.0, 400.0, 17, 4000),  # EASE_IN_EXPO
+    ]
+
+    def test_matches_reference(self, oracle):
+        from test_logramp_exact import closed_form, scalar_logramp
+
+        lines = "\n".join(
+            f"{frm!r} {to!r} {D!r} {s0!r} {k} {n} -1"
+            for frm, to, D, s0, k, n in self.CASES) + "\n"
+        out = oracle("logramp", input_text=lines, raw=True)
+        traces, cur = [], []
+        for line in out.splitlines():
+            if line == "E":
+                traces.append(np.array(cur))
+                cur = []
+            else:
+                cur.append(float(line.split()[1]))
+        for (frm, to, D, s0, k, n), ref in zip(self.CASES, traces):
+            got = scalar_logramp(n, frm, to, D, s0, k)
+            np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-15,
+                                       err_msg=f"scalar {frm},{to}")
+            dev = closed_form(n, frm, to, D, s0, k)
+            np.testing.assert_allclose(dev, ref, rtol=1e-9, atol=1e-12,
+                                       err_msg=f"closed {frm},{to}")
+
+    def test_resetup_mid_leg(self, oracle):
+        """The negative-start re-setup path (setup with start_sample < 0
+        rescales cur_sample into the new duration and keeps bounds order,
+        audioelement.h:2491-2511)."""
+        out = oracle("logramp",
+                     input_text="0.01 0.04 800 0 0 2000 500 "
+                                "0.05 0.012 1200 -1 0\n",
+                     raw=True)
+        ref = np.array([float(l.split()[1]) for l in out.splitlines()
+                        if l != "E"])
+        # scalar mirror of the re-setup rule
+        from cpp_audio_tpu.utils.interp import Itp, ease_np
+
+        def run():
+            vals = []
+            frm, to, D, s = 0.01, 0.04, 800.0, 0.0
+            C = -np.log(frm / to) / (to - frm)
+            for i in range(2000):
+                if s + 0.5 > D:
+                    s = 0.0
+                    frm, to = to, frm
+                vals.append(frm + (to - frm) * ease_np(Itp.LINEAR, s / D))
+                f = frm + (to - frm) * (s + 0.5) / D
+                s += C * f
+                if i == 500:
+                    nf, nt, nD = 0.05, 0.012, 1200.0
+                    s *= nD / D
+                    if (nf > nt) != (frm > to):
+                        nf, nt = nt, nf
+                    frm, to, D = nf, nt, nD
+                    C = -np.log(frm / to) / (to - frm)
+            return np.array(vals)
+
+        np.testing.assert_allclose(run(), ref, rtol=1e-12, atol=1e-15)
+
+
 class TestSmallHelpers:
     def test_stereo_pan(self, oracle):
         from cpp_audio_tpu.models.sine_synth import _stereo_gains
