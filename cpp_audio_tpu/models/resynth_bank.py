@@ -14,6 +14,16 @@ volume (NoteChange). Per stride the reference then:
     max_filter_increment = 2/stride (rt.resynth.lib.cpp:100-104 +
     BaseVolumeAdjusted::step, audioelement.h:1195-1216)
 
+Measured delta vs the reference (tests/test_reference_oracle.py::
+TestInterpolatedFreqOracle, against the COMPILED reference code): the
+reference steps a discrete proportional recurrence whose next glide starts
+from the last *emitted* value (*f_result); this model glides continuously
+from the previous *target*. Frequency deviation stays < 0.05% relative
+(< 1 cent) per retarget — the from-value chain is a nonlinear per-note
+sequential recurrence that would force a frame-serial scan and defeat the
+frame-parallel tracker (a measured 2-3x whole-chain win), so the
+approximation is kept deliberately.
+
 Closed forms per control frame (f(t) = from * exp(lambda*t),
 lambda = ln(to/from)/stride):
   phase advance  Dphi(k) = (from/lambda) * expm1(lambda * k)

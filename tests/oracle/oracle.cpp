@@ -297,6 +297,33 @@ static void dump_logramp() {
   }
 }
 
+// Drives the reference's InterpolatedFreq (audioelement.h:2706-2817) — the
+// per-stride frequency retarget glide of ResynthElement. stdin lines:
+//   D itp nsteps k   then k lines "step target" (setAngleIncrements(target)
+//   applied BEFORE that step index, like the NoteChange oneshot).
+// Prints "V <value>" per step then "E".
+static void dump_interpfreq() {
+  double D;
+  int kind, nsteps, k;
+  while (std::scanf("%lf %d %d %d", &D, &kind, &nsteps, &k) == 4) {
+    std::vector<std::pair<long, double>> targets(k);
+    for (auto& t : targets)
+      if (std::scanf("%ld %lf", &t.first, &t.second) != 2) std::exit(2);
+    audioelement::InterpolatedFreq<double> itf;
+    itf.forgetPastSignals();
+    itf.setup(D, static_cast<itp::interpolation>(kind));
+    std::size_t ti = 0;
+    for (long i = 0; i < nsteps; ++i) {
+      while (ti < targets.size() && targets[ti].first == i) {
+        itf.setAngleIncrements(targets[ti].second);
+        ++ti;
+      }
+      std::printf("V %.17g\n", itf.step());
+    }
+    std::printf("E\n");
+  }
+}
+
 // Constant-power pan (include/stereo.h), pitch generators
 // (include/pitch_generators.h) and smoothed params (include/smoothparam.h)
 static void dump_small_helpers() {
@@ -589,6 +616,8 @@ int main(int argc, char** argv) {
     dump_envelope();
   } else if (!std::strcmp(argv[1], "logramp")) {
     dump_logramp();
+  } else if (!std::strcmp(argv[1], "interpfreq")) {
+    dump_interpfreq();
   } else if (!std::strcmp(argv[1], "periodicfft")) {
     if (argc < 4) return 2;
     dump_periodicfft(std::atoi(argv[2]), std::atoi(argv[3]));

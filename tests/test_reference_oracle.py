@@ -455,6 +455,92 @@ class TestLogRampOracle:
         np.testing.assert_allclose(run(), ref, rtol=1e-12, atol=1e-15)
 
 
+def scalar_interpolated_freq(duration, itp_code, targets, n_steps):
+    """Per-sample f64 mirror of the reference's InterpolatedFreq
+    (audioelement.h:2706-2817): a retarget glides from the last EMITTED
+    value (*f_result) via proportional-derivative stepping; steady state
+    short-circuits; cur_sample clamps at duration."""
+    from cpp_audio_tpu.utils.interp import Itp, ease_np
+
+    frm = to = cur = C = None
+    f_result = None
+    out = np.empty(n_steps)
+    ti = 0
+    for i in range(n_steps):
+        while ti < len(targets) and targets[ti][0] == i:
+            inc = targets[ti][1]
+            cur = 0.0
+            to = inc
+            frm = f_result if f_result is not None else inc
+            C = 1.0 if to == frm else -np.log(frm / to) / (to - frm)
+            ti += 1
+        if f_result is not None and f_result == to:
+            out[i] = to
+            continue
+        if cur + 0.5 > duration:
+            cur = duration
+        f_result = frm + (to - frm) * ease_np(Itp(itp_code), cur / duration)
+        if cur < duration:
+            f = frm + (to - frm) * (cur + 0.5) / duration
+            cur += C * f
+        out[i] = f_result
+    return out
+
+
+class TestInterpolatedFreqOracle:
+    """The per-stride frequency retarget glide of ResynthElement vs the
+    reference's compiled InterpolatedFreq. The scalar mirror must match
+    exactly; the production batched model (models/resynth_bank.py — a
+    continuous exponential with from = previous TARGET rather than the
+    previous emitted value, which keeps the tracker frame-parallel) is
+    pinned at its measured deviation: frequency within 0.05% relative,
+    which is < 1 cent of pitch per retarget."""
+
+    def _run(self, oracle, S, itp_code, targets, n):
+        lines = [f"{float(S)!r} {itp_code} {n} {len(targets)}"]
+        lines += [f"{s} {float(v)!r}" for s, v in targets]
+        out = oracle("interpfreq", input_text="\n".join(lines) + "\n",
+                     raw=True)
+        return np.array([float(l.split()[1]) for l in out.splitlines()
+                         if l != "E"])
+
+    def test_scalar_mirror_exact(self, oracle):
+        rng = np.random.default_rng(3)
+        S = 400
+        targets, inc = [], 0.02
+        for c in range(12):
+            targets.append((c * S, inc))
+            inc *= np.exp(rng.uniform(-0.12, 0.12))
+        # also an off-stride retarget and a repeated (steady) target
+        targets.append((12 * S + 37, 0.01))
+        targets.append((13 * S, 0.01))
+        n = 15 * S
+        ref = self._run(oracle, S, 0, targets, n)
+        got = scalar_interpolated_freq(float(S), 0, targets, n)
+        np.testing.assert_allclose(got, ref, rtol=1e-13, atol=1e-18)
+
+    def test_production_model_within_documented_bound(self, oracle):
+        rng = np.random.default_rng(5)
+        S = 400
+        targets, inc = [], 0.02
+        for c in range(13):
+            targets.append((c * S, inc))
+            inc *= np.exp(rng.uniform(-0.12, 0.12))
+        n = 13 * S
+        ref = self._run(oracle, S, 0, targets, n)
+        # the production per-frame model (resynth_bank._render_slots):
+        # f(k) = from * exp(ratio*k/S), from = previous frame's TARGET
+        vals = np.zeros(n)
+        frm = targets[0][1]
+        for c, (s0, to) in enumerate(targets):
+            k = np.arange(S)
+            lam = (np.log(to / frm) if to != frm else 0.0) / S
+            vals[c * S:(c + 1) * S] = frm * np.exp(lam * k)
+            frm = to
+        rel = np.max(np.abs(vals - ref) / ref)
+        assert rel < 5e-4, rel
+
+
 class TestSmallHelpers:
     def test_stereo_pan(self, oracle):
         from cpp_audio_tpu.models.sine_synth import _stereo_gains
