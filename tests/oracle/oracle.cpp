@@ -324,6 +324,59 @@ static void dump_interpfreq() {
   }
 }
 
+// Drives the reference's Phased oscillators (audioelement.h:1396-1748):
+// saw/square/triangle trajectories with the anti-aliasing gain, the pulse
+// train's width latch at period boundaries, the SineOscillatorAlgo
+// rotation+renormalization, and freqAliasingMultiplicator.
+static void dump_oscillators() {
+  using namespace audioelement;
+  for (double inc = 0.0; inc <= 2.05; inc += 0.037)
+    std::printf("alias %.17g %.17g\n", inc,
+                freqAliasingMultiplicator(inc));
+  const double incs[] = {0.0203, 0.41, 1.7};
+  for (double inc : incs) {
+    FOscillatorAlgo<double, FOscillator::SAW, OscillatorUsage::Raw> saw_;
+    FOscillatorAlgo<double, FOscillator::SQUARE, OscillatorUsage::Raw> sq_;
+    FOscillatorAlgo<double, FOscillator::TRIANGLE, OscillatorUsage::Raw> tr_;
+    saw_.setStartAngle(0.3);
+    sq_.setStartAngle(0.3);
+    tr_.setStartAngle(0.3);
+    saw_.setAngleIncrements(inc);
+    sq_.setAngleIncrements(inc);
+    tr_.setAngleIncrements(inc);
+    for (int i = 0; i < 300; ++i) {
+      saw_.step();
+      sq_.step();
+      tr_.step();
+      std::printf("fosc %.17g %d %.17g %.17g %.17g\n", inc, i, saw_.imag(),
+                  sq_.imag(), tr_.imag());
+    }
+  }
+  {
+    PulseTrainAlgo<double> p;
+    p.getAlgo().setPulseWidth(0.3);
+    p.setStartAngle(0.0);
+    p.setAngleIncrements(0.23);
+    for (int i = 0; i < 120; ++i) {
+      if (i == 20) p.getAlgo().setPulseWidth(0.8);  // latches at next period
+      if (i == 70) p.getAlgo().setPulseWidth(1.4);
+      p.step();
+      std::printf("pulsetrain %d %.17g\n", i, p.imag());
+    }
+  }
+  for (double inc : incs) {
+    SineOscillatorAlgo<double> s;
+    s.setStartAngle(0.25);
+    s.setAngleIncrements(inc);
+    for (int i = 0; i < 20000; ++i) {
+      s.step();
+      if (i % 333 == 0 || i >= 19990)
+        std::printf("sine %.17g %d %.17g %.17g\n", inc, i, s.real(),
+                    s.imag());
+    }
+  }
+}
+
 // Constant-power pan (include/stereo.h), pitch generators
 // (include/pitch_generators.h) and smoothed params (include/smoothparam.h)
 static void dump_small_helpers() {
@@ -618,6 +671,8 @@ int main(int argc, char** argv) {
     dump_logramp();
   } else if (!std::strcmp(argv[1], "interpfreq")) {
     dump_interpfreq();
+  } else if (!std::strcmp(argv[1], "oscillators")) {
+    dump_oscillators();
   } else if (!std::strcmp(argv[1], "periodicfft")) {
     if (argc < 4) return 2;
     dump_periodicfft(std::atoi(argv[2]), std::atoi(argv[3]));

@@ -91,6 +91,7 @@ struct NumTraits {
   static constexpr T one() { return static_cast<T>(1); }
   static constexpr T one_and_half() { return static_cast<T>(1.5); }
   static constexpr T two() { return static_cast<T>(2); }
+  static constexpr T three() { return static_cast<T>(3); }
 };
 
 // vector helpers used by rt.resynth.lib.algo.cpp. merge_sort_step merges two

@@ -107,10 +107,10 @@ constexpr T expt(T v) {
   }
 }
 
-// minimum of Getter<AE>::value over the pack (audioelement.h:1757-1760)
+// minimum of Getter<AE>::value() over the pack (audioelement.h:1757-1760)
 template <template <typename> typename Getter, typename... AEs>
 constexpr float minValue() {
-  return std::min({Getter<AEs>::value...});
+  return std::min({Getter<AEs>::value()...});
 }
 
 // parse-only stubs for the FFT-convolution loudness filter

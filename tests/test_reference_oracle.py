@@ -541,6 +541,82 @@ class TestInterpolatedFreqOracle:
         assert rel < 5e-4, rel
 
 
+class TestOscillatorOracle:
+    """ops/oscillators.py vs the reference's compiled Phased oscillators
+    (audioelement.h:1396-1748), anti-aliasing gain (:460-483), pulse-train
+    width latch, and the SineOscillatorAlgo rotation+renormalization
+    (:2360-2451) vs our exact-phase sine."""
+
+    def test_aliasing_gain(self, oracle):
+        from cpp_audio_tpu.ops import oscillators as osc
+
+        t = oracle("oscillators")
+        inc, gain = t["alias"].T
+        got = np.asarray(osc.freq_aliasing_multiplicator(inc))
+        np.testing.assert_allclose(got, gain, atol=1e-12)
+
+    def test_function_oscillators(self, oracle):
+        from cpp_audio_tpu.ops import oscillators as osc
+
+        t = oracle("oscillators")
+        for inc in np.unique(t["fosc"][:, 0]):
+            rows = t["fosc"][t["fosc"][:, 0] == inc]
+            n = len(rows)
+            # step-then-read: phase at sample i = wrap(start + inc*(i+1));
+            # the closed form differs from the reference's accumulate-and-
+            # subtract wrap only by f64 accumulation roundoff
+            phases = np.mod(0.3 + inc * (np.arange(n) + 1.0), 2.0)
+            gain = float(osc.freq_aliasing_multiplicator(inc))
+            np.testing.assert_allclose(
+                gain * np.asarray(osc.saw(phases)), rows[:, 2], atol=1e-9)
+            np.testing.assert_allclose(
+                gain * np.asarray(osc.square(phases)), rows[:, 3], atol=1e-9)
+            np.testing.assert_allclose(
+                gain * np.asarray(osc.triangle(phases)), rows[:, 4],
+                atol=1e-9)
+
+    def test_pulse_train_width_latch(self, oracle):
+        from cpp_audio_tpu.ops import oscillators as osc
+
+        t = oracle("oscillators")
+        ref = t["pulsetrain"][:, 1]
+        inc, n = 0.23, len(ref)
+        gain = float(osc.freq_aliasing_multiplicator(inc))
+        # scalar mirror: widths latch at period boundaries
+        # (PulseTrainAlgo_::setPulseWidth/onNewPeriod, audioelement.h:
+        # 1691-1748; the first setPulseWidth applies immediately)
+        pending = 0.3
+        used = pending
+        angle = 0.0
+        got = []
+        for i in range(n):
+            if i == 20:
+                pending = 0.8
+            if i == 70:
+                pending = 1.4
+            angle += inc
+            if angle > 2.0:
+                angle -= 2.0
+                used = pending
+            high, low = (float(x) for x in osc.pulse_train_levels(used))
+            got.append(gain * float(osc.pulse(np.array(angle), used, high,
+                                              low)))
+        np.testing.assert_allclose(got, ref, atol=1e-12)
+
+    def test_sine_rotation_matches_exact_phase(self, oracle):
+        """The reference's complex-rotation-with-renormalization sine stays
+        within 2e-9 of the exact-phase sine over 20k samples — evidence the
+        NCO redesign (ops/pallas_voicebank.py) is waveform-equivalent."""
+        from cpp_audio_tpu.ops import oscillators as osc
+
+        t = oracle("oscillators")
+        for inc, i, re, im in t["sine"]:
+            gain = float(osc.freq_aliasing_multiplicator(inc))
+            ph = np.pi * (0.25 + inc * (i + 1.0))
+            assert abs(re - gain * np.cos(ph)) < 2e-9, (inc, i)
+            assert abs(im - gain * np.sin(ph)) < 2e-9, (inc, i)
+
+
 class TestSmallHelpers:
     def test_stereo_pan(self, oracle):
         from cpp_audio_tpu.models.sine_synth import _stereo_gains
