@@ -39,6 +39,7 @@ struct NoteSpec {
 #include "shim_audioelement.h"       // itp/maybeAtomic/... for audioelement
 #include "sound.h"                   // Sound taxonomy + soundBaseVolume
 #include "audioelement.h"            // AHDSR envelope, LogRamp, oscillators
+#include "soundengine.h"             // markov-driven ramp-spec generator
 
 #include "rt.resynth.lib.autotune.cpp"  // /root/reference/source/...
 #include "rt.resynth.lib.algo.cpp"      // the full pitch pipeline
@@ -377,6 +378,160 @@ static void dump_oscillators() {
   }
 }
 
+// Drives the reference's SoundEngine ramp-spec generation (the markov node
+// lambdas + play()/spec machinery, soundengine.h:240-1124) for
+// BIRDS/ROBOTS/SWEEP. Randomness goes through the shim's mt19937; the
+// driver pre-prints, for every raw position, BOTH the canonical float
+// (what uniform_real_distribution<float>{a,b} will map as u*(b-a)+a) and
+// the {0,1} int draw, so the Python side replays the exact sequence
+// without reimplementing libstdc++'s engine-to-distribution mapping.
+// stdin: mode seed sr base_freq length_ms freq_scatter d1 d2 har_att
+//        exp_min exp_max itp freq_itp xfade_mode freq_xfade_frames
+//        start pre minpath addl pause low high npre
+struct OracleLogger {
+  template <typename... A>
+  static void err(A...) {}
+};
+
+template <audioelement::SoundEngineMode M>
+static void run_soundengine(int sr, double base_freq, double length,
+                            double freq_scatter, double d1, double d2,
+                            double har_att, double exp_min, double exp_max,
+                            int itp_, int freq_itp, int xfade_mode,
+                            int freq_xfade, int start, int pre, int minpath,
+                            int addl, int pause, double low, double high) {
+  using namespace audioelement;
+  SoundEngine<M, 1, Atomicity::No, OracleLogger> eng;
+  eng.set_sample_rate(sr);
+  eng.setAngleIncrements(
+      freq_to_angle_increment(static_cast<float>(base_freq), sr));
+  eng.set_length(static_cast<float>(length));
+  eng.set_freq_scatter(static_cast<float>(freq_scatter));
+  eng.set_d1(static_cast<float>(d1));
+  eng.set_d2(static_cast<float>(d2));
+  eng.set_har_att(static_cast<float>(har_att));
+  eng.set_length_exp(static_cast<float>(exp_min),
+                     static_cast<float>(exp_max));
+  eng.set_itp(static_cast<itp::interpolation>(itp_));
+  eng.set_freq_interpolation(static_cast<itp::interpolation>(freq_itp));
+  eng.set_freq_xfade(freq_xfade);
+  eng.set_phase_ratio1(0.f);
+  eng.set_phase_ratio2(0.f);
+  bool ok = false;
+  if constexpr (M == SoundEngineMode::BIRDS)
+    ok = eng.initialize_birds(start, pre, minpath, addl,
+                              SoundEngineInitPolicy::StartAfresh,
+                              static_cast<FreqXfade>(xfade_mode), pause);
+  else if constexpr (M == SoundEngineMode::ROBOTS)
+    ok = eng.initialize_robot(start, pre, minpath, addl,
+                              SoundEngineInitPolicy::StartAfresh, pause);
+  else
+    ok = eng.initialize_sweep(static_cast<float>(low),
+                              static_cast<float>(high));
+  std::printf("OK %d\n", ok ? 1 : 0);
+  auto& specs = eng.getRampsSpecs();
+  for (unsigned i = 0; i < specs.end; ++i) {
+    auto& c = specs.a[i];
+    std::printf("S %.17g %.17g %.17g %.17g %d\n",
+                double(c.get().getAngleIncrementFrom()),
+                double(c.get().getAngleIncrementTo()),
+                double(c.get().get_duration_in_samples()),
+                double(c.volume()), c.getSilenceFollows() ? 1 : 0);
+  }
+}
+
+// Orchestration timing: step the engine per sample and print the sample
+// index at which each spec starts playing (playNextSpec advances
+// ramp_specs.it — soundengine.h:738-803: release scheduled xfade before the
+// spec's end, then the articulative pause, then the next spec).
+template <audioelement::SoundEngineMode M>
+static void run_seorch(int sr, double base_freq, double length,
+                       double freq_scatter, double exp_min, double exp_max,
+                       int itp_, int xfade_mode, int freq_xfade, int pre,
+                       int minpath, int addl, int pause, int xfade_len,
+                       long n_steps) {
+  using namespace audioelement;
+  SoundEngine<M, 1, Atomicity::No, OracleLogger> eng;
+  eng.set_sample_rate(sr);
+  eng.setAngleIncrements(
+      freq_to_angle_increment(static_cast<float>(base_freq), sr));
+  eng.set_length(static_cast<float>(length));
+  eng.set_freq_scatter(static_cast<float>(freq_scatter));
+  eng.set_length_exp(static_cast<float>(exp_min),
+                     static_cast<float>(exp_max));
+  eng.set_itp(static_cast<itp::interpolation>(itp_));
+  eng.set_freq_interpolation(itp::EASE_OUT_EXPO);
+  eng.set_freq_xfade(freq_xfade);
+  eng.set_phase_ratio1(0.f);
+  eng.set_phase_ratio2(0.f);
+  eng.setEnvelopeCharacTime(xfade_len);
+  bool ok = eng.initialize_birds(0, pre, minpath, addl,
+                                 SoundEngineInitPolicy::StartAfresh,
+                                 static_cast<FreqXfade>(xfade_mode), pause);
+  std::printf("OK %d\n", ok ? 1 : 0);
+  auto& specs = eng.getRampsSpecs();
+  for (unsigned i = 0; i < specs.end; ++i) {
+    auto& c = specs.a[i];
+    std::printf("S %.17g %.17g %.17g %d\n",
+                double(c.get().getAngleIncrementFrom()),
+                double(c.get().getAngleIncrementTo()),
+                double(c.get().get_duration_in_samples()),
+                c.getSilenceFollows() ? 1 : 0);
+  }
+  eng.tryAcquire();
+  eng.onKeyPressed(0);
+  unsigned prev_it = 31;  // reset sentinel (5-bit -1)
+  for (long t = 0; t < n_steps; ++t) {
+    eng.step();
+    unsigned const it = specs.it;
+    if (it != prev_it) {
+      if (it != specs.end)  // final ++it past the last spec = exhaustion
+        std::printf("P %ld %u\n", t, it);
+      prev_it = it;
+    }
+  }
+}
+
+static void dump_soundengine() {
+  int mode, seed, sr, itp_, freq_itp, xfade_mode, freq_xfade, start, pre,
+      minpath, addl, pause, npre;
+  double base_freq, length, freq_scatter, d1, d2, har_att, exp_min, exp_max,
+      low, high;
+  while (std::scanf("%d %d %d %lf %lf %lf %lf %lf %lf %lf %lf %d %d %d %d "
+                    "%d %d %d %d %d %lf %lf %d",
+                    &mode, &seed, &sr, &base_freq, &length, &freq_scatter,
+                    &d1, &d2, &har_att, &exp_min, &exp_max, &itp_, &freq_itp,
+                    &xfade_mode, &freq_xfade, &start, &pre, &minpath, &addl,
+                    &pause, &low, &high, &npre) == 23) {
+    mersenne<SEEDED::Yes>().seed(static_cast<unsigned>(seed));
+    for (int i = 0; i < npre; ++i) {
+      auto cpyf = mersenne<SEEDED::Yes>();
+      cpyf.discard(static_cast<unsigned long long>(i));
+      auto cpyi = cpyf;
+      float const u = std::uniform_real_distribution<float>{0.f, 1.f}(cpyf);
+      int const b = std::uniform_int_distribution<>{0, 1}(cpyi);
+      std::printf("U %d %.17g %d\n", i, double(u), b);
+    }
+    using audioelement::SoundEngineMode;
+    if (mode == 0)
+      run_soundengine<SoundEngineMode::BIRDS>(
+          sr, base_freq, length, freq_scatter, d1, d2, har_att, exp_min,
+          exp_max, itp_, freq_itp, xfade_mode, freq_xfade, start, pre,
+          minpath, addl, pause, low, high);
+    else if (mode == 1)
+      run_soundengine<SoundEngineMode::ROBOTS>(
+          sr, base_freq, length, freq_scatter, d1, d2, har_att, exp_min,
+          exp_max, itp_, freq_itp, xfade_mode, freq_xfade, start, pre,
+          minpath, addl, pause, low, high);
+    else
+      run_soundengine<SoundEngineMode::SWEEP>(
+          sr, base_freq, length, freq_scatter, d1, d2, har_att, exp_min,
+          exp_max, itp_, freq_itp, xfade_mode, freq_xfade, start, pre,
+          minpath, addl, pause, low, high);
+    std::printf("E\n");
+  }
+}
+
 // Constant-power pan (include/stereo.h), pitch generators
 // (include/pitch_generators.h) and smoothed params (include/smoothparam.h)
 static void dump_small_helpers() {
@@ -673,6 +828,28 @@ int main(int argc, char** argv) {
     dump_interpfreq();
   } else if (!std::strcmp(argv[1], "oscillators")) {
     dump_oscillators();
+  } else if (!std::strcmp(argv[1], "soundengine")) {
+    dump_soundengine();
+  } else if (!std::strcmp(argv[1], "seorch")) {
+    // seed sr base_freq length scatter emin emax itp xmode fxf pre minp
+    // addl pause xfade_len n_steps
+    int seed, sr, itp_, xmode, fxf, pre, minp, addl, pause, xfl;
+    long n;
+    double bf, len, sc, emin, emax;
+    if (std::scanf("%d %d %lf %lf %lf %lf %lf %d %d %d %d %d %d %d %d %ld",
+                   &seed, &sr, &bf, &len, &sc, &emin, &emax, &itp_, &xmode,
+                   &fxf, &pre, &minp, &addl, &pause, &xfl, &n) != 16)
+      return 2;
+    mersenne<SEEDED::Yes>().seed(static_cast<unsigned>(seed));
+    for (int i = 0; i < 120; ++i) {
+      auto cpyf = mersenne<SEEDED::Yes>();
+      cpyf.discard(static_cast<unsigned long long>(i));
+      float const u = std::uniform_real_distribution<float>{0.f, 1.f}(cpyf);
+      std::printf("U %d %.17g 0\n", i, double(u));
+    }
+    run_seorch<audioelement::SoundEngineMode::BIRDS>(
+        sr, bf, len, sc, emin, emax, itp_, xmode, fxf, pre, minp, addl,
+        pause, xfl, n);
   } else if (!std::strcmp(argv[1], "periodicfft")) {
     if (argc < 4) return 2;
     dump_periodicfft(std::atoi(argv[2]), std::atoi(argv[3]));

@@ -11,6 +11,7 @@
 #include <cfloat>
 #include <complex>
 #include <map>
+#include <memory>
 #include <random>
 
 #include "shim.h"
@@ -154,12 +155,27 @@ struct harmonicProperties_t {
 template <int N, typename... Ts>
 using NthTypeOf = std::tuple_element_t<N, std::tuple<Ts...>>;
 
-// parse-only stubs (never instantiated by the oracle)
 enum class FilterType { LOW_PASS, HIGH_PASS };
+// Complete no-op stand-in: SoundEngine's class instantiation requires the
+// member type (VolumeAdjusted::volume_filter, audioelement.h:1227), but the
+// oracle never renders through it — only spec-building paths run. Any
+// method that would matter for samples is a passthrough.
 template <typename T, int NDims, FilterType K, int ORDER>
-struct Filter;
+struct Filter {
+  void set_sample_rate(int) {}
+  void forgetPastSignals() {}
+  void initWithAngleIncrement(T) {}
+  void initWithFreq(T, T) {}
+  void setFiltersOrder(int) {}
+  void feed(T const* v) { last = *v; }
+  void setInitialValue(T v) { last = v; }
+  T const* filtered() const { return &last; }
+  T last{};
+};
 template <FilterType K>
 double get_inv_square_filter_magnitude(double);
+
+struct enumTraversal {};
 
 // easing library (the reference's itp:: from cpp.algorithms). Curve
 // formulas mirror cpp_audio_tpu/utils/interp.py exactly, so the oracle
@@ -279,5 +295,114 @@ struct NormalizedInterpolation {
     return itp::interpolate(kind, t, from, to - from, d);
   }
 };
+
+namespace itp {
+// whether an int is a valid interpolation enum value (used by
+// SoundEngine::set_itp fallbacks, soundengine.h:841-853)
+constexpr bool intIsReal(int i) { return i >= LINEAR && i <= EASE_INOUT_CIRC; }
+}  // namespace itp
+
+// ---- cpp.algorithms surface for soundengine.h ----
+
+// cpp.algorithms tuple for_each (FreqCtrl_ iterates its ctrl tuple)
+template <typename Tuple, typename F>
+void for_each(Tuple& t, F&& f) {
+  std::apply([&f](auto&... e) { (f(e), ...); }, t);
+}
+
+template <typename Tuple, typename F>
+void for_each_i(Tuple& t, F&& f) {
+  int i = 0;
+  std::apply([&](auto&... e) { (f(i++, e), ...); }, t);
+}
+
+constexpr bool is_odd(unsigned int v) { return (v & 1u) != 0; }
+constexpr bool is_odd(int v) { return (v & 1) != 0; }
+
+constexpr unsigned relevantBits(unsigned v) {
+  unsigned b = 0;
+  while (v) {
+    ++b;
+    v >>= 1;
+  }
+  return b;
+}
+constexpr unsigned pow2(unsigned n) { return 1u << n; }
+
+constexpr int VariableOrder = -1;  // runtime-order IIR marker
+
+enum class ExecuteLambdas { Yes, No };
+
+enum class MarkovMove { ENTER_NODE, LEAVE_NODE };
+
+// Markov chain with enter/leave node lambdas, mirroring
+// cpp_audio_tpu/utils/markov.py (the recovered cpp.algorithms semantics:
+// step_normalized always moves among outgoing edges with normalized
+// weights; step treats each probability as an absolute chance and may
+// stay put). SoundEngine's node lambdas and graph shapes are reference
+// code; this chain is the shared substrate both sides run on.
+struct MarkovNode {
+  std::function<void(MarkovMove, MarkovNode&, MarkovNode&)> f;
+  std::vector<std::pair<MarkovNode*, float>> transitions;
+};
+
+struct MarkovChain {
+  std::vector<std::unique_ptr<MarkovNode>> nodes;
+  MarkovNode* current = nullptr;
+
+  // returns a pointer: the reference's create_* functions bind the result
+  // with `auto` and pass it to def_markov_transition (soundengine.h:568-592),
+  // so the handle must have reference semantics
+  template <typename F>
+  MarkovNode* emplace(F&& fn) {
+    nodes.push_back(std::make_unique<MarkovNode>());
+    nodes.back()->f = std::forward<F>(fn);
+    return nodes.back().get();
+  }
+
+  void initialize(int i) { current = nodes[static_cast<size_t>(i)].get(); }
+
+  void moveTo(MarkovNode* dest, bool exec) {
+    if (exec) {
+      current->f(MarkovMove::LEAVE_NODE, *current, *dest);
+      dest->f(MarkovMove::ENTER_NODE, *dest, *current);
+    }
+    current = dest;
+  }
+
+  template <ExecuteLambdas E>
+  void step_normalized(float r) {
+    auto const& tr = current->transitions;
+    if (tr.empty()) return;
+    float total = 0.f;
+    for (auto const& t : tr) total += t.second;
+    float const x = r * total;
+    float acc = 0.f;
+    for (auto const& t : tr) {
+      acc += t.second;
+      if (x <= acc) {
+        moveTo(t.first, E == ExecuteLambdas::Yes);
+        return;
+      }
+    }
+    moveTo(tr.back().first, E == ExecuteLambdas::Yes);
+  }
+
+  template <ExecuteLambdas E>
+  void step(float r) {
+    float acc = 0.f;
+    for (auto const& t : current->transitions) {
+      acc += t.second;
+      if (r <= acc) {
+        moveTo(t.first, E == ExecuteLambdas::Yes);
+        return;
+      }
+    }
+  }
+};
+
+inline void def_markov_transition(MarkovNode* a, MarkovNode* b, float p) {
+  a->transitions.push_back({b, p});
+}
 
 }  // namespace imajuscule

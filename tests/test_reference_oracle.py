@@ -617,6 +617,140 @@ class TestOscillatorOracle:
             assert abs(im - gain * np.sin(ph)) < 2e-9, (inc, i)
 
 
+class _ReplayRNG:
+    """Replays the oracle's pre-printed draw sequence. Each reference draw
+    consumes exactly one mt19937 raw; uniform_real_distribution<float>{a,b}
+    maps the canonical u as u*(b-a)+a in float32 (libstdc++), and the oracle
+    prints both the float and the {0,1}-int interpretation per position."""
+
+    def __init__(self, rows):
+        self.us = [r[1] for r in rows]
+        self.bits = [int(r[2]) for r in rows]
+        self.i = 0
+
+    def uniform(self, a, b):
+        u = np.float32(self.us[self.i])
+        self.i += 1
+        return float(u * (np.float32(b) - np.float32(a)) + np.float32(a))
+
+    def integers(self, lo, hi):
+        b = self.bits[self.i]
+        self.i += 1
+        return b
+
+
+class TestSoundEngineOracle:
+    """models/soundengine.py's scheduler vs the reference's compiled
+    SoundEngine ramp-spec generation (soundengine.h:240-1124): the markov
+    node lambdas, play()'s scatter/state machinery, FreqXfade transition
+    insertion, robot initialization randomization, and sweep — driven by an
+    identical random sequence on both sides."""
+
+    # mode seed base_freq length scatter d1 d2 har exp_min exp_max itp fitp
+    # xfade_mode freq_xfade start pre minpath addl pause low high
+    CASES = [
+        ("birds-noxfade", 0, 7, 220.0, 93.0, 0.2, 0, 0, 0, 1.0, 3.0, 4, 18,
+         0, 6174, 0, 2, 8, 4, 100, 0.0, 0.0),
+        ("birds-nontrivial", 0, 42, 329.6, 93.0, 0.1, 0, 0, 0, 1.0, 3.0, 4,
+         18, 1, 6174, 0, 2, 12, 6, 2205, 0.0, 0.0),
+        ("birds-allxfade", 0, 5, 110.0, 140.0, 0.0, 0, 0, 0, 0.5, 2.0, 0,
+         17, 2, 3000, 0, 0, 10, 3, 0, 0.0, 0.0),
+        ("robot", 1, 11, 880.0, 70.0, 0.1, 12.0, 24.0, 0.6, 1.0, 2.0, 4, 18,
+         0, 6174, 0, 0, 9, 5, 1000, 0.0, 0.0),
+        ("sweep", 2, 3, 440.0, 1000.0, 0.0, 0, 0, 0, 0.0, 0.0, 0, 18, 0,
+         6174, 0, 0, 1, 0, 0, 100.0, 2000.0),
+    ]
+
+    @pytest.mark.parametrize("case", CASES, ids=[c[0] for c in CASES])
+    def test_spec_lists_match(self, oracle, case):
+        from cpp_audio_tpu.models import soundengine as se
+        from cpp_audio_tpu.models.voice_presets import (FreqXfade, Mode,
+                                                        VoiceProgram)
+
+        (_, mode, seed, base_freq, length, scatter, d1, d2, har, emin, emax,
+         itp_c, fitp, xmode, fxf, start, pre, minp, addl, pause, low,
+         high) = case
+        sr = 44100
+        line = (f"{mode} {seed} {sr} {base_freq!r} {length!r} {scatter!r} "
+                f"{d1!r} {d2!r} {har!r} {emin!r} {emax!r} {itp_c} {fitp} "
+                f"{xmode} {fxf} {start} {pre} {minp} {addl} {pause} "
+                f"{low!r} {high!r} 120")
+        out = oracle("soundengine", input_text=line + "\n", raw=True)
+        rows, specs, ok = [], [], None
+        for l in out.splitlines():
+            p = l.split()
+            if p[0] == "U":
+                rows.append((int(p[1]), float(p[2]), int(p[3])))
+            elif p[0] == "OK":
+                ok = int(p[1])
+            elif p[0] == "S":
+                specs.append([float(v) for v in p[1:]])
+        assert ok == 1
+
+        prog = VoiceProgram(
+            name="oracle", mode=list(Mode)[mode], start_node=start,
+            pre_tries=pre, min_path_length=minp, additional_tries=addl,
+            interpolation=itp_c, freq_scatter=scatter, length_ms=length,
+            d1=d1, d2=d2, harmonic_attenuation=har,
+            xfade_freq=list(FreqXfade)[xmode], freq_interpolation=fitp,
+            low_freq=low, high_freq=high)
+        sched = se.SoundEngineScheduler(prog, sr, base_freq, seed=0)
+        sched.rng = _ReplayRNG(rows)
+        sched.min_exp, sched.max_exp = emin, emax
+        sched.freq_xfade = fxf
+        got = sched.build_specs()
+
+        assert len(got) == len(specs), (len(got), len(specs))
+        for g, (frm, to, dur, vol, sil) in zip(got, specs):
+            assert g.from_inc == pytest.approx(frm, rel=2e-5)
+            assert g.to_inc == pytest.approx(to, rel=2e-5)
+            assert abs(g.duration - dur) <= 1.0, (g.duration, dur)
+            assert g.volume == pytest.approx(vol, rel=1e-5)
+            assert bool(g.silence_follows) == bool(sil)
+
+
+    @pytest.mark.parametrize("seed,xfade_len,pause", [(7, 1301, 100),
+                                                      (9, 3000, 2205),
+                                                      (13, 1301, 0)])
+    def test_orchestration_timing(self, oracle, seed, xfade_len, pause):
+        """scheduler.timeline() vs the reference's per-sample orchestration
+        (orchestrate_algos + playNextSpec, soundengine.h:738-803): each
+        spec's press sample, with release scheduled xfade_len before the
+        spec's end and the articulative pause inserted after
+        silence-following specs."""
+        from cpp_audio_tpu.models import soundengine as se
+        from cpp_audio_tpu.models.voice_presets import (FreqXfade, Mode,
+                                                        VoiceProgram)
+
+        sr = 44100
+        line = (f"{seed} {sr} 220.0 93.0 0.2 1.0 3.0 4 0 6174 2 8 4 "
+                f"{pause} {xfade_len} 500000\n")
+        out = oracle("seorch", input_text=line, raw=True)
+        rows, presses, ok = [], [], None
+        for l in out.splitlines():
+            p = l.split()
+            if p[0] == "U":
+                rows.append((int(p[1]), float(p[2]), int(p[3])))
+            elif p[0] == "OK":
+                ok = int(p[1])
+            elif p[0] == "P":
+                presses.append(int(p[1]))
+        assert ok == 1 and presses
+
+        prog = VoiceProgram(name="oracle", mode=Mode.BIRDS, pre_tries=2,
+                            min_path_length=8, additional_tries=4,
+                            interpolation=4, freq_scatter=0.2,
+                            length_ms=93.0, xfade_freq=FreqXfade.NO)
+        sched = se.SoundEngineScheduler(prog, sr, 220.0, seed=0)
+        sched.rng = _ReplayRNG(rows)
+        sched.min_exp, sched.max_exp = 1.0, 3.0
+        sched.xfade_len = xfade_len
+        sched.pause_len = pause
+        specs = sched.build_specs()
+        got = [t for _, t, _ in sched.timeline(specs)]
+        assert got[: len(presses)] == presses
+
+
 class TestSmallHelpers:
     def test_stereo_pan(self, oracle):
         from cpp_audio_tpu.models.sine_synth import _stereo_gains
