@@ -40,13 +40,21 @@ from .streaming import LiveResynth, StreamingVocoder
 _MAGIC = "cpp_audio_tpu-render-checkpoint-v1"
 
 
-def _fingerprint(preset: ResynthPreset, n_voice: int, n_carrier: int,
-                 sample_rate: int, post: str, block_size: int) -> str:
-    blob = json.dumps(
-        [_MAGIC, preset.to_json_dict(), n_voice, n_carrier, sample_rate,
-         post, block_size],
-        sort_keys=True)
-    return hashlib.sha256(blob.encode()).hexdigest()
+def _fingerprint(preset: ResynthPreset, voice, carrier, sample_rate: int,
+                 post: str, block_size: int,
+                 max_feedback_level: float) -> str:
+    """Keyed by the CONTENT of the inputs (not just their lengths) and every
+    parameter that affects the rendered samples, so re-recorded or swapped
+    inputs of equal length cannot silently resume a stale snapshot."""
+    h = hashlib.sha256()
+    h.update(json.dumps(
+        [_MAGIC, preset.to_json_dict(), sample_rate, post, block_size,
+         max_feedback_level], sort_keys=True).encode())
+    for arr in (voice, carrier):
+        h.update(b"|")
+        if arr is not None and len(arr):
+            h.update(np.ascontiguousarray(arr, np.float64).data)
+    return h.hexdigest()
 
 
 @dataclass
@@ -62,26 +70,48 @@ class _PipelineState:
 
 
 def save_checkpoint(path, state: _PipelineState) -> None:
-    """Atomic snapshot: write to a tmp file, fsync, rename into place."""
+    """Atomic snapshot: write to a tmp file, fsync, rename into place.
+
+    Only the rendered prefix out[:pos] (and fb_mono[:pos]) is written — the
+    untouched future region is zeros that load_checkpoint re-pads, so
+    snapshot size tracks progress instead of the full render (hours-long
+    jobs would otherwise fsync a multi-GB array every segment)."""
+    slim = _PipelineState(
+        fingerprint=state.fingerprint, pos=state.pos,
+        out=state.out[: state.pos].copy(), live=state.live, svoc=state.svoc,
+        fb_mono=(None if state.fb_mono is None
+                 else state.fb_mono[: state.pos].copy()))
     tmp = f"{path}.tmp"
     with open(tmp, "wb") as f:
-        pickle.dump(state, f, protocol=pickle.HIGHEST_PROTOCOL)
+        pickle.dump(slim, f, protocol=pickle.HIGHEST_PROTOCOL)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
 
 
-def load_checkpoint(path, fingerprint: str) -> _PipelineState | None:
-    """Load a snapshot; None if absent, unreadable, or config-mismatched."""
+def load_checkpoint(path, fingerprint: str,
+                    n: int | None = None) -> _PipelineState | None:
+    """Load a snapshot; None if absent, unreadable, or config-mismatched
+    (any exception counts as unreadable — a snapshot from an older code
+    layout must restart the render, not crash it). `n` re-pads the slim
+    arrays back to the full render length."""
     try:
         with open(path, "rb") as f:
             state = pickle.load(f)
-    except (OSError, pickle.UnpicklingError, EOFError, AttributeError):
+    except Exception:
         return None
     if not isinstance(state, _PipelineState):
         return None
     if state.fingerprint != fingerprint:
         return None
+    if n is not None:
+        if len(state.out) != state.pos or state.pos > n:
+            return None
+        state.out = np.concatenate(
+            [state.out, np.zeros((n - state.pos, 2))])
+        if state.fb_mono is not None:
+            state.fb_mono = np.concatenate(
+                [state.fb_mono, np.zeros(n - state.pos)])
     return state
 
 
@@ -111,21 +141,31 @@ def run_offline_streaming(preset: ResynthPreset, voice: np.ndarray | None,
     """
     n = max(len(voice) if voice is not None else 0,
             len(carrier) if carrier is not None else 0)
-    voice = np.zeros(n) if voice is None else np.asarray(voice, np.float64)
-    carrier = (np.zeros(n) if carrier is None
-               else np.asarray(carrier, np.float64))
+    # the fingerprint hashes the ORIGINAL inputs (before padding)
+    fp = _fingerprint(preset, voice, carrier, sample_rate, post, block_size,
+                      max_feedback_level)
+    # a shorter input is trailing silence for the duplex loop (run_offline
+    # instead truncates the direct-leg adds, which _direct_legs mirrors)
+    n_voice = len(voice) if voice is not None else 0
+    n_carrier = len(carrier) if carrier is not None else 0
+
+    def _pad(x):
+        x = np.zeros(0) if x is None else np.asarray(x, np.float64)
+        return (np.concatenate([x, np.zeros(n - len(x))])
+                if len(x) < n else x)
+
+    voice = _pad(voice)
+    carrier = _pad(carrier)
     gained = preset.analysis_input_gain * voice
 
     seg_blocks = max(1, int(round(segment_seconds * sample_rate / block_size)))
-    fp = _fingerprint(preset, len(voice), len(carrier), sample_rate, post,
-                      block_size)
 
     state = None
     if checkpoint_path and resume:
-        state = load_checkpoint(checkpoint_path, fp)
+        state = load_checkpoint(checkpoint_path, fp, n)
     if state is None:
         use_analysis = preset.analysis_volume != 0.0
-        use_vocoder = preset.vocoder_volume != 0.0 and len(carrier) > 0
+        use_vocoder = preset.vocoder_volume != 0.0 and n_carrier > 0
         live = None
         if use_analysis:
             cfg = oj.resynth_config_from_preset(preset, sample_rate)
@@ -184,13 +224,14 @@ def run_offline_streaming(preset: ResynthPreset, voice: np.ndarray | None,
 
     out = state.out.copy()
     # direct legs + post, as in offline_job.run_offline (stateless: applied
-    # on the completed mix, not checkpointed)
+    # on the completed mix, not checkpointed; original lengths — the padding
+    # is silence)
     if preset.voice_volume != 0.0:
-        out[: len(voice), 0] += preset.voice_volume * voice
-        out[: len(voice), 1] += preset.voice_volume * voice
+        out[:n_voice, 0] += preset.voice_volume * voice[:n_voice]
+        out[:n_voice, 1] += preset.voice_volume * voice[:n_voice]
     if preset.carrier_volume != 0.0:
-        out[: len(carrier), 0] += preset.carrier_volume * carrier
-        out[: len(carrier), 1] += preset.carrier_volume * carrier
+        out[:n_carrier, 0] += preset.carrier_volume * carrier[:n_carrier]
+        out[:n_carrier, 1] += preset.carrier_volume * carrier[:n_carrier]
     if post == "limit":
         out = np.asarray(lim.limit(out, sample_rate=sample_rate))
     out = np.asarray(lim.clamp_and_guard(out))
@@ -206,27 +247,7 @@ def run_job_checkpointed(config: OfflineJobConfig, checkpoint_path,
                          segment_seconds: float = 5.0,
                          resume: bool = True) -> np.ndarray:
     """offline_job.run_job with resumable render-state checkpointing."""
-    preset = (ResynthPreset.load(config.preset_file) if config.preset_file
-              else ResynthPreset())
-    voice = carrier = None
-    sample_rate = None
-    if config.input_voice_file:
-        data, sample_rate = wavio.read_wav(config.input_voice_file)
-        if data.shape[1] != 1:
-            raise ValueError("single channel only")
-        voice = data[:, 0]
-    if config.input_carrier_file:
-        data, sr2 = wavio.read_wav(config.input_carrier_file)
-        if data.shape[1] != 1:
-            raise ValueError("single channel only")
-        if sample_rate is not None and sr2 != sample_rate:
-            raise ValueError("sample rate mismatch between carrier and voice")
-        sample_rate = sr2
-        carrier = data[:, 0]
-    if sample_rate is None:
-        raise ValueError("must have at least one of carrier or voice")
-    if not config.output_file:
-        raise ValueError("no output file")
+    preset, voice, carrier, sample_rate = oj.load_job_inputs(config)
 
     out = run_offline_streaming(preset, voice, carrier, sample_rate,
                                 post=config.post,

@@ -125,8 +125,11 @@ def run_offline(preset: ResynthPreset, voice: np.ndarray | None,
     return out
 
 
-def run_job(config: OfflineJobConfig) -> np.ndarray:
-    """Execute a JSON job config: read WAVs, run the chain, write the output."""
+def load_job_inputs(config: OfflineJobConfig):
+    """Read + validate a job's preset and input WAVs (shared by run_job and
+    analysis/checkpoint.run_job_checkpointed).
+
+    Returns (preset, voice, carrier, sample_rate)."""
     preset = (ResynthPreset.load(config.preset_file) if config.preset_file
               else ResynthPreset())
 
@@ -149,6 +152,12 @@ def run_job(config: OfflineJobConfig) -> np.ndarray:
         raise ValueError("must have at least one of carrier or voice")
     if not config.output_file:
         raise ValueError("no output file")
+    return preset, voice, carrier, sample_rate
+
+
+def run_job(config: OfflineJobConfig) -> np.ndarray:
+    """Execute a JSON job config: read WAVs, run the chain, write the output."""
+    preset, voice, carrier, sample_rate = load_job_inputs(config)
 
     out = run_offline(preset, voice, carrier, sample_rate, post=config.post)
     wavio.write_wav(config.output_file, out, sample_rate,

@@ -369,7 +369,7 @@ def resynthesize(signal, config: ResynthConfig, *, device_out: bool = False,
 
         out = chain.resynthesize_signal_device(signal, config)
         return out if device_out else np.asarray(out)
-    if implementation in ("auto", "native"):
+    if implementation == "native":
         from .. import native as nat
 
         if nat.available():

@@ -115,7 +115,11 @@ class StreamingVocoder:
     The vocoded stream lags the input by 2S samples (the carrier window must
     fill before its first crossfaded half emerges); the offline vocode()
     compensates this latency, so parity holds as
-    streaming[t + 2*S] == offline[t].
+    streaming[t + 2*S] == offline[t] once the first modulator window has
+    completed (t >= W): before that the streaming path has no band
+    amplitudes yet (silence), while offline clips early frames to the first
+    window's amps (vocoder.py `rows` clip) — the same warm-up the reference
+    live app exhibits before its first FFT fires.
     """
 
     def __init__(self, params: voc.VocoderParams):

@@ -26,15 +26,30 @@ import argparse
 from ..analysis import offline_job, resynth
 
 
-def _parse_kv(spec: str) -> dict:
-    """'a=1,b=0.5' -> {'a': 1.0, 'b': 0.5}"""
+def _parse_kv(spec: str, allowed: frozenset) -> dict:
+    """'a=1,b=0.5' -> {'a': 1.0, 'b': 0.5}; rejects malformed entries and
+    unknown keys (a typo would otherwise silently fall back to defaults)."""
     out = {}
     for part in spec.split(","):
         part = part.strip()
-        if part:
-            k, _, v = part.partition("=")
-            out[k.strip()] = float(v)
+        if not part:
+            continue
+        k, eq, v = part.partition("=")
+        k = k.strip()
+        if not eq or k not in allowed:
+            raise ValueError(
+                f"bad entry {part!r}: expected key=value with key in "
+                f"{sorted(allowed)}")
+        try:
+            out[k] = float(v)
+        except ValueError:
+            raise ValueError(f"bad value in {part!r}: not a number")
     return out
+
+
+_CARRIER_KEYS = frozenset(
+    ["noise", "saw", "triangle", "square", "sine", "pulse", "width"])
+_VOCODER_VOLUME_KEYS = frozenset(["vocoded", "carrier", "modulator"])
 
 
 def _run_midi_duplex(live, midi_input, midi_events, signal, block_size):
@@ -44,8 +59,16 @@ def _run_midi_duplex(live, midi_input, midi_events, signal, block_size):
     import numpy as np
 
     signal = np.asarray(signal, np.float64)
+    # render past the last MIDI event so held/releasing carrier notes decay
+    # through their full envelope release (plus the vocoder's 2-stride lag)
+    tail = 0
+    if midi_events and live.carrier_synth is not None:
+        cfg = live.carrier_synth.config
+        tail = int(np.max(np.asarray(cfg.ahdsr.release))) + \
+            (2 * live.vocoder.params.stride if live.vocoder is not None
+             else 0)
     n_total = max(len(signal),
-                  (midi_events[-1].time + 1) if midi_events else 0)
+                  (midi_events[-1].time + 1 + tail) if midi_events else 0)
     parts = []
     ei = 0
     for t0 in range(0, n_total, block_size):
@@ -113,6 +136,9 @@ def main(argv=None):
             offline_job.run_job_file(args.job)
         print(f"ran job {args.job}")
         return 0
+    if args.checkpoint:
+        ap.error("--checkpoint requires --job (only JSON offline jobs "
+                 "checkpoint render state)")
     if not args.input or not args.output:
         ap.error("need input and output (or --job)")
     from ..utils import wav as wavio
@@ -129,14 +155,20 @@ def main(argv=None):
             from ..utils.midi_input import MidiInput
             from ..utils.midifile import read_midi_file
 
-            spec = _parse_kv(args.carrier)
+            try:
+                spec = _parse_kv(args.carrier, _CARRIER_KEYS)
+            except ValueError as e:
+                ap.error(f"--carrier: {e}")
             osc = CarrierOscMix(
                 noise=spec.get("noise", 0.0), saw=spec.get("saw", 0.0),
                 triangle=spec.get("triangle", 0.0),
                 square=spec.get("square", 0.0), sine=spec.get("sine", 0.0),
                 pulse=spec.get("pulse", 0.0),
                 pulse_width=spec.get("width", 0.01))
-            vols = _parse_kv(args.vocoder_volumes)
+            try:
+                vols = _parse_kv(args.vocoder_volumes, _VOCODER_VOLUME_KEYS)
+            except ValueError as e:
+                ap.error(f"--vocoder-volumes: {e}")
             vp = VocoderParams(sample_rate=sr,
                                volume_vocoded=vols.get("vocoded", 1.0),
                                volume_carrier=vols.get("carrier", 0.0),

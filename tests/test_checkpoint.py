@@ -109,6 +109,66 @@ class TestResume:
         path.write_bytes(b"not a pickle")
         assert ckpt.load_checkpoint(path, "whatever") is None
         assert ckpt.load_checkpoint(tmp_path / "absent.bin", "x") is None
+        # any exception during unpickling must count as unreadable, e.g. a
+        # snapshot referencing a class layout that no longer exists
+        import pickle
+        path.write_bytes(pickle.dumps({"not": "a state"}))
+        assert ckpt.load_checkpoint(path, "whatever") is None
+
+    def test_same_length_different_content_restarts(self, tmp_path):
+        # the fingerprint hashes input CONTENT: a re-recorded input of equal
+        # length must not resume a stale snapshot
+        v1 = _chirp(1.0)
+        v2 = _chirp(1.0, f0=330.0, f1=990.0)
+        preset = _preset(vocoder_volume=0.0)
+        path = tmp_path / "ck.bin"
+        assert ckpt.run_offline_streaming(preset, v1, None, SR,
+                                          checkpoint_path=path,
+                                          segment_seconds=0.3,
+                                          max_segments=1) is None
+        out = ckpt.run_offline_streaming(preset, v2, None, SR,
+                                         checkpoint_path=path,
+                                         segment_seconds=0.3)
+        full = ckpt.run_offline_streaming(preset, v2, None, SR,
+                                          segment_seconds=0.3)
+        np.testing.assert_array_equal(out, full)
+
+    def test_mismatched_input_lengths(self, tmp_path):
+        # shorter input = trailing silence; must render (and resume)
+        # without shape errors in the vocoder / feedback legs
+        voice = _chirp(0.8)
+        carrier = _chirp(1.2)
+        preset = _preset()
+        full = ckpt.run_offline_streaming(preset, voice, carrier, SR,
+                                          segment_seconds=0.25)
+        assert full.shape == (len(carrier), 2)
+        path = tmp_path / "ck.bin"
+        assert ckpt.run_offline_streaming(preset, voice, carrier, SR,
+                                          checkpoint_path=path,
+                                          segment_seconds=0.25,
+                                          max_segments=2) is None
+        resumed = ckpt.run_offline_streaming(preset, voice, carrier, SR,
+                                             checkpoint_path=path,
+                                             segment_seconds=0.25)
+        np.testing.assert_array_equal(resumed, full)
+        # carrier shorter than voice too
+        out2 = ckpt.run_offline_streaming(preset, carrier, voice, SR,
+                                          segment_seconds=0.25)
+        assert out2.shape == (len(carrier), 2)
+
+    def test_snapshot_size_tracks_progress(self, tmp_path):
+        # only the rendered prefix is written, not the preallocated render
+        voice = _chirp(2.0)
+        preset = _preset(vocoder_volume=0.0)
+        p1 = tmp_path / "early.bin"
+        p2 = tmp_path / "late.bin"
+        ckpt.run_offline_streaming(preset, voice, None, SR,
+                                   checkpoint_path=p1, segment_seconds=0.25,
+                                   max_segments=1)
+        ckpt.run_offline_streaming(preset, voice, None, SR,
+                                   checkpoint_path=p2, segment_seconds=0.25,
+                                   max_segments=7)
+        assert p1.stat().st_size < p2.stat().st_size * 0.5
 
 
 class TestJob:
@@ -145,3 +205,22 @@ class TestJob:
                          "--checkpoint-seconds", "0.25"]) == 0
         data, sr = wavio.read_wav(tmp_path / "o.wav")
         assert sr == SR and len(data) == len(voice)
+
+    def test_cli_checkpoint_requires_job(self, tmp_path):
+        from cpp_audio_tpu.apps import resynth as app
+
+        with pytest.raises(SystemExit):
+            app.main(["in.wav", "out.wav", "--checkpoint", "ck.bin"])
+
+    def test_cli_carrier_spec_validation(self):
+        from cpp_audio_tpu.apps import resynth as app
+
+        with pytest.raises(ValueError):
+            app._parse_kv("saw", app._CARRIER_KEYS)       # missing '='
+        with pytest.raises(ValueError):
+            app._parse_kv("sqare=1", app._CARRIER_KEYS)   # typo key
+        with pytest.raises(ValueError):
+            app._parse_kv("saw=x", app._CARRIER_KEYS)     # not a number
+        assert app._parse_kv("saw=0.5, width=0.01",
+                             app._CARRIER_KEYS) == {"saw": 0.5,
+                                                    "width": 0.01}
