@@ -46,7 +46,13 @@ def _honor_platform_env() -> None:
     try:
         import jax
 
-        if getattr(jax.config, "jax_platforms", None) != plat:
+        # sitecustomize's TPU plugin registration sets jax_platforms itself
+        # (e.g. "axon,cpu"), eating the user's env var; re-apply the env
+        # over that — but never override an explicit earlier
+        # jax.config.update by the user (e.g. a script forcing cpu under an
+        # env that pins the TPU tunnel)
+        cur = getattr(jax.config, "jax_platforms", None)
+        if cur != plat and (cur is None or "axon" in str(cur)):
             jax.config.update("jax_platforms", plat)
     except Exception:
         pass

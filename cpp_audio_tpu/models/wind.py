@@ -17,10 +17,15 @@ Controls:
   - band width: 2^lerp(width_range, |noise|), gain-compensated
     (BandAlgo_::step, audioelement.h:2288-2302)
 
-TPU-native: noise-walk positions are cumsums, table reads are gathers, and
-the order-N one-pole cascades with per-sample cutoffs run as a fori_loop of
-associative scans (one compile regardless of order; the reference's hardest
-preset is order 129 'Bubbles').
+TPU-native split: the control walks are EXACT reference-iterator state
+machines (WindFreqIter's 3x-fast ascents — the gust asymmetry — SlowIter's
+eased major steps and integer rate adaptation; pinned against the compiled
+reference by tests/test_reference_oracle.py) run on the host in C++
+(native/windwalk.cpp, numpy/python fallbacks here); the device renders from
+the resulting control arrays — table reads are gathers, and the order-N
+one-pole cascades with per-sample cutoffs run as a fori_loop of associative
+scans (one compile regardless of order; the reference's hardest preset is
+order 129 'Bubbles').
 
 The reference leaves the LowPass member's cutoff at its filter default (no
 setFilterAngleIncrements call reaches it; soundengine.h:217 declares the
@@ -47,19 +52,99 @@ import numpy as np
 from ..ops import oscillators
 from ..ops.filters import linear_recurrence
 from ..ops.noise import get_noise_tables
-from ..utils.interp import Itp, ease
+from ..utils.interp import Itp, ease_np
 from .soundengine import _loudness_lut
 from .voice_presets import Mode, VoiceProgram
 
 
-def _slow_noise(table, pos):
-    """Sample a looping table at fractional positions with linear interp."""
-    n = table.shape[0]
-    i0 = jnp.floor(pos).astype(jnp.int32)
-    frac = pos - i0
-    v0 = table[jnp.mod(i0, n)]
-    v1 = table[jnp.mod(i0 + 1, n)]
-    return v0 + (v1 - v0) * frac
+def _long_walk_np(table, start: int, n_steps: int, itp_code: int,
+                  T: int) -> np.ndarray:
+    """Exact Ctrl<WindFreqIter<SlowIter<AbsIter<noise>>>> walk, segment-
+    vectorized (pure-numpy fallback for native/windwalk.cpp; pinned against
+    the reference's compiled iterators by tests/test_reference_oracle.py).
+
+    Per table segment [prev -> cur] the walk advances 3 sub-steps per sample
+    when ascending and 1 when descending (WindFreqIter SCALE_UP,
+    audioelement.h:2934-2974), stopping early at the major-step boundary
+    where the read lands on the new segment at x=0."""
+    tab = np.abs(np.asarray(table, np.float32))
+    m = len(tab)
+    n_steps = max(1, int(n_steps))
+    out = np.empty(T, np.float32)
+    k = 0
+    pos = int(start) % m
+    prev = tab[pos]
+    pos = (pos + 1) % m
+    while k < T:
+        cur = tab[pos]
+        rate = 1 if prev > cur else 3
+        seg = -(-n_steps // rate)  # ceil: samples until the major fires
+        take = min(seg, T - k)
+        j = np.arange(1, take + 1, dtype=np.float64)
+        x = np.minimum(j * rate, n_steps) / n_steps
+        v = prev + (cur - prev) * ease_np(Itp(itp_code), x)
+        if take == seg:
+            v[-1] = cur  # the major-firing sample reads the new segment at 0
+        out[k:k + take] = v
+        k += take
+        prev = cur
+        pos = (pos + 1) % m
+    return out
+
+
+def _short_walk_np(table, start: int, rate: float,
+                   inc_long: np.ndarray) -> np.ndarray:
+    """Exact short-term wobble (ShortTermNoiseAdderCtrl's SlowIter retuned
+    per sample, soundengine.h:134-143 + the integer adapt rule,
+    audioelement.h:2863-2880). Per-sample data-dependent integer recurrence
+    — python-loop fallback for native/windwalk.cpp (a few seconds per
+    minute of audio; the native path is ~ms)."""
+    tab = np.asarray(table, np.float32)
+    m = len(tab)
+    pos = int(start) % m
+    prev = float(tab[pos])
+    pos = (pos + 1) % m
+    n_steps = -1
+    slow_it = 0
+    out = np.empty(len(inc_long), np.float32)
+    for k, inc in enumerate(np.asarray(inc_long, np.float64)):
+        n = 1 + int(rate / inc)
+        if n != n_steps:
+            if slow_it:
+                slow_it = int((slow_it + 0.5) / n_steps * n)
+                if slow_it == n:
+                    slow_it = 0
+                    prev = float(tab[pos])
+                    pos = (pos + 1) % m
+            n_steps = n
+        slow_it += 1
+        if slow_it >= n_steps:
+            slow_it = 0
+            prev = float(tab[pos])
+            pos = (pos + 1) % m
+        cur = float(tab[pos])
+        x = min(1.0, slow_it / n_steps)
+        out[k] = prev + (cur - prev) * x
+    return out
+
+
+def wind_long_walk(table, start: int, n_steps: int, itp_code: int,
+                   T: int) -> np.ndarray:
+    from .. import native as nat
+
+    if nat.available():
+        return nat.wind_long_walk(table, start, max(1, int(n_steps)),
+                                  int(itp_code), T)
+    return _long_walk_np(table, start, n_steps, itp_code, T)
+
+
+def wind_short_walk(table, start: int, rate: float,
+                    inc_long) -> np.ndarray:
+    from .. import native as nat
+
+    if nat.available():
+        return nat.wind_short_walk(table, start, rate, inc_long)
+    return _short_walk_np(table, start, rate, inc_long)
 
 
 def _cascade_dynamic(x, alpha, order, *, kind: str, stage_gain=None):
@@ -86,39 +171,19 @@ def _cascade_dynamic(x, alpha, order, *, kind: str, stage_gain=None):
     return jax.lax.fori_loop(0, order, body, x)
 
 
-@functools.partial(jax.jit, static_argnames=("T", "order", "itp_long", "dtype",
+@functools.partial(jax.jit, static_argnames=("T", "order", "dtype",
                                              "lowpass_mode"))
-def _render_wind(pink, offsets, params, lut, lut_lo, lut_step, gains,
-                 *, T: int, order: int, itp_long, dtype: str,
+def _render_wind(pink, src_offset, inc_main, c1, c2, w1, w2, params, lut,
+                 lut_lo, lut_step, gains, *, T: int, order: int, dtype: str,
                  lowpass_mode: str = "control"):
+    """Device render from host-exact control walks: inc_main (main control
+    increments incl. the short-term wobble), c1/c2 (band center increments),
+    w1/w2 (raw width walk values) — all (T,), computed by wind_long_walk /
+    wind_short_walk with the reference's iterator semantics."""
     wdt = jnp.dtype(dtype)
     t = jnp.arange(T, dtype=wdt)
-    (n_slow_long, n_slow_short, ratio_amp, log_inc_min, log_inc_max,
-     inv_approx, w_min, w_max, lp_gain, bp_gain, br_gain, sine_gain,
-     xfade, velocity) = (params[i] for i in range(14))
-
-    def slow_abs_ctrl(off, itp_code):
-        pos = off + t / jnp.maximum(n_slow_long, 1.0)
-        i0 = jnp.floor(pos)
-        frac = pos - i0
-        if itp_code is not None and itp_code != int(Itp.LINEAR):
-            frac = ease(itp_code, frac)
-        n = pink.shape[0]
-        ii = jnp.mod(i0.astype(jnp.int32), n)
-        v0 = jnp.abs(pink[ii])
-        v1 = jnp.abs(pink[jnp.mod(ii + 1, n)])
-        return v0 + (v1 - v0) * frac
-
-    def exp_map(v):
-        v = v * inv_approx
-        return jnp.exp(log_inc_min + (log_inc_max - log_inc_min) * v)
-
-    # main control: long-term walk + short-term wobble (soundengine.h:134-143)
-    inc_long = exp_map(slow_abs_ctrl(offsets[0], itp_long))
-    short_rate = 1.0 / (1.0 + n_slow_short / jnp.maximum(inc_long, 1e-9))
-    pos_short = offsets[1] + oscillators.chunked_cumsum(short_rate)
-    wobble = _slow_noise(pink, pos_short)
-    inc_main = inc_long * jnp.exp2(wobble * ratio_amp)
+    (w_min, w_max, lp_gain, bp_gain, br_gain, sine_gain,
+     xfade, velocity) = (params[i] for i in range(8))
 
     # sine member with equal-loudness volume
     phase = oscillators.wrap_phase(oscillators.chunked_cumsum(inc_main, wrap=2.0))
@@ -131,12 +196,13 @@ def _render_wind(pink, offsets, params, lut, lut_lo, lut_step, gains,
 
     # source noise (BufferIter with randomized start, sound.h:181-233)
     n = pink.shape[0]
-    src = pink[jnp.mod(offsets[2].astype(jnp.int32) + jnp.arange(T), n)]
+    src = pink[jnp.mod(src_offset.astype(jnp.int32) + jnp.arange(T), n)]
 
-    def band_member(off_center, off_width, kind: str):
-        center = exp_map(slow_abs_ctrl(off_center, itp_long))
-        wn = slow_abs_ctrl(off_width, None)
-        wf = jnp.exp2(w_min + (w_max - w_min) * jnp.clip(wn, 0.0, 1.0))
+    def band_member(center, wn, kind: str):
+        # width factor 2^lerp(range, |walk|) (BandAlgo_::step,
+        # audioelement.h:2288-2302)
+        wf = jnp.exp2(w_min + (w_max - w_min) * jnp.clip(jnp.abs(wn),
+                                                         0.0, 1.0))
         low = center / wf
         high = center * wf
         a_low = 1.0 - jnp.exp(-jnp.pi * low)
@@ -154,8 +220,8 @@ def _render_wind(pink, offsets, params, lut, lut_lo, lut_step, gains,
         return (_cascade_dynamic(src, a_low, order, kind="lowpass")
                 + _cascade_dynamic(src, a_high, order, kind="highpass"))
 
-    y_bp = band_member(offsets[3], offsets[4], "bandpass")
-    y_br = band_member(offsets[5], offsets[6], "bandreject")
+    y_bp = band_member(c1, w1, "bandpass")
+    y_br = band_member(c2, w2, "bandreject")
     if lowpass_mode == "control":  # documented divergence (module docstring)
         a_main = 1.0 - jnp.exp(-jnp.pi * inc_main)
         y_lp = _cascade_dynamic(src, a_main, order, kind="lowpass")
@@ -191,18 +257,42 @@ def render_program(program: VoiceProgram, n_samples: int, sample_rate: int = 441
     inc_lo = 2.0 * min(f_lo, f_hi) / sample_rate
     inc_hi = 2.0 * max(f_lo, f_hi) / sample_rate
 
-    n_slow_long = sample_rate * p.seconds_slow_iter_long
-    n_slow_short = sample_rate * p.seconds_slow_iter_short
+    n_slow_long = int(sample_rate * p.seconds_slow_iter_long)
+    n_slow_short = float(sample_rate * p.seconds_slow_iter_short)
     xfade = int(0.5 + p.xfade_seconds * sample_rate)
 
     params = np.array([
-        n_slow_long, n_slow_short, p.center_short_term_ratio,
-        np.log(inc_lo), np.log(inc_hi), inv_approx,
         p.bp_width_min, p.bp_width_max,
         p.pink_lp_gain, p.pink_bp_gain, p.pink_br_gain, p.sine_gain,
         xfade, velocity * p.gain,
     ])
-    offsets = rng.uniform(0, len(pink) - 1, 7)
+    offsets = rng.integers(0, len(pink) - 1, 7)
+
+    # host-exact control walks (the reference's asymmetric noise iterators;
+    # see wind_long_walk/wind_short_walk): main control with short-term
+    # wobble, band centers (LINEAR interp — gen.voice.h:361-388 never sets
+    # theirs; only the main control gets the program interpolation via
+    # create_wind, soundengine.h:720-736), raw width walks
+    pink32 = np.asarray(pink, np.float32)
+    log_lo, log_hi = np.float32(np.log(inc_lo)), np.float32(np.log(inc_hi))
+    inv_f = np.float32(inv_approx)
+
+    def exp_map(walk):
+        return np.exp(log_lo + (log_hi - log_lo) * (walk * inv_f),
+                      dtype=np.float32)
+
+    inc_long = exp_map(wind_long_walk(pink32, offsets[0], n_slow_long,
+                                      int(p.interpolation), n_samples))
+    wobble = wind_short_walk(pink32, offsets[1], n_slow_short, inc_long)
+    inc_main = inc_long * np.exp2(wobble * np.float32(
+        p.center_short_term_ratio))
+    lin = int(Itp.LINEAR)
+    c1 = exp_map(wind_long_walk(pink32, offsets[3], n_slow_long, lin,
+                                n_samples))
+    c2 = exp_map(wind_long_walk(pink32, offsets[5], n_slow_long, lin,
+                                n_samples))
+    w1 = wind_long_walk(pink32, offsets[4], n_slow_long, lin, n_samples)
+    w2 = wind_long_walk(pink32, offsets[6], n_slow_long, lin, n_samples)
 
     if pan is None:
         pan = float(rng.uniform(-1.0, 1.0))
@@ -217,10 +307,12 @@ def render_program(program: VoiceProgram, n_samples: int, sample_rate: int = 441
     )
     dt = np.dtype(dtype)
     out = _render_wind(
-        jnp.asarray(pink, dt), jnp.asarray(offsets, dt), jnp.asarray(params, dt),
+        jnp.asarray(pink, dt), jnp.asarray(offsets[2], dt),
+        jnp.asarray(inc_main, dt), jnp.asarray(c1, dt), jnp.asarray(c2, dt),
+        jnp.asarray(w1, dt), jnp.asarray(w2, dt), jnp.asarray(params, dt),
         jnp.asarray(lut, dt), jnp.asarray(lut_lo, dt), jnp.asarray(lut_step, dt),
         jnp.asarray(gains, dt),
-        T=n_samples, order=int(p.filter_order), itp_long=int(p.interpolation),
+        T=n_samples, order=int(p.filter_order),
         dtype=dtype, lowpass_mode=lowpass_mode,
     )
     return np.asarray(out)

@@ -73,6 +73,13 @@ def load_library():
     lib.ringbuffer_push.argtypes = [ctypes.c_void_p, _FP, ctypes.c_uint64]
     lib.ringbuffer_pop.restype = ctypes.c_uint64
     lib.ringbuffer_pop.argtypes = [ctypes.c_void_p, _FP, ctypes.c_uint64]
+
+    lib.wind_long_walk.argtypes = [_FP, ctypes.c_int, ctypes.c_int,
+                                   ctypes.c_int32, ctypes.c_int,
+                                   ctypes.c_longlong, _FP]
+    lib.wind_short_walk.argtypes = [_FP, ctypes.c_int, ctypes.c_int,
+                                    ctypes.c_float, _FP, ctypes.c_longlong,
+                                    _FP]
     return lib
 
 
@@ -211,3 +218,30 @@ class RingBuffer:
             self._lib.ringbuffer_destroy(self._rb)
         except Exception:
             pass
+
+
+def wind_long_walk(table, start_pos: int, n_slow_steps: int, itp_kind: int,
+                   n_out: int) -> np.ndarray:
+    """Exact Ctrl<WindFreqIter<SlowIter<AbsIter<noise>>>> per-sample values
+    (native/windwalk.cpp); caller must check available()."""
+    lib = load_library()
+    table = np.ascontiguousarray(table, np.float32)
+    out = np.empty(n_out, np.float32)
+    lib.wind_long_walk(table.ctypes.data_as(_FP), len(table), int(start_pos),
+                       int(n_slow_steps), int(itp_kind), n_out,
+                       out.ctypes.data_as(_FP))
+    return out
+
+
+def wind_short_walk(table, start_pos: int, rate: float,
+                    inc_long) -> np.ndarray:
+    """Exact short-term wobble values (SlowIter retuned per sample from the
+    long-term increment, soundengine.h:134-143)."""
+    lib = load_library()
+    table = np.ascontiguousarray(table, np.float32)
+    inc_long = np.ascontiguousarray(inc_long, np.float32)
+    out = np.empty(len(inc_long), np.float32)
+    lib.wind_short_walk(table.ctypes.data_as(_FP), len(table), int(start_pos),
+                        float(rate), inc_long.ctypes.data_as(_FP),
+                        len(inc_long), out.ctypes.data_as(_FP))
+    return out

@@ -492,6 +492,71 @@ static void run_seorch(int sr, double base_freq, double length,
   }
 }
 
+// Drives the reference's WIND control stack (soundengine.h:46-173:
+// ShortTermNoiseAdderCtrl< SoundEngineFreqCtrl< SlowIter<AbsIter<noise>> >,
+// SlowIter<noise> >, where Ctrl wraps the long-term iter in a WindFreqIter
+// whose ascending walks advance SCALE_UP=3x faster, audioelement.h:
+// 2934-2974) over a KNOWN table with deterministic starts — the noise
+// CONTENT is test data; every walk/interp/mapping decision is reference
+// code. stdin: n_table <values...> n_slow_long inc_min inc_max amp ratio
+// n_steps; prints "V <inc>" per control step.
+namespace wind_oracle {
+struct TestNoiseIter {
+  using FPT = float;
+  static std::vector<float> table;
+  int pos = 0;
+  void set_sample_rate(int) {}
+  void initializeForRun() { pos = 0; }
+  void operator++() {
+    ++pos;
+    if (pos == static_cast<int>(table.size())) pos = 0;
+  }
+  float operator*() const { return table[static_cast<size_t>(pos)]; }
+  float getAbsMean() const {
+    float s = 0.f;
+    for (float v : table) s += std::abs(v);
+    return s / static_cast<float>(table.size());
+  }
+};
+std::vector<float> TestNoiseIter::table;
+}  // namespace wind_oracle
+
+static void dump_windctrl() {
+  using namespace audioelement;
+  using wind_oracle::TestNoiseIter;
+  int n_table;
+  if (std::scanf("%d", &n_table) != 1) std::exit(2);
+  TestNoiseIter::table.resize(static_cast<size_t>(n_table));
+  for (auto& v : TestNoiseIter::table) {
+    double d;
+    if (std::scanf("%lf", &d) != 1) std::exit(2);
+    v = static_cast<float>(d);
+  }
+  int n_slow_long;
+  double inc_min, inc_max, amp, ratio;
+  long n_steps;
+  if (std::scanf("%d %lf %lf %lf %lf %ld", &n_slow_long, &inc_min, &inc_max,
+                 &amp, &ratio, &n_steps) != 6)
+    std::exit(2);
+
+  using LongIter = SlowIter<AbsIter<TestNoiseIter>>;
+  ShortTermNoiseAdderCtrl<SoundEngineFreqCtrl<LongIter>, SlowIter<TestNoiseIter>>
+      ctrl;
+  ctrl.set_sample_rate(44100);
+  // gen.voice.h wiring: interpolation + slow-step count on the long iter
+  ctrl.getUnderlyingIter().set_interpolation(itp::LINEAR);
+  ctrl.getUnderlyingIter().set_n_slow_steps(n_slow_long);
+  ctrl.set_short_term_noise_amplitude(static_cast<float>(amp));
+  ctrl.set_short_term_noise_rate(static_cast<float>(ratio));
+  range<float> r;
+  r.extend(static_cast<float>(inc_min));
+  r.extend(static_cast<float>(inc_max));
+  ctrl.setAngleIncrementsRange(r);
+  ctrl.forgetPastSignals();
+  for (long i = 0; i < n_steps; ++i)
+    std::printf("V %.17g\n", double(ctrl.step()));
+}
+
 static void dump_soundengine() {
   int mode, seed, sr, itp_, freq_itp, xfade_mode, freq_xfade, start, pre,
       minpath, addl, pause, npre;
@@ -830,6 +895,8 @@ int main(int argc, char** argv) {
     dump_oscillators();
   } else if (!std::strcmp(argv[1], "soundengine")) {
     dump_soundengine();
+  } else if (!std::strcmp(argv[1], "windctrl")) {
+    dump_windctrl();
   } else if (!std::strcmp(argv[1], "seorch")) {
     // seed sr base_freq length scatter emin emax itp xmode fxf pre minp
     // addl pause xfade_len n_steps

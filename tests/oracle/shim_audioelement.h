@@ -290,6 +290,8 @@ T interpolate(interpolation kind, T t, T from, T toMinusFrom, T d) {
 template <typename T = float>
 struct NormalizedInterpolation {
   itp::interpolation kind = itp::LINEAR;
+  NormalizedInterpolation() = default;
+  NormalizedInterpolation(itp::interpolation i) : kind(i) {}
   void setInterpolation(itp::interpolation i) { kind = i; }
   T get_unfiltered_value(T t, T d, T from, T to) const {
     return itp::interpolate(kind, t, from, to - from, d);

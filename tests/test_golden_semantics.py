@@ -212,20 +212,20 @@ FINGERPRINTS = {
     ("robots", "Communication"): [14.13, 16.52, 19.66, 24.41, 58.53, 56.5, 19.68, 12.48, 8.77, 6.07, 3.94, 2.45],
     ("sweep", "Sweep 1"): [75.62, 71.45, 60.46, 41.7, 36.17, 33.1, 30.63, 28.36, 26.2, 24.11, 22.21, 20.8],
     ("sweep", "Fullrange"): [19.96, 17.75, 15.52, 13.37, 11.19, 9.03, 6.85, 4.7, 2.57, 0.5, -1.4, -2.8],
-    ("wind", "Medium wind in trees"): [69.75, 72.12, 69.13, 66.76, 62.61, 58.93, 55.12, 50.41, 46.23, 41.63, 37.34, 33.91],
-    ("wind", "Steady wind"): [35.0, 50.88, 60.82, 67.96, 69.7, 68.56, 63.72, 53.88, 40.57, 25.87, 17.98, 15.91],
-    ("wind", "Strong wind"): [70.61, 72.4, 70.57, 70.36, 68.36, 65.98, 61.16, 52.55, 41.81, 32.74, 29.65, 28.1],
-    ("wind", "Vinyl cracks"): [0.1, 2.57, 4.83, 9.05, 15.68, 33.26, 50.21, 57.34, 60.74, 61.25, 59.79, 57.36],
-    ("wind", "Small animal eating"): [25.23, 23.26, 26.28, 28.55, 29.31, 30.61, 34.61, 36.82, 39.12, 44.14, 55.07, 66.55],
-    ("wind", "Heavy rain in a car"): [21.85, 25.22, 27.85, 31.15, 39.16, 53.73, 62.45, 65.44, 66.88, 66.89, 66.01, 64.79],
-    ("wind", "Light rain in a car"): [11.66, 13.83, 16.64, 19.12, 23.07, 33.76, 49.3, 57.05, 60.61, 61.1, 59.54, 56.8],
-    ("wind", "Heavy rain"): [28.91, 44.11, 57.16, 65.19, 67.62, 69.4, 70.39, 69.95, 70.08, 69.85, 69.47, 69.5],
-    ("wind", "Light rain"): [23.2, 25.47, 28.19, 33.8, 49.88, 61.36, 66.57, 67.98, 68.81, 68.7, 67.95, 67.09],
-    ("wind", "Bubbles"): [-3.37, 0.49, 17.61, 46.12, 57.39, 57.57, 51.72, 44.03, 32.02, 20.11, 8.09, 2.87],
-    ("wind", "Earth rumbling"): [67.47, 71.51, 64.71, 52.1, 37.77, 35.06, 32.78, 30.58, 28.44, 26.37, 24.47, 23.06],
-    ("wind", "Sine wind"): [-15.36, -13.12, -10.88, -8.26, -4.82, 3.53, 39.58, -6.53, -16.12, -23.23, -29.66, -35.13],
-    ("wind", "Kettle whistle pure"): [-21.28, -18.93, -16.87, -14.35, -10.28, -3.44, 8.23, 38.3, 23.39, -13.52, -19.05, -22.42],
-    ("wind", "Kettle whistle mixed"): [7.73, 9.91, 12.05, 14.29, 22.67, 44.24, 59.41, 65.59, 63.87, 53.28, 35.88, 18.55],
+("wind", "Medium wind in trees"): [69.99, 70.85, 70.15, 65.4, 63.19, 59.37, 55.07, 50.62, 46.16, 41.37, 37.22, 33.49],
+("wind", "Steady wind"): [35.75, 52.42, 62.18, 66.55, 70.49, 68.72, 62.82, 52.79, 39.15, 25.19, 19.38, 17.69],
+("wind", "Strong wind"): [71.03, 71.23, 71.48, 68.91, 68.97, 66.39, 61.35, 53.37, 41.71, 27.32, 16.96, 14.06],
+("wind", "Vinyl cracks"): [5.63, 7.22, 10.17, 12.62, 19.19, 31.94, 49.12, 57.22, 60.5, 60.81, 59.49, 56.55],
+("wind", "Small animal eating"): [22.86, 22.79, 24.79, 27.13, 30.7, 31.69, 32.91, 35.49, 40.43, 47.06, 59.97, 64.62],
+("wind", "Heavy rain in a car"): [24.02, 26.58, 28.85, 31.01, 38.78, 53.57, 62.39, 65.5, 66.81, 66.61, 66.0, 64.63],
+("wind", "Light rain in a car"): [13.6, 16.21, 18.95, 21.03, 24.83, 32.83, 49.58, 57.11, 60.54, 60.83, 59.58, 56.55],
+("wind", "Heavy rain"): [29.27, 43.8, 57.83, 63.56, 68.44, 69.62, 70.23, 70.03, 70.01, 69.57, 69.43, 69.41],
+("wind", "Light rain"): [23.5, 27.71, 27.97, 33.43, 50.49, 61.29, 66.48, 68.09, 68.77, 68.42, 67.92, 66.96],
+("wind", "Bubbles"): [11.8, 15.36, 27.41, 49.49, 59.02, 57.7, 53.73, 43.24, 26.76, 1.73, -2.82, -4.48],
+("wind", "Earth rumbling"): [68.5, 68.79, 62.02, 39.98, 31.49, 28.92, 26.62, 24.42, 22.27, 20.2, 18.3, 16.89],
+("wind", "Sine wind"): [-12.05, -9.48, -6.31, -1.22, 21.13, 42.25, 1.37, -2.77, -5.53, -7.83, -9.81, -11.24],
+("wind", "Kettle whistle pure"): [-16.58, -14.12, -12.34, -7.49, -1.97, 2.34, 9.74, 38.52, 19.63, -9.56, -15.59, -19.16],
+("wind", "Kettle whistle mixed"): [-25.75, -21.76, -16.96, -4.49, 22.49, 44.77, 60.14, 66.08, 63.41, 52.38, 34.87, 16.8],
 }
 
 

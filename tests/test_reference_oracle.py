@@ -784,6 +784,153 @@ class TestSoundEngineOracle:
         assert got[: len(presses)] == presses
 
 
+def scalar_wind_ctrl(table, n_slow_long, inc_min, inc_max, amp, ratio,
+                     n_steps):
+    """Per-step f64 mirror of the reference's WIND control stack
+    (ShortTermNoiseAdderCtrl<SoundEngineFreqCtrl<SlowIter<AbsIter<noise>>>,
+    SlowIter<noise>>, soundengine.h:46-173) including Ctrl's WindFreqIter
+    (ascending walks advance SCALE_UP=3 sub-steps per sample,
+    audioelement.h:2934-2974) and SlowIter's adapt-on-rate-change
+    (audioelement.h:2863-2880)."""
+    table = [float(np.float32(v)) for v in table]
+    m = len(table)
+
+    class Slow:
+        def __init__(self, use_abs):
+            self.use_abs = use_abs
+            self.pos = 0
+            self.n_steps = -1
+            self.slow_it = 0
+            self.prev = 0.0
+
+        def _read(self):
+            v = table[self.pos]
+            return abs(v) if self.use_abs else v
+
+        def init_for_run(self):
+            self.pos = 0
+            self._major()
+
+        def _major(self):
+            self.slow_it = 0
+            self.prev = self._read()
+            self.pos = (self.pos + 1) % m
+
+        def set_n_slow_steps(self, n):
+            n = int(n)
+            if n == self.n_steps:
+                return
+            if self.slow_it:
+                ratio_ = (self.slow_it + 0.5) / float(self.n_steps)
+                self.slow_it = int(ratio_ * float(n))
+                if self.slow_it == n:
+                    self._major()
+            self.n_steps = n
+
+        def increment(self):
+            self.slow_it += 1
+            if self.slow_it < self.n_steps:
+                return False
+            self._major()
+            return True
+
+        def value(self):
+            x = min(1.0, max(0.0, self.slow_it / self.n_steps))
+            return self.prev + (self._read() - self.prev) * x
+
+        def diminishing(self):
+            return self.prev > self._read()
+
+    long_it = Slow(use_abs=True)
+    short_it = Slow(use_abs=False)
+    long_it.set_n_slow_steps(n_slow_long)
+    abs_mean = np.mean(np.abs(np.asarray(table, np.float32)))
+    inv_approx = float(np.float32(1.0) / (np.float32(2.0) * abs_mean))
+    log_min, log_max = np.log(np.float32(inc_min)), np.log(np.float32(inc_max))
+    long_it.init_for_run()
+    short_it.init_for_run()
+
+    out = np.empty(n_steps)
+    for k in range(n_steps):
+        # Ctrl::step -> WindFreqIter::operator++ (audioelement.h:2940-2952)
+        n = 1 if long_it.diminishing() else 3
+        for _ in range(n):
+            if long_it.increment():
+                break
+        v = long_it.value() * inv_approx
+        inc_long = float(np.exp(log_min + (log_max - log_min) * v))
+        # ShortTermNoiseAdderCtrl::step (soundengine.h:134-143)
+        short_it.set_n_slow_steps(1 + int(ratio / inc_long))
+        short_it.increment()
+        out[k] = inc_long * 2.0 ** (short_it.value() * amp)
+    return out
+
+
+class TestWindControlOracle:
+    """The WIND control walk vs the reference's compiled iterator stack over
+    a known noise table: WindFreqIter's 3x-fast ascents, SlowIter's
+    interpolated major steps and rate-change adaptation, the exponential
+    frequency mapping, and the short-term wobble with rate inversely
+    proportional to the long-term frequency."""
+
+    @pytest.mark.parametrize("seed,n_slow,ratio", [(0, 10, 0.002),
+                                                   (1, 25, 0.0),
+                                                   (2, 4, 0.01)])
+    def test_scalar_mirror_matches(self, oracle, seed, n_slow, ratio):
+        rng = np.random.default_rng(seed)
+        table = rng.standard_normal(16) * 0.7
+        inc_min, inc_max, amp = 0.005, 0.06, 0.4
+        n_steps = 400
+        text = (f"{len(table)}\n"
+                + " ".join(repr(float(v)) for v in table) + "\n"
+                + f"{n_slow} {inc_min!r} {inc_max!r} {amp!r} {ratio!r} "
+                + f"{n_steps}\n")
+        out = oracle("windctrl", input_text=text, raw=True)
+        ref = np.array([float(l.split()[1]) for l in out.splitlines()])
+        got = scalar_wind_ctrl(table, n_slow, inc_min, inc_max, amp, ratio,
+                               n_steps)
+        np.testing.assert_allclose(got, ref, rtol=2e-5)
+
+    @pytest.mark.parametrize("seed,n_slow,ratio,itp_code",
+                             [(3, 12, 0.003, 0), (4, 30, 0.02, 4)])
+    def test_production_walks_match_reference(self, oracle, seed, n_slow,
+                                              ratio, itp_code):
+        """models/wind.py's wind_long_walk + wind_short_walk (native C++
+        fast path AND the numpy/python fallbacks) reconstruct the
+        reference's compiled control trajectory. itp applies to the main
+        long walk only when != LINEAR (create_wind sets it per spec,
+        soundengine.h:720-736)."""
+        from cpp_audio_tpu.models import wind as w
+
+        rng = np.random.default_rng(seed)
+        table = (rng.standard_normal(24) * 0.5).astype(np.float32)
+        inc_min, inc_max, amp = 0.004, 0.08, 0.35
+        n_steps = 600
+        if itp_code != 0:
+            # the oracle driver configures LINEAR; mirror by checking only
+            # the walk machinery with LINEAR here
+            itp_code = 0
+        text = (f"{len(table)}\n"
+                + " ".join(repr(float(v)) for v in table) + "\n"
+                + f"{n_slow} {inc_min!r} {inc_max!r} {amp!r} {ratio!r} "
+                + f"{n_steps}\n")
+        out = oracle("windctrl", input_text=text, raw=True)
+        ref = np.array([float(l.split()[1]) for l in out.splitlines()])
+
+        abs_mean = np.mean(np.abs(table))
+        inv_f = np.float32(1.0) / (np.float32(2.0) * np.float32(abs_mean))
+        lo, hi = np.float32(np.log(inc_min)), np.float32(np.log(inc_max))
+
+        for long_fn, short_fn in [
+                (w.wind_long_walk, w.wind_short_walk),        # native
+                (w._long_walk_np, w._short_walk_np)]:         # fallbacks
+            walk = long_fn(table, 0, n_slow, itp_code, n_steps)
+            inc_long = np.exp(lo + (hi - lo) * (walk * inv_f))
+            wob = short_fn(table, 0, ratio, inc_long)
+            got = inc_long * np.exp2(wob * np.float32(amp))
+            np.testing.assert_allclose(got, ref, rtol=3e-5)
+
+
 class TestSmallHelpers:
     def test_stereo_pan(self, oracle):
         from cpp_audio_tpu.models.sine_synth import _stereo_gains
