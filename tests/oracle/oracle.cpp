@@ -270,6 +270,46 @@ static void dump_envelope() {
   }
 }
 
+// Drives a full reference RT voice: Enveloped<SineOscillatorAlgo, AHDSR>
+// (audioelement.h:182-289) — notably the wrapper's min-change-duration =
+// 2.5 signal periods (characTimeMultiplier, :216-225) stretching short
+// attacks/releases for low notes. stdin lines:
+//   inc A aItp H D dItp R rItp sustain sr pressDelay relAt relDelay nSteps
+// Prints "V <imag>" per step then "E".
+static void dump_enveloped() {
+  double inc, sustain;
+  int A, aItp, H, D, dItp, R, rItp, sr, press_delay, rel_delay, n_steps;
+  long rel_at;
+  while (std::scanf("%lf %d %d %d %d %d %d %d %lf %d %d %ld %d %d", &inc, &A,
+                    &aItp, &H, &D, &dItp, &R, &rItp, &sustain, &sr,
+                    &press_delay, &rel_at, &rel_delay, &n_steps) == 14) {
+    using namespace audioelement;
+    Enveloped<SineOscillatorAlgo<double>,
+              AHDSREnvelope<Atomicity::No, double,
+                            EnvelopeRelease::WaitForKeyRelease,
+                            AllowZeroAttack::No>>
+        v;
+    v.editEnvelope().setAHDSR(
+        AHDSR{A, static_cast<itp::interpolation>(aItp), H, D,
+              static_cast<itp::interpolation>(dItp), R,
+              static_cast<itp::interpolation>(rItp),
+              static_cast<float>(sustain)},
+        sr);
+    v.forgetPastSignals();
+    v.set_sample_rate(sr);
+    v.setAngleIncrements(inc);
+    v.setStartAngle(0.25);
+    v.tryAcquire();
+    v.onKeyPressed(press_delay);
+    for (long i = 0; i < n_steps; ++i) {
+      v.step();
+      std::printf("V %.17g\n", v.imag());
+      if (i == rel_at) v.onKeyReleased(rel_delay);
+    }
+    std::printf("E\n");
+  }
+}
+
 // Drives the reference's LogRamp (periodic exponential frequency glide with
 // PROPORTIONAL_VALUE_DERIVATIVE stepping, audioelement.h:2464-2572).
 // stdin lines: "from to duration start_sample itpKind nSteps [resetupAt
@@ -887,6 +927,8 @@ int main(int argc, char** argv) {
     dump_small_helpers();
   } else if (!std::strcmp(argv[1], "envelope")) {
     dump_envelope();
+  } else if (!std::strcmp(argv[1], "enveloped")) {
+    dump_enveloped();
   } else if (!std::strcmp(argv[1], "logramp")) {
     dump_logramp();
   } else if (!std::strcmp(argv[1], "interpfreq")) {

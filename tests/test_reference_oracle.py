@@ -415,6 +415,55 @@ class TestEnvelopeOracle:
             np.testing.assert_allclose(got, ref, atol=1e-12, err_msg=str(case))
 
 
+class TestEnvelopedVoiceOracle:
+    """A complete reference RT voice (Enveloped<SineOscillatorAlgo, AHDSR>,
+    audioelement.h:182-289) vs our closed-form sample product — notably the
+    wrapper's anti-crack floor of 2.5 signal periods stretching short
+    attacks/releases for low notes (characTimeMultiplier, :216-225)."""
+
+    # inc A aItp H D dItp R rItp sustain sr pressDelay relAt relDelay n
+    CASES = [
+        (0.01, 3, 0, 2, 5, 0, 4, 0, 0.5, 44100, 0, 300, 0, 800),
+        # low note: period 2/0.002 = 1000 -> min change 2500 dominates the
+        # 100-sample attack and the release
+        (0.002, 100, 0, 0, 200, 0, 100, 0, 0.7, 44100, 0, 4000, 0, 9000),
+        (0.05, 50, 4, 10, 80, 6, 60, 15, 0.3, 44100, 3, 500, 7, 1200),
+    ]
+
+    def test_matches_reference(self, oracle):
+        import jax.numpy as jnp
+
+        from cpp_audio_tpu.ops import envelopes as envs
+        from cpp_audio_tpu.ops import oscillators as osc
+
+        lines = "\n".join(" ".join(map(str, c)) for c in self.CASES) + "\n"
+        out = oracle("enveloped", input_text=lines, raw=True)
+        traces, cur = [], []
+        for line in out.splitlines():
+            if line == "E":
+                traces.append(np.array(cur))
+                cur = []
+            else:
+                cur.append(float(line.split()[1]))
+
+        for case, ref in zip(self.CASES, traces):
+            (inc, A, ai, H, D, di, R, ri, sus, sr, pd, relat, reld, n) = case
+            min_dt = sr // 1000
+            params = envs.AHDSR(
+                attack=max(A, min_dt), attack_itp=ai, hold=H,
+                decay=max(D, min_dt) if sus < 0.999999 else 0, decay_itp=di,
+                release=max(R, min_dt), release_itp=ri, sustain=sus)
+            min_change = int(0.5 + 2.5 * (2.0 / inc))
+            env = np.asarray(envs.ahdsr_envelope(
+                jnp.arange(n, dtype=jnp.float64), params, pd,
+                relat + 1 + reld, min_change=float(min_change),
+                dtype=jnp.float64))
+            gain = float(osc.freq_aliasing_multiplicator(inc))
+            sine = gain * np.sin(np.pi * (0.25 + inc * (np.arange(n) + 1.0)))
+            got = env * sine
+            np.testing.assert_allclose(got, ref, atol=2e-7, err_msg=str(case))
+
+
 class TestLogRampOracle:
     """The scalar LogRamp port (tests/test_logramp_exact.py) and the
     closed-form device implementation vs the reference's compiled
