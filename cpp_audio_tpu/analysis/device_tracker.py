@@ -401,7 +401,7 @@ def _track_step(carry, xs, *, k: int, P: int, Q: int, statics):
     th_l = (0.25 * np.pi) * (pan_l + 1.0)
     phase0_l = phase_draws[
         jnp.clip(phase_ctr + r_slot_l, 0, phase_draws.shape[0] - 1)]
-    min_change_l = 2.5 * 2.0 / jnp.maximum(jnp.abs(on_inc_l), 1e-9)
+    min_change_l = jnp.floor(0.5 + 2.5 * 2.0 / jnp.maximum(jnp.abs(on_inc_l), 1e-9))
     A_l = jnp.maximum(jnp.maximum(np.asarray(max(attack, min_dt, 1.0), wdt),
                                   min_change_l), 1.0)
     D_l = (jnp.maximum(jnp.maximum(np.asarray(max(decay, min_dt, 1.0), wdt),
@@ -648,7 +648,8 @@ def _build_tables_parallel(tpitch, volume, loud_order, is_data, pan_draws,
     b_loc = (1.0 - q_loc) * c_loc
 
     # birth-lane values (as if every lane were a birth; gathered later)
-    min_change = (2.5 * 2.0 / jnp.maximum(jnp.abs(inc_to), 1e-9)).astype(f32)
+    min_change = jnp.floor(0.5 + 2.5 * 2.0
+                           / jnp.maximum(jnp.abs(inc_to), 1e-9)).astype(f32)
     A_b = jnp.maximum(jnp.maximum(attack_eff, min_change), 1.0)
     D_b = (jnp.maximum(jnp.maximum(decay_eff, min_change), 1.0)
            if has_decay else jnp.zeros_like(A_b))

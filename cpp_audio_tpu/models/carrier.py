@@ -293,7 +293,7 @@ class CarrierSynth:
         hold = max(float(np.max(np.asarray(a.hold))), 0.0)
         for i, v in enumerate(active):
             # reference floors: 1 ms (with_min_dt) + 2.5 periods (Enveloped)
-            mc = 2.5 * 2.0 / max(abs(v.inc_to), 1e-9)
+            mc = np.floor(0.5 + 2.5 * 2.0 / max(abs(v.inc_to), 1e-9))
             A = max(float(np.max(np.asarray(a.attack))), mc, 1.0)
             D = (max(float(np.max(np.asarray(a.decay))), mc, 1.0)
                  if sus < 0.999999 else 0.0)

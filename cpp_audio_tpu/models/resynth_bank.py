@@ -114,7 +114,7 @@ def _note_windows(notes, n_frames, config):
     for note in notes:
         f0 = note.frames[0][0]
         init_inc = 2.0 * note.frames[0][1] / sr
-        min_change = 2.5 * 2.0 / max(abs(init_inc), 1e-9)
+        min_change = np.floor(0.5 + 2.5 * 2.0 / max(abs(init_inc), 1e-9))
         A = max(float(np.max(np.asarray(a.attack))), min_dt, min_change, 1.0)
         H = max(float(np.max(np.asarray(a.hold))), 0.0)
         D = max(float(np.max(np.asarray(a.decay))), min_dt, min_change, 1.0) if has_decay else 0.0

@@ -455,8 +455,8 @@ def render_program(program: VoiceProgram, base_freq: float, n_samples: int,
         # happens at from_inc, release at to_inc) and clamped to the spec
         # duration — a glide starting near 0 Hz would otherwise demand a
         # ~1e8-sample envelope and a multi-GB render grid
-        min_change_a = 2.5 * 2.0 / max(spec.from_inc, 1e-9)
-        min_change_r = 2.5 * 2.0 / max(spec.to_inc, 1e-9)
+        min_change_a = np.floor(0.5 + 2.5 * 2.0 / max(spec.from_inc, 1e-9))
+        min_change_r = np.floor(0.5 + 2.5 * 2.0 / max(spec.to_inc, 1e-9))
         A = min(max(sched.xfade_len, min_dt, min_change_a, 1.0), max(D, 1.0))
         R = min(max(sched.xfade_len, min_dt, min_change_r, 1.0), max(D, 1.0))
         rl = max(release - press, 0)

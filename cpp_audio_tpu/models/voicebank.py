@@ -70,7 +70,7 @@ class VoiceBank:
 
 def _host_envelope_derived(bank: VoiceBank):
     """Host f64 precompute of effective envelope params + release top value."""
-    min_change = 2.5 * 2.0 / np.maximum(np.abs(bank.increment), 1e-9)
+    min_change = np.floor(0.5 + 2.5 * 2.0 / np.maximum(np.abs(bank.increment), 1e-9))
     A = np.maximum(np.maximum(bank.attack, min_change), 1.0)
     H = np.maximum(bank.hold, 0.0)
     has_decay = bank.sustain < 0.999999
@@ -396,7 +396,7 @@ def render_bank_sparse(bank: VoiceBank, n_samples: int, *,
     if V <= dense_rows or n_samples <= segment_size:
         return render_bank(bank, n_samples, block_size=block_size,
                            dtype=dtype, use_pallas=use_pallas)
-    min_change = 2.5 * 2.0 / np.maximum(np.abs(bank.increment), 1e-9)
+    min_change = np.floor(0.5 + 2.5 * 2.0 / np.maximum(np.abs(bank.increment), 1e-9))
     R = np.maximum(np.maximum(bank.release_len, min_change), 1.0)
     end = np.minimum(bank.release, float(n_samples)) + R + 2.0
     C = bank.gains.shape[1]

@@ -438,7 +438,7 @@ std::vector<Win> compute_wins(const std::vector<TrackedNoteC>& notes,
   for (size_t ni = 0; ni < notes.size(); ++ni) {
     const auto& note = notes[ni];
     double init_inc = 2.0 * note.cfreq[0] / sr;
-    double min_change = 2.5 * 2.0 / std::max(std::abs(init_inc), 1e-9);
+    double min_change = std::floor(0.5 + 2.5 * 2.0 / std::max(std::abs(init_inc), 1e-9));
     Win w;
     w.f0 = note.cframe[0];
     w.A = std::max({attack, min_dt, min_change, 1.0});

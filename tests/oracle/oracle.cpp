@@ -310,6 +310,55 @@ static void dump_enveloped() {
   }
 }
 
+// Drives the reference's additive-harmonics element: MultiEnveloped<
+// SineOscillatorAlgo, AHDSREnvelope> (audioelement.h:486-657) — per-harmonic
+// phases/volumes, i-times-fundamental increments, per-harmonic envelope
+// floors, trailing-silent-harmonic trimming. stdin lines:
+//   inc start_angle K  then K lines "phase volume", then
+//   A aItp H D dItp R rItp sustain sr relAt nSteps
+// Prints "V <imag>" per step then "E".
+static void dump_multienv() {
+  double inc, start_angle, sustain;
+  int K, A, aItp, H, D, dItp, R, rItp, sr, n_steps;
+  long rel_at;
+  while (std::scanf("%lf %lf %d", &inc, &start_angle, &K) == 3) {
+    std::vector<audioelement::harmonicProperties_t> props(
+        static_cast<size_t>(K));
+    for (auto& p : props) {
+      double ph, vol;
+      if (std::scanf("%lf %lf", &ph, &vol) != 2) std::exit(2);
+      p.phase = static_cast<float>(ph);
+      p.volume = static_cast<float>(vol);
+    }
+    if (std::scanf("%d %d %d %d %d %d %d %lf %d %ld %d", &A, &aItp, &H, &D,
+                   &dItp, &R, &rItp, &sustain, &sr, &rel_at, &n_steps) != 11)
+      std::exit(2);
+    using namespace audioelement;
+    MultiEnveloped<SineOscillatorAlgo<double>,
+                   AHDSREnvelope<Atomicity::No, double,
+                                 EnvelopeRelease::WaitForKeyRelease,
+                                 AllowZeroAttack::No>>
+        me;
+    me.setHarmonics(props, sr);
+    me.setAHDSR(AHDSR{A, static_cast<itp::interpolation>(aItp), H, D,
+                      static_cast<itp::interpolation>(dItp), R,
+                      static_cast<itp::interpolation>(rItp),
+                      static_cast<float>(sustain)},
+                sr);
+    me.forgetPastSignals();
+    me.setAngleIncrements(inc);
+    me.setStartAngle(start_angle);
+    me.tryAcquire();
+    me.onKeyPressed(0);
+    for (long i = 0; i < n_steps; ++i) {
+      me.step();
+      std::printf("V %.17g\n", me.imag());
+      if (i == rel_at) me.onKeyReleased(0);
+    }
+    std::printf("E\n");
+  }
+}
+
 // Drives the reference's LogRamp (periodic exponential frequency glide with
 // PROPORTIONAL_VALUE_DERIVATIVE stepping, audioelement.h:2464-2572).
 // stdin lines: "from to duration start_sample itpKind nSteps [resetupAt
@@ -929,6 +978,8 @@ int main(int argc, char** argv) {
     dump_envelope();
   } else if (!std::strcmp(argv[1], "enveloped")) {
     dump_enveloped();
+  } else if (!std::strcmp(argv[1], "multienv")) {
+    dump_multienv();
   } else if (!std::strcmp(argv[1], "logramp")) {
     dump_logramp();
   } else if (!std::strcmp(argv[1], "interpfreq")) {

@@ -34,7 +34,7 @@ def scalar_carrier_voice(n, *, sample_rate, press, release, velocity,
     inc_of = lambda f: 2.0 * f / sr
     # envelope params with reference floors (1 ms + 2.5 periods)
     inc_final = inc_of(segments[0][1])
-    mc = 2.5 * 2.0 / abs(inc_final)
+    mc = np.floor(0.5 + 2.5 * 2.0 / abs(inc_final))  # int(0.5 + 2.5*period)
     A = max(float(np.max(np.asarray(ahdsr.attack))), mc, 1.0)
     R = max(float(np.max(np.asarray(ahdsr.release))), mc, 1.0)
     sus = float(np.asarray(ahdsr.sustain))

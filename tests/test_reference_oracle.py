@@ -464,6 +464,48 @@ class TestEnvelopedVoiceOracle:
             np.testing.assert_allclose(got, ref, atol=2e-7, err_msg=str(case))
 
 
+class TestMultiEnvelopedOracle:
+    """The additive-harmonics element (MultiEnveloped<SineOscillatorAlgo,
+    AHDSR>, audioelement.h:486-657) vs models/harmonics.py's batched
+    render: per-harmonic phases (prop.phase + i*start_angle), i-times-
+    fundamental increments with per-harmonic aliasing gains and envelope
+    floors, volume-weighted sum, trailing silent harmonics trimmed."""
+
+    def test_matches_reference(self, oracle):
+        from cpp_audio_tpu.core import events
+        from cpp_audio_tpu.core.voices import schedule_from_notes
+        from cpp_audio_tpu.models import harmonics as hm
+        from cpp_audio_tpu.ops import envelopes as envs
+
+        inc, start_angle = 0.021, 0.37
+        props = [(0.0, 1.0), (0.3, 0.5), (1.2, 0.25), (0.0, 0.0),
+                 (0.7, 0.125), (0.0, 0.0), (0.0, 0.0)]  # trailing silents
+        A, H, D, R, sus = 40, 10, 60, 50, 0.6
+        sr, rel_at, n = 44100, 700, 1200
+        text = (f"{inc!r} {start_angle!r} {len(props)}\n"
+                + "\n".join(f"{p!r} {v!r}" for p, v in props) + "\n"
+                + f"{A} 0 {H} {D} 0 {R} 0 {sus!r} {sr} {rel_at} {n}\n")
+        out = oracle("multienv", input_text=text, raw=True)
+        ref = np.array([float(l.split()[1]) for l in out.splitlines()
+                        if l != "E"])
+
+        freq = inc * sr / 2.0
+        note = events.Note(1, press=0, release=rel_at + 1, frequency=freq,
+                           velocity=1.0)
+        sch = schedule_from_notes([note], pad_to=1)
+        sch.phase[0] = start_angle
+        cfg = hm.HarmonicsSynthConfig(
+            sample_rate=sr,
+            ahdsr=envs.AHDSR(attack=max(A, sr // 1000), hold=H,
+                             decay=max(D, sr // 1000),
+                             release=max(R, sr // 1000), sustain=sus),
+            harmonic_volumes=tuple(v for _, v in props),
+            harmonic_phases=tuple(p for p, _ in props),
+            n_channels=1, base_volume=1.0, dtype="float64")
+        got = np.asarray(hm.render_schedule(sch, n, cfg))[:, 0]
+        np.testing.assert_allclose(got, ref, atol=3e-7)
+
+
 class TestLogRampOracle:
     """The scalar LogRamp port (tests/test_logramp_exact.py) and the
     closed-form device implementation vs the reference's compiled
