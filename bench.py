@@ -50,12 +50,41 @@ def make_synth_workload(sr, n, seed=42):
     return sch, cfg
 
 
+def _subprocess_probe(timeout_s: float = 120.0) -> bool:
+    """Probe the backend in a THROWAWAY process: during tunnel outages
+    backend init doesn't raise, it HANGS — an in-process attempt would wedge
+    the bench run permanently, but a hung child can be killed."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "print(float(jnp.sum(jnp.arange(4.0))))"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def _wait_for_backend(tries: int = 12, delay_s: float = 30.0):
     """The test rig reaches its TPU through a tunnel that has outage
     windows; retry backend init instead of failing the whole bench run."""
     import jax
 
     for i in range(tries):
+        # only touch the in-process backend once a killable child proves the
+        # tunnel is answering (a hung init cannot be recovered in-process)
+        if not _subprocess_probe():
+            if i == tries - 1:
+                raise RuntimeError(
+                    "TPU backend unreachable (tunnel outage): every probe "
+                    "timed out")
+            print(f"# backend probe timed out; retry {i + 1}/{tries} in "
+                  f"{delay_s:.0f}s", flush=True)
+            time.sleep(delay_s)
+            continue
         try:
             devs = jax.devices()
             float(jax.numpy.sum(jax.numpy.arange(4.0)))  # probe a dispatch
