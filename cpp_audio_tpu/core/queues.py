@@ -36,64 +36,66 @@ class DroppedFrames:
 
 
 class MetaQueue:
-    """Bounded FIFO of samples with in-band drop accounting.
+    """Bounded item-granular FIFO of samples with in-band drop accounting,
+    exactly the reference MetaQueue over an SPSC variant queue
+    (metaqueue.cpp:10-50; pinned against the compiled reference by
+    tests/test_reference_oracle.py):
 
-    try_push returns False and accumulates a DroppedFrames token instead of
-    silently losing samples (reference metaqueue.cpp:10-50).
+    - capacity counts ITEMS (samples and drop tokens alike);
+    - a buffer push is per-sample: when the queue fills mid-buffer only the
+      REMAINDER is dropped (accumulated into a pending token);
+    - the pending token is pushed in-band before the next buffer — and if
+      even the token doesn't fit, the whole new buffer is dropped too.
     """
 
     def __init__(self, capacity: int):
         self.capacity = int(capacity)
-        self._q: deque = deque()
-        self._size = 0            # samples currently queued
+        self._q: deque = deque()  # float samples and DroppedFrames tokens
         self._pending_drops = 0
         self.total_dropped = 0
 
     def __len__(self) -> int:
-        return self._size
+        return len(self._q)
 
     @property
     def fill_ratio(self) -> float:
-        return self._size / self.capacity if self.capacity else 0.0
+        return len(self._q) / self.capacity if self.capacity else 0.0
 
     def try_push(self, block) -> bool:
         block = np.atleast_1d(np.asarray(block, np.float64))
-        if self._size + len(block) > self.capacity:
-            self._pending_drops += len(block)
-            self.total_dropped += len(block)
-            return False
+        n = len(block)
         if self._pending_drops:
+            if len(self._q) >= self.capacity:
+                self._pending_drops += n
+                self.total_dropped += n
+                return False
             self._q.append(DroppedFrames(self._pending_drops))
             self._pending_drops = 0
-        self._q.append(block)
-        self._size += len(block)
+        for i in range(n):
+            if len(self._q) >= self.capacity:
+                self._pending_drops += n - i
+                self.total_dropped += n - i
+                return False
+            self._q.append(float(block[i]))
         return True
 
     def pop(self):
-        """Next item: a sample block or a DroppedFrames token (None if empty)."""
+        """Next item: a float sample or a DroppedFrames token (None if
+        empty)."""
         if not self._q:
-            if self._pending_drops:
-                tok = DroppedFrames(self._pending_drops)
-                self._pending_drops = 0
-                return tok
             return None
-        item = self._q.popleft()
-        if isinstance(item, np.ndarray):
-            self._size -= len(item)
-        return item
+        return self._q.popleft()
 
     def drain_until_size_smaller(self, target: int) -> int:
-        """Discard oldest samples until at most target remain
-        (reference drain_queue_until_size_smaller, metaqueue.cpp:54)."""
+        """Discard oldest items until at most target remain — silently, like
+        the reference (drain_queue_until_size_smaller, metaqueue.cpp:54-67:
+        plain try_pop, no accounting; its callers balance LATENCY with it,
+        the loss is signalled separately by the drop token that triggered
+        it). Returns the number of items discarded."""
         dropped = 0
-        while self._size > target and self._q:
-            item = self._q.popleft()
-            if isinstance(item, np.ndarray):
-                self._size -= len(item)
-                dropped += len(item)
-        if dropped:
-            self.total_dropped += dropped
-            self._q.appendleft(DroppedFrames(dropped))
+        while len(self._q) > target:
+            self._q.popleft()
+            dropped += 1
         return dropped
 
 
@@ -109,40 +111,48 @@ class SampleContinuity:
 
 class ReadQueuedSampleSource:
     """Pull-side adapter that starts only at half-full occupancy
-    (reference metaqueue.cpp:78-158): waiting for capacity/2 queued samples
-    balances added latency against starvation, then reads steadily and
-    emits zeros (marking discontinuity) on underrun."""
+    (reference metaqueue.cpp:78-158): it waits for capacity/2 queued items,
+    then DRAINS down to capacity/2 (latency balancing) before the first
+    read; a drop token re-establishes the balance by draining again and
+    marks the stream discontinuous. One reference delta: on a true underrun
+    after start the reference throws ("should never happen"); here the
+    stream degrades to zeros with `underruns` accounting instead."""
 
     def __init__(self, queue: MetaQueue):
         self.queue = queue
         self.started = False
         self.continuity = SampleContinuity()
         self.underruns = 0
-        self._buf: np.ndarray | None = None
-        self._pos = 0
+
+    @property
+    def _min_size(self) -> int:
+        return self.queue.capacity // 2
+
+    def read_one(self):
+        """One sample (metaqueue.cpp:90-142): None while pre-rolling."""
+        if not self.started:
+            if len(self.queue) < self._min_size:
+                return None
+            self.queue.drain_until_size_smaller(self._min_size)
+            self.started = True
+        while True:
+            item = self.queue.pop()
+            if item is None:
+                self.underruns += 1
+                self.continuity.on_drop()
+                return 0.0
+            if isinstance(item, DroppedFrames):
+                self.queue.drain_until_size_smaller(self._min_size)
+                self.continuity.on_drop()
+                continue
+            return item
 
     def read(self, n: int) -> np.ndarray:
         out = np.zeros(n)
-        if not self.started:
-            if len(self.queue) * 2 < self.queue.capacity:
-                return out  # still pre-rolling
-            self.started = True
-        filled = 0
-        while filled < n:
-            if self._buf is None or self._pos >= len(self._buf):
-                item = self.queue.pop()
-                if item is None:
-                    self.underruns += 1
-                    self.continuity.on_drop()
-                    break
-                if isinstance(item, DroppedFrames):
-                    self.continuity.on_drop()
-                    continue
-                self._buf, self._pos = item, 0
-            take = min(n - filled, len(self._buf) - self._pos)
-            out[filled:filled + take] = self._buf[self._pos:self._pos + take]
-            self._pos += take
-            filled += take
+        for i in range(n):
+            v = self.read_one()
+            if v is not None:
+                out[i] = v
         return out
 
 

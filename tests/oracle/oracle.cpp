@@ -44,9 +44,12 @@ struct NoteSpec {
 #include "rt.resynth.lib.autotune.cpp"  // /root/reference/source/...
 #include "rt.resynth.lib.algo.cpp"      // the full pitch pipeline
 #include "rt.resynth.lib.periodicfft.cpp"  // sliding-window FFT driver
+#include "rt.resynth.lib.metaqueue.cpp"     // SPSC sample queues + policies
 
 #include <cstring>
+#include <deque>
 #include <functional>
+#include <variant>
 
 using namespace imajuscule;
 using namespace imajuscule::audio;
@@ -730,6 +733,73 @@ static void dump_small_helpers() {
   }
 }
 
+// Drives the reference's MetaQueue + ReadQueuedSampleSource
+// (rt.resynth.lib.metaqueue.cpp:10-158) over a driver-side bounded variant
+// queue (the atomic_queue stand-in: single-threaded here, so a deque with
+// try_push/try_pop/was_size/capacity reproduces the SPSC interface).
+// stdin: capacity, then ops: "p n v0..vn-1" push a buffer, "r n" read n
+// samples. Prints "P <ok> <total_dropped>", "R <val> <cont01>" / "R none",
+// "Q <size>" after each op.
+namespace mq_oracle {
+struct VarQueue {
+  using value_type = std::variant<CountDroppedFrames, InputSample>;
+  explicit VarQueue(unsigned cap) : cap_(cap) {}
+  bool try_push(value_type v) {
+    if (q_.size() >= cap_) return false;
+    q_.push_back(v);
+    return true;
+  }
+  bool try_pop(value_type& v) {
+    if (q_.empty()) return false;
+    v = q_.front();
+    q_.pop_front();
+    return true;
+  }
+  unsigned was_size() const { return static_cast<unsigned>(q_.size()); }
+  unsigned capacity() const { return cap_; }
+  std::deque<value_type> q_;
+  unsigned cap_;
+};
+}  // namespace mq_oracle
+
+static void dump_metaqueue() {
+  int cap;
+  if (std::scanf("%d", &cap) != 1) std::exit(2);
+  MetaQueue<mq_oracle::VarQueue> mq{static_cast<unsigned>(cap)};
+  ReadQueuedSampleSource<mq_oracle::VarQueue> src;
+  src.set(mq.queue);
+  char op[4];
+  int n;
+  while (std::scanf("%3s %d", op, &n) == 2) {
+    if (op[0] == 'p') {
+      std::vector<float> buf(static_cast<size_t>(n));
+      for (auto& v : buf) {
+        double d;
+        if (std::scanf("%lf", &d) != 1) std::exit(2);
+        v = static_cast<float>(d);
+      }
+      bool ok = mq.try_push_buffer(buf.data(), n);
+      std::printf("P %d %d\n", ok ? 1 : 0, mq.countDroppedInputFrames());
+    } else if (op[0] == 'r') {
+      for (int i = 0; i < n; ++i) {
+        try {
+          auto res = src();
+          if (res)
+            std::printf("R %.17g %d\n", res->first,
+                        res->second == SampleContinuity::Yes ? 1 : 0);
+          else
+            std::printf("R none\n");
+        } catch (std::runtime_error const&) {
+          std::printf("R throw\n");  // post-start underrun
+        }
+      }
+    } else {
+      std::exit(2);
+    }
+    std::printf("Q %u\n", mq.queue.was_size());
+  }
+}
+
 // Score language: each stdin line is a score; prints one line per parsed
 // NoteSpec: "N <note|-1> <loud> <duration>", then "S" after each score.
 static void dump_score() {
@@ -972,6 +1042,8 @@ int main(int argc, char** argv) {
     dump_pitchpipe();
   } else if (!std::strcmp(argv[1], "score")) {
     dump_score();
+  } else if (!std::strcmp(argv[1], "metaqueue")) {
+    dump_metaqueue();
   } else if (!std::strcmp(argv[1], "helpers")) {
     dump_small_helpers();
   } else if (!std::strcmp(argv[1], "envelope")) {

@@ -16,34 +16,43 @@ class TestMetaQueue:
         q = MetaQueue(16)
         assert q.try_push(np.arange(4.0))
         assert q.try_push(np.arange(4.0, 8.0))
-        np.testing.assert_allclose(q.pop(), [0, 1, 2, 3])
-        np.testing.assert_allclose(q.pop(), [4, 5, 6, 7])
+        assert [q.pop() for _ in range(8)] == [float(i) for i in range(8)]
         assert q.pop() is None
 
-    def test_overflow_emits_inband_drop_token(self):
+    def test_overflow_is_per_sample_with_inband_token(self):
+        # metaqueue.cpp:10-50: only the REMAINDER of a buffer is dropped
         q = MetaQueue(4)
-        assert q.try_push(np.ones(4))
-        assert not q.try_push(np.ones(3))  # overflows
-        np.testing.assert_allclose(q.pop(), 1.0)  # the accepted block
-        assert q.try_push(np.ones(2))  # room again -> drop token precedes
+        assert q.try_push(np.ones(2))
+        assert not q.try_push(np.arange(4.0))  # samples 0,1 fit; 2,3 drop
+        assert q.total_dropped == 2
+        assert [q.pop() for _ in range(4)] == [1.0, 1.0, 0.0, 1.0]
+        assert q.try_push(np.full(2, 7.0))  # drop token precedes
         tok = q.pop()
-        assert isinstance(tok, DroppedFrames) and tok.count == 3
-        assert q.total_dropped == 3
+        assert isinstance(tok, DroppedFrames) and tok.count == 2
+        assert q.pop() == 7.0
+
+    def test_full_queue_drops_token_and_buffer(self):
+        # the pending token itself may not fit (metaqueue.cpp:19-27)
+        q = MetaQueue(2)
+        assert q.try_push(np.ones(2))
+        assert not q.try_push(np.ones(3))   # all 3 dropped
+        assert not q.try_push(np.ones(2))   # token push fails: 2 more
+        assert q.total_dropped == 5
 
     def test_fill_ratio_gauge(self):
         q = MetaQueue(10)
         q.try_push(np.zeros(5))
         assert q.fill_ratio == 0.5
 
-    def test_drain_until_smaller(self):
+    def test_drain_until_smaller_is_silent(self):
+        # drain_queue_until_size_smaller (metaqueue.cpp:54-67): plain pops,
+        # no token, no accounting — it balances latency, not loss
         q = MetaQueue(100)
         for i in range(5):
             q.try_push(np.full(10, float(i)))
-        dropped = q.drain_until_size_smaller(25)
-        assert dropped == 30
-        tok = q.pop()
-        assert isinstance(tok, DroppedFrames) and tok.count == 30
-        np.testing.assert_allclose(q.pop(), 3.0)  # oldest surviving block
+        assert q.drain_until_size_smaller(25) == 25
+        assert q.total_dropped == 0
+        assert q.pop() == 2.0  # oldest surviving sample (item index 25)
 
 
 class TestReadQueuedSampleSource:
@@ -63,19 +72,31 @@ class TestReadQueuedSampleSource:
         q.try_push(np.ones(2))
         out = src.read(4)  # only 2 available
         np.testing.assert_allclose(out, [1, 1, 0, 0])
-        assert src.underruns == 1
+        assert src.underruns == 2  # one per missing sample
         assert not src.continuity.contiguous
 
-    def test_drop_token_breaks_continuity(self):
-        q = MetaQueue(4)
+    def test_start_drains_to_half_full(self):
+        # metaqueue.cpp:103-110: the first read drops the excess above
+        # capacity/2 to balance latency against starvation
+        q = MetaQueue(8)
+        q.try_push(np.arange(8.0))
+        src = ReadQueuedSampleSource(q)
+        np.testing.assert_allclose(src.read(4), [4, 5, 6, 7])
+        assert src.continuity.contiguous  # the drain is silent
+
+    def test_drop_token_breaks_continuity_and_rebalances(self):
+        q = MetaQueue(8)
         q.try_push(np.ones(4))
-        q.try_push(np.ones(2))  # dropped
         src = ReadQueuedSampleSource(q)
         src.read(4)
         assert src.continuity.contiguous
-        q.try_push(np.full(2, 2.0))  # drop token enters here
-        np.testing.assert_allclose(src.read(2), 2.0)
+        q.try_push(np.ones(9))           # 8 fit, 1 dropped -> pending token
+        q.pop(); q.pop()                 # make room so token + sample land
+        assert q.try_push(np.full(1, 2.0))
+        # reading hits the token: drain to capacity/2 then continue
+        out = src.read(7)
         assert not src.continuity.contiguous
+        assert out[-1] == 2.0
 
 
 class TestAggregatorAndPubSub:

@@ -1022,6 +1022,67 @@ class TestWindControlOracle:
             np.testing.assert_allclose(got, ref, rtol=3e-5)
 
 
+class TestMetaQueueOracle:
+    """core/queues.py's MetaQueue + ReadQueuedSampleSource vs the compiled
+    reference policies (rt.resynth.lib.metaqueue.cpp:10-158): per-sample
+    partial pushes with in-band drop tokens (including the token itself not
+    fitting), the half-full start with its silent latency drain, and the
+    drain-to-balance on every consumed drop token."""
+
+    @pytest.mark.parametrize("seed,cap", [(0, 16), (1, 7), (2, 32)])
+    def test_random_schedule_matches(self, oracle, seed, cap):
+        from cpp_audio_tpu.core.queues import (MetaQueue,
+                                               ReadQueuedSampleSource)
+
+        rng = np.random.default_rng(seed)
+        ops = []
+        val = 0
+        for _ in range(60):
+            if rng.random() < 0.55:
+                n = int(rng.integers(1, cap))
+                ops.append(("p", [float(v) for v in range(val, val + n)]))
+                val += n
+            else:
+                ops.append(("r", int(rng.integers(1, 9))))
+        lines = [str(cap)]
+        for kind, arg in ops:
+            if kind == "p":
+                lines.append(f"p {len(arg)} " + " ".join(map(repr, arg)))
+            else:
+                lines.append(f"r {arg}")
+        out = oracle("metaqueue", input_text="\n".join(lines) + "\n",
+                     raw=True).splitlines()
+
+        q = MetaQueue(cap)
+        src = ReadQueuedSampleSource(q)
+        got = []
+        for kind, arg in ops:
+            if kind == "p":
+                ok = q.try_push(np.asarray(arg))
+                got.append(f"P {1 if ok else 0} {q.total_dropped}")
+            else:
+                for _ in range(arg):
+                    if src.started and len(q) == 0:
+                        # post-start underrun: the reference throws and the
+                        # source state stays put (we degrade to zeros
+                        # instead — the documented delta)
+                        got.append("R throw")
+                        continue
+                    v = src.read_one()
+                    if v is None:
+                        got.append("R none")
+                    else:
+                        got.append(
+                            f"R {v:.17g} "
+                            f"{1 if src.continuity.contiguous else 0}")
+                    # the reference's continuity flag is per-READ: it resets
+                    # to Yes at the next call (metaqueue.cpp:113)
+                    src.continuity.contiguous = True
+            got.append(f"Q {len(q)}")
+        assert got == out, "\n".join(
+            f"{a!r:30} {b!r}" for a, b in zip(got, out) if a != b)
+
+
 class TestSmallHelpers:
     def test_stereo_pan(self, oracle):
         from cpp_audio_tpu.models.sine_synth import _stereo_gains
