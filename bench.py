@@ -50,10 +50,14 @@ def make_synth_workload(sr, n, seed=42):
     return sch, cfg
 
 
-def _subprocess_probe(timeout_s: float = 120.0) -> bool:
+def _subprocess_probe(timeout_s: float = 120.0) -> str | None:
     """Probe the backend in a THROWAWAY process: during tunnel outages
     backend init doesn't raise, it HANGS — an in-process attempt would wedge
-    the bench run permanently, but a hung child can be killed."""
+    the bench run permanently, but a hung child can be killed.
+
+    Returns None on success, else a diagnosis string ('timeout' for the
+    outage signature, or the child's stderr tail for a real failure like a
+    broken install — which deserves its own error, not outage retries)."""
     import subprocess
     import sys
 
@@ -62,10 +66,12 @@ def _subprocess_probe(timeout_s: float = 120.0) -> bool:
             [sys.executable, "-c",
              "import jax, jax.numpy as jnp;"
              "print(float(jnp.sum(jnp.arange(4.0))))"],
-            timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
+            timeout=timeout_s, capture_output=True, text=True)
     except subprocess.TimeoutExpired:
-        return False
+        return "timeout"
+    if r.returncode == 0:
+        return None
+    return f"exit {r.returncode}: {r.stderr.strip()[-500:]}"
 
 
 def _wait_for_backend(tries: int = 12, delay_s: float = 30.0):
@@ -76,7 +82,12 @@ def _wait_for_backend(tries: int = 12, delay_s: float = 30.0):
     for i in range(tries):
         # only touch the in-process backend once a killable child proves the
         # tunnel is answering (a hung init cannot be recovered in-process)
-        if not _subprocess_probe():
+        diag = _subprocess_probe()
+        if diag is not None:
+            if diag != "timeout":
+                # not the outage signature: a broken install / plugin error
+                # would fail identically on every retry — surface it now
+                raise RuntimeError(f"backend probe failed ({diag})")
             if i == tries - 1:
                 raise RuntimeError(
                     "TPU backend unreachable (tunnel outage): every probe "

@@ -99,31 +99,38 @@ def _short_walk_np(table, start: int, rate: float,
     audioelement.h:2863-2880). Per-sample data-dependent integer recurrence
     — python-loop fallback for native/windwalk.cpp (a few seconds per
     minute of audio; the native path is ~ms)."""
-    tab = np.asarray(table, np.float32)
+    f32 = np.float32
+    tab = np.asarray(table, f32)
     m = len(tab)
     pos = int(start) % m
-    prev = float(tab[pos])
+    prev = tab[pos]
     pos = (pos + 1) % m
     n_steps = -1
     slow_it = 0
-    out = np.empty(len(inc_long), np.float32)
-    for k, inc in enumerate(np.asarray(inc_long, np.float64)):
-        n = 1 + int(rate / inc)
+    rate32 = f32(rate)
+    out = np.empty(len(inc_long), f32)
+    # all arithmetic in float32, matching the reference's float math
+    # (soundengine.h:139, audioelement.h:2863-2930) and the native path
+    for k, inc in enumerate(np.asarray(inc_long, f32)):
+        # int32 cast like the reference's uint_steps (overflow clamped —
+        # the reference's float->int32 overflow is UB, so both this and
+        # native/windwalk.cpp clamp instead for absurd rate/inc ratios)
+        n = 1 + min(int(rate32 / inc), 2**31 - 2)
         if n != n_steps:
             if slow_it:
-                slow_it = int((slow_it + 0.5) / n_steps * n)
+                slow_it = int(f32(f32(slow_it + 0.5) / f32(n_steps)) * f32(n))
                 if slow_it == n:
                     slow_it = 0
-                    prev = float(tab[pos])
+                    prev = tab[pos]
                     pos = (pos + 1) % m
             n_steps = n
         slow_it += 1
         if slow_it >= n_steps:
             slow_it = 0
-            prev = float(tab[pos])
+            prev = tab[pos]
             pos = (pos + 1) % m
-        cur = float(tab[pos])
-        x = min(1.0, slow_it / n_steps)
+        cur = tab[pos]
+        x = min(f32(1.0), f32(f32(slow_it) / f32(n_steps)))
         out[k] = prev + (cur - prev) * x
     return out
 
@@ -258,7 +265,9 @@ def render_program(program: VoiceProgram, n_samples: int, sample_rate: int = 441
     inc_hi = 2.0 * max(f_lo, f_hi) / sample_rate
 
     n_slow_long = int(sample_rate * p.seconds_slow_iter_long)
-    n_slow_short = float(sample_rate * p.seconds_slow_iter_short)
+    # the reference passes the short rate through an `int` parameter
+    # (gen.voice.h:965 -> SetSlowParams<WIND>::set, gen.voice.h:328-340)
+    n_slow_short = float(int(sample_rate * p.seconds_slow_iter_short))
     xfade = int(0.5 + p.xfade_seconds * sample_rate)
 
     params = np.array([

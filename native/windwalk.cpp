@@ -134,7 +134,11 @@ void wind_short_walk(const float* table, int m, int start_pos, float rate,
   Slow it{table, m, /*use_abs=*/false};
   it.init(start_pos);
   for (long long k = 0; k < n_out; ++k) {
-    it.set_n_slow_steps(1 + static_cast<int32_t>(rate / inc_long[k]));
+    // float->int32 overflow is UB in the reference; clamp for absurd ratios
+    float const r = rate / inc_long[k];
+    int32_t const n =
+        r >= 2147483520.f ? 2147483646 : static_cast<int32_t>(r);
+    it.set_n_slow_steps(1 + n);
     it.increment();
     out[k] = it.value(0);
   }
