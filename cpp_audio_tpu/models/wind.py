@@ -201,9 +201,13 @@ def _render_wind(pink, src_offset, inc_main, c1, c2, w1, w2, params, lut,
     lvol = lut[i0] * (1.0 - fr) + lut[i0 + 1] * fr
     y_sine = lvol * oscillators.sine(phase) * oscillators.freq_aliasing_multiplicator(inc_main)
 
-    # source noise (BufferIter with randomized start, sound.h:181-233)
+    # source noise (BufferIter with randomized start, sound.h:181-233).
+    # table[(off + t) mod n] == tile(roll(table, -off)): one dynamic slice
+    # + a tile — general gathers execute near-scalar on TPU (CLAUDE.md)
     n = pink.shape[0]
-    src = pink[jnp.mod(src_offset.astype(jnp.int32) + jnp.arange(T), n)]
+    off = jnp.mod(src_offset.astype(jnp.int32), n)
+    rolled = jax.lax.dynamic_slice(jnp.concatenate([pink, pink]), (off,), (n,))
+    src = jnp.tile(rolled, -(-T // n))[:T]
 
     def band_member(center, wn, kind: str):
         # width factor 2^lerp(range, |walk|) (BandAlgo_::step,
