@@ -833,6 +833,63 @@ class TestSoundEngineOracle:
             assert bool(g.silence_follows) == bool(sil)
 
 
+    def test_factory_programs_match(self, oracle):
+        """All 13 transcribed bird/robot/sweep factory programs
+        (models/voice_presets.py vs gen.voice.h:700-810): feed each
+        program's constants to the compiled reference engine under a
+        replayed random sequence and compare the generated spec lists."""
+        from cpp_audio_tpu.models import soundengine as se
+        from cpp_audio_tpu.models.voice_presets import (PROGRAMS, FreqXfade,
+                                                        Mode)
+
+        sr = 44100
+        base_freq = 293.66  # D4
+        mode_ids = {Mode.BIRDS: 0, Mode.ROBOTS: 1, Mode.SWEEP: 2}
+        xfade_ids = {FreqXfade.NO: 0, FreqXfade.NON_TRIVIAL: 1,
+                     FreqXfade.ALL: 2}
+        for mode in (Mode.BIRDS, Mode.ROBOTS, Mode.SWEEP):
+            for prog in PROGRAMS[mode]:
+                p = prog
+                ex, var = p.length_exponent, p.length_exponent_scatter
+                if mode is Mode.SWEEP:
+                    emin = emax = ex
+                else:
+                    emin, emax = ex * (1.0 - var), ex * (1.0 + var)
+                fxf = int(0.5 + p.freq_transition_seconds * sr)
+                pause = int(0.5 + p.articulative_pause_seconds * sr)
+                line = (
+                    f"{mode_ids[mode]} 77 {sr} {base_freq!r} {p.length_ms!r}"
+                    f" {p.freq_scatter!r} {p.d1!r} {p.d2!r}"
+                    f" {min(max(p.harmonic_attenuation, 0.0), 0.99)!r}"
+                    f" {emin!r} {emax!r} {p.interpolation}"
+                    f" {p.freq_interpolation} {xfade_ids[p.xfade_freq]}"
+                    f" {fxf} {p.start_node} {p.pre_tries}"
+                    f" {p.min_path_length} {p.additional_tries} {pause}"
+                    f" {p.low_freq!r} {p.high_freq!r} 200")
+                out = oracle("soundengine", input_text=line + "\n", raw=True)
+                rows, specs, ok = [], [], None
+                for l in out.splitlines():
+                    w = l.split()
+                    if w[0] == "U":
+                        rows.append((int(w[1]), float(w[2]), int(w[3])))
+                    elif w[0] == "OK":
+                        ok = int(w[1])
+                    elif w[0] == "S":
+                        specs.append([float(v) for v in w[1:]])
+                assert ok == 1, p.name
+
+                sched = se.SoundEngineScheduler(p, sr, base_freq, seed=0)
+                sched.rng = _ReplayRNG(rows)
+                got = sched.build_specs()
+                assert len(got) == len(specs), (p.name, len(got), len(specs))
+                for g, (frm, to, dur, vol, sil) in zip(got, specs):
+                    assert g.from_inc == pytest.approx(frm, rel=2e-5), p.name
+                    assert g.to_inc == pytest.approx(to, rel=2e-5), p.name
+                    assert abs(g.duration - dur) <= 1.0, (p.name, g.duration,
+                                                          dur)
+                    assert g.volume == pytest.approx(vol, rel=1e-5), p.name
+                    assert bool(g.silence_follows) == bool(sil), p.name
+
     @pytest.mark.parametrize("seed,xfade_len,pause", [(7, 1301, 100),
                                                       (9, 3000, 2205),
                                                       (13, 1301, 0)])
