@@ -624,11 +624,11 @@ static void dump_windctrl() {
     if (std::scanf("%lf", &d) != 1) std::exit(2);
     v = static_cast<float>(d);
   }
-  int n_slow_long;
+  int n_slow_long, itp_kind;
   double inc_min, inc_max, amp, ratio;
   long n_steps;
-  if (std::scanf("%d %lf %lf %lf %lf %ld", &n_slow_long, &inc_min, &inc_max,
-                 &amp, &ratio, &n_steps) != 6)
+  if (std::scanf("%d %lf %lf %lf %lf %ld %d", &n_slow_long, &inc_min,
+                 &inc_max, &amp, &ratio, &n_steps, &itp_kind) != 7)
     std::exit(2);
 
   using LongIter = SlowIter<AbsIter<TestNoiseIter>>;
@@ -636,7 +636,8 @@ static void dump_windctrl() {
       ctrl;
   ctrl.set_sample_rate(44100);
   // gen.voice.h wiring: interpolation + slow-step count on the long iter
-  ctrl.getUnderlyingIter().set_interpolation(itp::LINEAR);
+  ctrl.getUnderlyingIter().set_interpolation(
+      static_cast<itp::interpolation>(itp_kind));
   ctrl.getUnderlyingIter().set_n_slow_steps(n_slow_long);
   ctrl.set_short_term_noise_amplitude(static_cast<float>(amp));
   ctrl.set_short_term_noise_rate(static_cast<float>(ratio));

@@ -1032,7 +1032,7 @@ class TestWindControlOracle:
         text = (f"{len(table)}\n"
                 + " ".join(repr(float(v)) for v in table) + "\n"
                 + f"{n_slow} {inc_min!r} {inc_max!r} {amp!r} {ratio!r} "
-                + f"{n_steps}\n")
+                + f"{n_steps} 0\n")
         out = oracle("windctrl", input_text=text, raw=True)
         ref = np.array([float(l.split()[1]) for l in out.splitlines()])
         got = scalar_wind_ctrl(table, n_slow, inc_min, inc_max, amp, ratio,
@@ -1054,14 +1054,10 @@ class TestWindControlOracle:
         table = (rng.standard_normal(24) * 0.5).astype(np.float32)
         inc_min, inc_max, amp = 0.004, 0.08, 0.35
         n_steps = 600
-        if itp_code != 0:
-            # the oracle driver configures LINEAR; mirror by checking only
-            # the walk machinery with LINEAR here
-            itp_code = 0
         text = (f"{len(table)}\n"
                 + " ".join(repr(float(v)) for v in table) + "\n"
                 + f"{n_slow} {inc_min!r} {inc_max!r} {amp!r} {ratio!r} "
-                + f"{n_steps}\n")
+                + f"{n_steps} {itp_code}\n")
         out = oracle("windctrl", input_text=text, raw=True)
         ref = np.array([float(l.split()[1]) for l in out.splitlines()])
 
