@@ -2,13 +2,14 @@
 
 Round-1 VERDICT weakness #1: every parity test compared this repo's
 implementations against each other, which cannot catch a shared misreading of
-the reference. tests/oracle/ closes that: the reference's self-contained leaf
-headers (include/midi.h, loudness.h, scales.h, sound.functions.h,
-source/rt.resynth.lib.autotune.cpp) are compiled *from /root/reference*
-behind a ~60-line shim (tests/oracle/shim.h supplies the cpp.algorithms
-utilities they import: Assert, sprout constexpr math, to_underlying,
-NumTraits, DurationNanos) and executed to dump golden tables. Nothing is
-copied from the reference; it is included read-only at compile time.
+the reference. tests/oracle/ closes that: the reference's self-contained
+headers (midi.h, loudness.h, scales.h, sound.functions.h, audioelement.h,
+soundengine.h, parse.music.cpp, stereo.h, pitch_generators.h, smoothparam.h,
+rt.resynth.lib.{autotune,algo,periodicfft,metaqueue}.cpp) are compiled
+*from /root/reference* behind shims supplying the absent cpp.algorithms
+utilities (tests/oracle/shim.h + shim_audioelement.h) and executed against
+this framework value-for-value. Nothing is copied from the reference; it is
+included read-only at compile time. docs/FIDELITY.md has the full matrix.
 
 Skipped when /root/reference or g++ is unavailable.
 """
