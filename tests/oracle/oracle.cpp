@@ -690,6 +690,67 @@ static void dump_soundengine() {
   }
 }
 
+// Drives the reference's SamplerAlgo (audioelement.h:3274-3383): pitched
+// sample playback — lower_bound key selection over the increment->buffer
+// map (first key >= increment; silence when none), negative progress =
+// delayed start, interleaved multi-channel indexing, out-of-range silence.
+// stdin: C n_keys, then per key "inc n v0..vn-1"; then ops:
+//   i <inc>   setAngleIncrements
+//   k <delay> onKeyPressed(delay)
+//   s <n>     step n times, printing "V <imag...>" (C values) per step
+template <int C>
+static void run_sampler(std::map<double, std::vector<double>> const& samples) {
+  audioelement::SamplerAlgo<double, C> alg;
+  alg.setSamples(&samples);
+  alg.forgetPastSignals();
+  char op[4];
+  while (std::scanf("%3s", op) == 1) {
+    if (op[0] == 'i') {
+      double inc;
+      if (std::scanf("%lf", &inc) != 1) std::exit(2);
+      alg.setAngleIncrements(inc);
+    } else if (op[0] == 'k') {
+      int delay;
+      if (std::scanf("%d", &delay) != 1) std::exit(2);
+      alg.onKeyPressed(delay);
+    } else if (op[0] == 's') {
+      int n;
+      if (std::scanf("%d", &n) != 1) std::exit(2);
+      for (int i = 0; i < n; ++i) {
+        alg.step();
+        std::printf("V");
+        if constexpr (C == 1) {
+          std::printf(" %.17g", alg.imag());
+        } else {
+          for (int c = 0; c < C; ++c) std::printf(" %.17g", alg.imag(c));
+        }
+        std::printf("\n");
+      }
+    } else {
+      std::exit(2);
+    }
+  }
+}
+
+static void dump_sampler() {
+  int C, n_keys;
+  if (std::scanf("%d %d", &C, &n_keys) != 2) std::exit(2);
+  std::map<double, std::vector<double>> samples;
+  for (int k = 0; k < n_keys; ++k) {
+    double inc;
+    int n;
+    if (std::scanf("%lf %d", &inc, &n) != 2) std::exit(2);
+    auto& v = samples[inc];
+    v.resize(static_cast<size_t>(n));
+    for (auto& x : v)
+      if (std::scanf("%lf", &x) != 1) std::exit(2);
+  }
+  if (C == 1)
+    run_sampler<1>(samples);
+  else
+    run_sampler<2>(samples);
+}
+
 // Constant-power pan (include/stereo.h), pitch generators
 // (include/pitch_generators.h) and smoothed params (include/smoothparam.h)
 static void dump_small_helpers() {
@@ -1061,6 +1122,8 @@ int main(int argc, char** argv) {
     dump_oscillators();
   } else if (!std::strcmp(argv[1], "soundengine")) {
     dump_soundengine();
+  } else if (!std::strcmp(argv[1], "sampler")) {
+    dump_sampler();
   } else if (!std::strcmp(argv[1], "windctrl")) {
     dump_windctrl();
   } else if (!std::strcmp(argv[1], "seorch")) {

@@ -1137,6 +1137,118 @@ class TestMetaQueueOracle:
             f"{a!r:30} {b!r}" for a, b in zip(got, out) if a != b)
 
 
+class TestSamplerOracle:
+    """models/sampler.py vs the compiled reference SamplerAlgo
+    (audioelement.h:3274-3383): lower_bound key selection (first key >=
+    increment; silence when the increment exceeds every key), negative
+    progress = delayed start, interleaved multi-channel indexing,
+    out-of-range silence, and the RT step convention (step() pre-increments
+    progress before imag() reads — onKeyPressed(0) therefore starts at
+    sample[1]; the production render's `press` is the sample index where
+    sample[0] sounds, i.e. reference step index delay-1)."""
+
+    def _mirror(self, smap, ops, C):
+        """Scalar mirror of SamplerAlgo built on the production
+        SampleMap.select (the object under test)."""
+        out = []
+        sample = None
+        progress = 0
+        cur_inc = None
+        for op in ops:
+            if op[0] == "i":
+                if cur_inc != op[1]:  # cached: same increment skips re-lookup
+                    cur_inc = op[1]
+                    sample = smap.select(op[1])
+            elif op[0] == "k":
+                progress = -op[1]
+            else:
+                for _ in range(op[1]):
+                    progress += 1
+                    frame = []
+                    for c in range(C):
+                        idx = C * progress + c
+                        if progress < 0 or sample is None or idx >= len(sample):
+                            frame.append(0.0)
+                        else:
+                            frame.append(float(sample[idx]))
+                    out.append(frame)
+        return np.array(out).reshape(-1, C)
+
+    @pytest.mark.parametrize("seed,C", [(0, 1), (1, 1), (2, 2), (3, 2)])
+    def test_random_schedule_matches(self, oracle, seed, C):
+        from cpp_audio_tpu.models.sampler import SampleMap
+
+        rng = np.random.default_rng(seed)
+        keys = sorted(float(k) for k in rng.uniform(0.005, 0.08, 5))
+        keys[2] = keys[1]  # duplicate key: map keeps one; lower_bound hits it
+        smap = SampleMap()
+        lines = [f"{C} {len(set(keys))}"]
+        seen = set()
+        for k in keys:
+            if k in seen:
+                continue
+            seen.add(k)
+            n = int(rng.integers(2, 7)) * C
+            vals = np.round(rng.uniform(-1, 1, n), 6)
+            smap.add(k, vals)
+            lines.append(f"{k!r} {n} " + " ".join(map(repr, vals.tolist())))
+        ops = []
+        for _ in range(40):
+            r = rng.random()
+            if r < 0.3:
+                # below the smallest / between keys / above the largest
+                inc = float(rng.uniform(0.001, 0.1))
+                ops.append(("i", inc))
+                lines.append(f"i {inc!r}")
+            elif r < 0.5:
+                d = int(rng.integers(0, 4))
+                ops.append(("k", d))
+                lines.append(f"k {d}")
+            else:
+                n = int(rng.integers(1, 9))
+                ops.append(("s", n))
+                lines.append(f"s {n}")
+        ops.append(("s", 4))
+        lines.append("s 4")
+        out = oracle("sampler", input_text="\n".join(lines) + "\n")
+        ref = out["V"].reshape(-1, C)
+        got = self._mirror(smap, ops, C)
+        np.testing.assert_array_equal(got, ref)
+
+    def test_production_render_alignment(self, oracle):
+        """render_notes plays sample[j] at t = press + j; the reference
+        element pressed with delay d emits sample[j] at step j + d - 1
+        (audioelement.h:3301-3303,3334-3348). So press == d-1 in reference
+        step coordinates; the rendered block equals the oracle trace."""
+        from cpp_audio_tpu.models.sampler import (SampleMap, SamplerConfig,
+                                                  render_notes)
+        from cpp_audio_tpu.core.events import Note
+        from cpp_audio_tpu.ops import envelopes
+        from cpp_audio_tpu.utils.convert import angle_increment_to_freq
+
+        sr = 44100
+        vals = np.round(np.linspace(-0.9, 0.9, 9), 6)
+        inc = 0.02
+        smap = SampleMap()
+        smap.add(inc, vals)
+        d = 3
+        n = 16
+        lines = [f"1 1", f"{inc!r} {len(vals)} "
+                 + " ".join(map(repr, vals.tolist())), f"i {inc!r}", f"k {d}",
+                 f"s {n}"]
+        ref = oracle("sampler", input_text="\n".join(lines) + "\n")["V"][:, 0]
+
+        cfg = SamplerConfig(
+            sample_rate=sr, n_channels=1, base_volume=1.0, dtype="float64",
+            ahdsr=envelopes.AHDSR(attack=0, hold=0, decay=0,
+                                  release=10 * n, sustain=1.0))
+        note = Note(note_id=1, press=d - 1, release=n,
+                    frequency=angle_increment_to_freq(inc, sr), velocity=1.0,
+                    pan=-1.0)
+        got = render_notes([note], smap, n, cfg)[:, 0]
+        np.testing.assert_allclose(got, ref, atol=1e-12)
+
+
 class TestSmallHelpers:
     def test_stereo_pan(self, oracle):
         from cpp_audio_tpu.models.sine_synth import _stereo_gains
