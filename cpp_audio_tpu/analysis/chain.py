@@ -42,7 +42,7 @@ from . import vocoder as vocoder_mod
     "window_size", "stride", "fft_len", "k", "sample_rate",
     "mod_window", "voc_stride", "car_fft", "n_mod_frames",
     "vol_mod", "vol_car", "vol_voc", "use_matmul_dft", "edges_t",
-    "mod_mode"))
+    "mod_mode", "mod_shape"))
 def _fused_analyze_vocode(fp, ip, up, gains, codes, window, carrier, edges,
                           bm_car, rows, *, n: int, block_size: int,
                           n_blocks: int, a_itp, d_itp, r_itp, dtype: str,
@@ -51,7 +51,7 @@ def _fused_analyze_vocode(fp, ip, up, gains, codes, window, carrier, edges,
                           car_fft: int, n_mod_frames: int, vol_mod: float,
                           vol_car: float, vol_voc: float,
                           use_matmul_dft: bool = False, edges_t=None,
-                          mod_mode=None):
+                          mod_mode=None, mod_shape: str = "gaussian"):
     # 1. synth render + mono mixdown (stays on device). 3-D fp means
     # per-block compacted voice tables (voicebank.compact_block_args —
     # silent (voice, block) tiles dropped host-side)
@@ -79,7 +79,7 @@ def _fused_analyze_vocode(fp, ip, up, gains, codes, window, carrier, edges,
     amps = vocoder_mod._modulator_band_amps_fast(
         mono, edges if edges_t is None else edges_t, window=mod_window,
         stride=voc_stride, n_frames=n_mod_frames, sample_rate=sample_rate,
-        mode=mod_mode)
+        mode=mod_mode, shape=mod_shape)
     vocoded = vocoder_mod._carrier_vocode(
         carrier, amps[rows], bm_car, stride=voc_stride, fft_len=car_fft,
         use_matmul_dft=use_matmul_dft)
@@ -201,7 +201,8 @@ def run_offline_chain(bank: voicebank.VoiceBank, n_samples: int,
         vol_car=float(vparams.volume_carrier),
         vol_voc=float(vparams.volume_vocoded),
         use_matmul_dft=stft_ops.use_matmul_dft_default(wdt),
-        edges_t=tuple(float(e) for e in edges), **statics)
+        edges_t=tuple(float(e) for e in edges),
+        mod_shape=vparams.modulator_window_shape, **statics)
 
     # host: fused C++ tracking + slot tables, then the render dispatch
     freq_h = np.asarray(freq)
@@ -255,7 +256,7 @@ def _tracker_call_kwargs(kw, at_arrays):
     "window_size", "stride", "fft_len", "k", "sample_rate",
     "mod_window", "voc_stride", "car_fft", "n_mod_frames",
     "vol_mod", "vol_car", "vol_voc", "use_matmul_dft", "edges_t", "mod_mode",
-    "render_stride", "start_sample") + _TRACKER_STATICS)
+    "mod_shape", "render_stride", "start_sample") + _TRACKER_STATICS)
 def _fused_single_dispatch(fp, ip, up, gains, codes, window, carrier, edges,
                            bm_car, rows, loud_pitches, loud_spl, pan_draws,
                            phase_draws, at_root, at_scale, at_equid,
@@ -272,7 +273,8 @@ def _fused_single_dispatch(fp, ip, up, gains, codes, window, carrier, edges,
             "window_size", "stride", "fft_len", "k", "sample_rate",
             "mod_window", "voc_stride", "car_fft", "n_mod_frames", "vol_mod",
             "vol_car", "vol_voc", "use_matmul_dft") if f in kw},
-        edges_t=kw.get("edges_t"), mod_mode=kw.get("mod_mode"))
+        edges_t=kw.get("edges_t"), mod_mode=kw.get("mod_mode"),
+        mod_shape=kw.get("mod_shape", "gaussian"))
     table, dropped = device_tracker.build_tables_device(
         freq, mag, loud_pitches, loud_spl, pan_draws, phase_draws,
         **_tracker_call_kwargs(kw, (at_root, at_scale, at_equid, at_allowed)))
@@ -362,6 +364,7 @@ def prepare_offline_chain_device(bank: voicebank.VoiceBank, n_samples: int,
         vol_voc=float(vparams.volume_vocoded),
         use_matmul_dft=stft_ops.use_matmul_dft_default(wdt),
         edges_t=tuple(float(e) for e in edges), mod_mode=mod_mode,
+        mod_shape=vparams.modulator_window_shape,
         total_frames=total_frames, render_stride=rcfg.stride,
         start_sample=rcfg.start_sample,
         **tracker_config_kwargs(rconfig, rcfg), **statics)
@@ -555,7 +558,8 @@ def prepare_offline_chain_device_batch(banks, n_samples: int,
                  vol_car=float(vparams.volume_carrier),
                  vol_voc=float(vparams.volume_vocoded),
                  use_matmul_dft=stft_ops.use_matmul_dft_default(wdt),
-                 edges_t=tuple(float(e) for e in edges), **statics)
+                 edges_t=tuple(float(e) for e in edges),
+        mod_shape=vparams.modulator_window_shape, **statics)
     _at_kind, at_arrays = autotune_device_arrays(rconfig, wdt)
     tr_kw = dict(
         total_frames=total_frames, stride=rcfg.stride, sample_rate=float(sr),

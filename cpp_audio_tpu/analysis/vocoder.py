@@ -2,9 +2,10 @@
 
 Pipeline per stride S (defaults: 5 ms stride, 0.10 s modulator window, 5
 log-spaced bands 100..20000 Hz — rt.resynth.lib.cpp:987-992):
-  modulator: sliding-window sqmag spectrum -> per-band amplitude
-             sqrt(sum of sqmag over the band's bins) (FFTModulator,
-             vocoder.cpp:101-163)
+  modulator: sliding GAUSSIAN-windowed sqmag spectrum (the reference's
+             4-sigma window, PeriodicFFT<SqMagFftOperation<Window::Gaussian>>
+             at vocoder.cpp:241) -> per-band amplitude sqrt(sum of sqmag
+             over the band's bins) (FFTModulator, vocoder.cpp:101-163)
   carrier:   window of 2S samples, raw FFT -> scale each bin by its band's
              modulator amplitude -> IFFT (FFTCarrier, vocoder.cpp:396-475)
   output:    sample k of the new frame crossfades with sample k+S of the
@@ -60,6 +61,17 @@ class VocoderParams:
     volume_modulator: float = 0.0
     volume_carrier: float = 0.0
     volume_vocoded: float = 1.0
+    # The reference modulator windows its FFTs with the 4-sigma Gaussian
+    # (PeriodicFFT<SqMagFftOperation<Window::Gaussian>>, vocoder.cpp:241;
+    # window construction periodicfft.cpp:287-293). "rectangular" is kept
+    # for A/B only — it was this repo's (incorrect) round-1 reading.
+    modulator_window_shape: str = "gaussian"
+
+    def modulator_window_array(self) -> np.ndarray:
+        W = self.modulator_window
+        if self.modulator_window_shape == "gaussian":
+            return stft_ops.gaussian_window(W, sigmas=4.0)
+        return np.ones(W, np.float64)
 
     @property
     def stride(self) -> int:
@@ -91,24 +103,54 @@ def _band_matrix(freq_edges: np.ndarray, n_bins: int, bin_hz: float) -> np.ndarr
 
 
 def _modulator_band_amps_fast(signal, edges, *, window: int, stride: int,
-                              n_frames: int, sample_rate: int, mode=None):
+                              n_frames: int, sample_rate: int, mode=None,
+                              shape: str = "gaussian"):
     """O(n) band amplitudes over the whole signal — dispatch wrapper.
 
     edges may be a static tuple/ndarray of band-edge frequencies (enables the
     "decimated" implementation, whose per-band ifft sizes are compile-time
     functions of the edges) or a traced device array (falls back to "full").
+    shape: the analysis window ("gaussian" = the reference's 4-sigma window,
+    vocoder.cpp:241; "rectangular" for A/B).
     """
     mode = mode or FAST_MODULATOR_MODE
     if mode == "decimated" and not isinstance(edges, jax.core.Tracer):
         edges_t = tuple(float(e) for e in np.asarray(edges))
         return _modulator_band_amps_decimated(
             signal, edges=edges_t, window=window, stride=stride,
-            n_frames=n_frames, sample_rate=sample_rate)
+            n_frames=n_frames, sample_rate=sample_rate, shape=shape)
     if isinstance(edges, (tuple, list)):
         edges = jnp.asarray(np.asarray(edges), signal.dtype)
     return _modulator_band_amps_full(
         signal, edges, window=window, stride=stride, n_frames=n_frames,
-        sample_rate=sample_rate)
+        sample_rate=sample_rate, shape=shape)
+
+
+def _window_sq(window: int, shape: str) -> np.ndarray:
+    """w^2 of the modulator analysis window (host constant)."""
+    if shape == "gaussian":
+        w = stft_ops.gaussian_window(window, sigmas=4.0)
+    else:
+        w = np.ones(window, np.float64)
+    return w * w
+
+
+def _window_sum(window: int, shape: str) -> float:
+    if shape == "gaussian":
+        return float(stft_ops.gaussian_window(window, sigmas=4.0).sum())
+    return float(window)
+
+
+def _amps_from_band_energy(band_e, *, window: int, shape: str):
+    """Band amplitude from windowed band energy E_w = sum_t w^2(t) x_b^2(t):
+    amp = sqrt(2 E_w / sum(w^2)) — calibrated so a unit-amplitude in-band
+    sine reads amp 1 under ANY window shape (E_w = sum w^2 * sin^2 =
+    sum(w^2)/2), with no dependence on the power-of-two FFT padding. (The
+    reference's absolute scale lives in cpp.algorithms' unavailable
+    normalize_window/findFrequenciesSqMag; this is the physically-calibrated
+    recovered convention: the band envelope IS the in-band amplitude.)"""
+    sumw2 = float(np.sum(_window_sq(window, shape)))
+    return jnp.sqrt(jnp.maximum(2.0 * band_e / sumw2, 0.0))
 
 
 def _class_strided_sample(C, offs, J: int, S: int):
@@ -147,33 +189,41 @@ def _class_strided_sample(C, offs, J: int, S: int):
     return out  # (..., J, d)
 
 
+def _strided_interp_read(C, *, d: int, stride: int, base: int, n_frames: int):
+    """C[(f*stride + base)/d] for f < n_frames with linear interpolation at
+    fractional positions (the fraction is a per-residue-class constant:
+    frame f = d*j + i reads position j*stride + (i*stride + base)/d exactly,
+    so the samples are d residue-class strided reads)."""
+    J = -(-n_frames // d)
+    i = np.arange(d)
+    pos = (i * stride + base) / d
+    offs = np.floor(pos).astype(np.int64)
+    alpha = pos - offs
+    lo = _class_strided_sample(C, offs, J, stride)
+    hi = _class_strided_sample(C, offs + 1, J, stride)
+    a = jnp.asarray(alpha[None, :], C.dtype)
+    out = (lo * (1.0 - a) + hi * a).reshape(C.shape[:-1] + (J * d,))
+    return out[..., :n_frames]
+
+
 def _windowed_energy_at_frames(C, *, d: int, stride: int, window: int,
                                n_frames: int):
     """E[f] = C[(f*stride+window)/d] - C[(f*stride)/d] for f < n_frames,
-    where C is an inclusive cumsum on a d-decimated grid and fractional
-    positions are linearly interpolated (the fraction is a per-residue-class
-    constant: frame f = d*j + i has position j*stride + (i*stride + base)/d
-    exactly, so the samples are d residue-class strided reads)."""
-    J = -(-n_frames // d)
-    i = np.arange(d)
-
-    def interp(base):
-        pos = (i * stride + base) / d
-        offs = np.floor(pos).astype(np.int64)
-        alpha = pos - offs
-        lo = _class_strided_sample(C, offs, J, stride)
-        hi = _class_strided_sample(C, offs + 1, J, stride)
-        a = jnp.asarray(alpha[None, :], C.dtype)
-        return lo * (1.0 - a) + hi * a
-
-    delta = (interp(window) - interp(0)).reshape(C.shape[:-1] + (J * d,))
-    return delta[..., :n_frames]
+    where C is an inclusive cumsum on a d-decimated grid (the rectangular-
+    window box sum)."""
+    hi = _strided_interp_read(C, d=d, stride=stride, base=window,
+                              n_frames=n_frames)
+    lo = _strided_interp_read(C, d=d, stride=stride, base=0,
+                              n_frames=n_frames)
+    return hi - lo
 
 
 @functools.partial(jax.jit, static_argnames=("edges", "window", "stride",
-                                             "n_frames", "sample_rate"))
+                                             "n_frames", "sample_rate",
+                                             "shape"))
 def _modulator_band_amps_decimated(signal, *, edges, window: int, stride: int,
-                                   n_frames: int, sample_rate: int):
+                                   n_frames: int, sample_rate: int,
+                                   shape: str = "gaussian"):
     """Decimated band energies: one whole-signal FFT, then per band a SMALL
     complex ifft of just that band's positive-frequency bins (single-sideband
     at baseband) yields the band's analytic signal z at a decimated rate
@@ -232,33 +282,51 @@ def _modulator_band_amps_decimated(signal, *, edges, window: int, stride: int,
         z = jnp.fft.ifft(seg, n=m)
         dens = jnp.real(z) ** 2 + jnp.imag(z) ** 2
         dens = jnp.where(jnp.arange(m) * d < n, dens, 0.0).astype(fdt)
-        C = cumsum_chunked(dens)
-        delta = _windowed_energy_at_frames(
-            C, d=d, stride=stride, window=window, n_frames=n_frames)
+        if shape == "rectangular":
+            C = cumsum_chunked(dens)
+            delta = _windowed_energy_at_frames(
+                C, d=d, stride=stride, window=window, n_frames=n_frames)
+        else:
+            # Gaussian-weighted energy E_w[f] = sum_t w^2(t) dens(f*S + t):
+            # convolve the decimated density with the REVERSED decimated w^2
+            # kernel (linear conv: L >= m + Lg, no circular wrap), then one
+            # interpolated strided read at full-rate base (Lg-1)*d — frame f
+            # reads conv position (f*S)/d + Lg-1 = sum_l g(l*d) dens_dec(
+            # f*S/d + l), the Riemann image of the full-rate sum.
+            gd = _window_sq(window, shape)[::d]
+            Lg = gd.shape[0]
+            L = 1
+            while L < m + Lg:
+                L *= 2
+            cdt = jnp.complex128 if fdt == jnp.float64 else jnp.complex64
+            G = jnp.fft.fft(jnp.asarray(gd[::-1].copy(), fdt).astype(cdt), n=L)
+            c = jnp.real(jnp.fft.ifft(jnp.fft.fft(dens.astype(cdt), n=L) * G)
+                         ).astype(fdt)
+            delta = _strided_interp_read(c, d=d, stride=stride,
+                                         base=(Lg - 1) * d, n_frames=n_frames)
         return 2.0 * d * (m / n_fft) ** 2 * delta
 
     band_e = jnp.stack(
         [ssb_energy(*hz_bins(edges[b], edges[b + 1])) for b in range(n_bands)],
         axis=-1)  # (n_frames, n_bands)
 
-    from ..ops.stft import fft_length_for
-
-    pad_factor = fft_length_for(window) / window
-    return jnp.sqrt(jnp.maximum(2.0 * band_e * pad_factor / window, 0.0))
+    return _amps_from_band_energy(band_e, window=window, shape=shape)
 
 
 @functools.partial(jax.jit, static_argnames=("window", "stride", "n_frames",
-                                             "sample_rate"))
+                                             "sample_rate", "shape"))
 def _modulator_band_amps_full(signal, edges, *, window: int, stride: int,
-                              n_frames: int, sample_rate: int):
+                              n_frames: int, sample_rate: int,
+                              shape: str = "gaussian"):
     """O(n) band amplitudes: per-band band-pass over the WHOLE signal (one
-    big rfft + bin mask + irfft per band), then windowed energy via cumsum.
+    big rfft + bin mask + irfft per band), then windowed energy — box sums
+    via cumsum (rectangular) or a w^2 convolution (gaussian).
 
-    By Parseval, the sum of squared rectangular-window DFT magnitudes over a
-    band's bins equals (window/2) x the energy of the band-filtered window
-    (up to edge leakage), so this matches the per-window FFT formulation
-    while doing ~window/stride (= 20x at the defaults) less work — the
-    windows overlap 95% (window 0.10 s, stride 5 ms).
+    By Parseval, the sum of squared windowed-DFT magnitudes over a band's
+    bins equals (fft_len/2) x the w-weighted energy of the band-filtered
+    window (up to edge leakage), so this matches the per-window FFT
+    formulation while doing ~window/stride (= 20x at the defaults) less
+    work — the windows overlap 95% (window 0.10 s, stride 5 ms).
 
     edges: (n_bands+1,) band edge frequencies. Returns (n_frames, n_bands).
     """
@@ -280,17 +348,46 @@ def _modulator_band_amps_full(signal, edges, *, window: int, stride: int,
     folded = jnp.minimum(idx, n_fft - idx).astype(fdt)
     hz = folded * (sample_rate / n_fft)
     n_bands = edges.shape[0] - 1
+    gauss = shape != "rectangular"
+    if gauss:
+        # conv kernel: reversed w^2, zero-padded circular FFT of length
+        # n_fft (reads at k >= W-1 see no wrap for densities zeroed past n)
+        g = _window_sq(window, shape)[::-1].copy()
+        G = jnp.fft.fft(jnp.asarray(g, fdt).astype(cdt), n=n_fft)
+        in_range = (jnp.arange(n_fft) < n).astype(fdt)
     ys = []
     for p in range(0, n_bands, 2):
         mask_a = ((hz > edges[p]) & (hz <= edges[p + 1])).astype(fdt)
         if p + 1 < n_bands:
             mask_b = ((hz > edges[p + 1]) & (hz <= edges[p + 2])).astype(fdt)
             z = jnp.fft.ifft(X * (mask_a + 1j * mask_b))
-            ys.append(jnp.real(z)[:n])
-            ys.append(jnp.imag(z)[:n])
+            pair = (jnp.real(z), jnp.imag(z))
         else:
             z = jnp.fft.ifft(X * mask_a)
-            ys.append(jnp.real(z)[:n])
+            pair = (jnp.real(z),)
+        if not gauss:
+            ys.extend(yy[:n] for yy in pair)
+            continue
+        # pack the two band densities back into one complex conv
+        if len(pair) == 2:
+            dpair = (pair[0] * pair[0] + 1j * (pair[1] * pair[1])) \
+                * in_range.astype(cdt)
+            c = jnp.fft.ifft(jnp.fft.fft(dpair) * G)
+            ys.append(jnp.real(c))
+            ys.append(jnp.imag(c))
+        else:
+            d1 = (pair[0] * pair[0] * in_range).astype(cdt)
+            c = jnp.fft.ifft(jnp.fft.fft(d1) * G)
+            ys.append(jnp.real(c))
+    if gauss:
+        # ys rows hold conv(dens_b, rev(w^2)); frame f's energy sits at
+        # index f*S + W - 1 (= sum_t w^2(t) dens(f*S + t))
+        carr = jnp.stack(ys, axis=0).astype(fdt)
+        lim = stride * (n_frames - 1) + 1
+        band_e = jax.lax.slice(carr, (0, window - 1),
+                               (carr.shape[0], window - 1 + lim),
+                               (1, stride)).T
+        return _amps_from_band_energy(band_e, window=window, shape=shape)
     # band-MAJOR layout: (bands, n) keeps the long time axis in lanes — a
     # (n, 5) layout runs the cumsum and slices at 5/128 lane occupancy
     y = jnp.stack(ys, axis=0)
@@ -306,28 +403,33 @@ def _modulator_band_amps_full(signal, edges, *, window: int, stride: int,
                            (1, stride))
     starts_e = jax.lax.slice(e_pad, (0, 0), (e.shape[0], lim), (1, stride))
     band_e = (ends_e - starts_e).T  # (n_frames, bands)
-    # amp = sqrt(2 E / W), times the zero-padding bin-density factor of the
-    # windowed-FFT path (fft_len/W extra bins sample the same spectrum; the
-    # reference inherits the same factor from its power-of-two FFT sizes)
-    from ..ops.stft import fft_length_for
-
-    pad_factor = fft_length_for(window) / window
-    return jnp.sqrt(jnp.maximum(2.0 * band_e * pad_factor / window, 0.0))
+    return _amps_from_band_energy(band_e, window=window, shape=shape)
 
 
-@functools.partial(jax.jit, static_argnames=("window", "stride", "fft_len"))
-def _modulator_band_amps(signal, band_mat, *, window: int, stride: int, fft_len: int):
-    """(n_frames, n_bands) band amplitudes from sliding rectangular windows.
-
-    The reference modulator uses SqMagFftOperation<Window::Gaussian>? No — the
-    vocoder's FFTModulator uses FrequenciesSqMag via its own PeriodicFFT with
-    the default operation; band amplitude = sqrt(sum sqmag in band).
+@functools.partial(jax.jit, static_argnames=("window", "stride", "fft_len",
+                                             "shape"))
+def _modulator_band_amps(signal, band_mat, *, window: int, stride: int,
+                         fft_len: int, shape: str = "gaussian"):
+    """(n_frames, n_bands) band amplitudes from sliding windowed FFTs — the
+    literal FFTModulator form: per window, sqmag spectrum, band amplitude =
+    sqrt(sum of sqmag over the band's bins) (vocoder.cpp:122-162). The
+    window is the reference's 4-sigma Gaussian (SqMagFftOperation<
+    Window::Gaussian>, vocoder.cpp:241); per-bin scale (2/sum_w)^2 makes a
+    unit in-band sine read ~1 at fft_len == window.
     """
     n = signal.shape[0]
     n_frames = max(0, (n - window) // stride + 1)
     frames = stft_ops.frame_signal(signal, window, stride, n_frames)
+    if shape == "gaussian":
+        win = stft_ops.gaussian_window(window, sigmas=4.0)
+    else:
+        win = np.ones(window, np.float64)
+    frames = frames * jnp.asarray(win, frames.dtype)[None, :]
     spec = jnp.fft.rfft(frames, n=fft_len)
-    scale = 2.0 / window  # unit-amplitude sine in-band -> amplitude ~1
+    # amp^2 = (4/(fft_len*sum(w^2))) * sum_bins |F|^2: the band-limited
+    # Parseval image of sqrt(2 E_w / sum(w^2)) — unit in-band sine -> amp 1
+    # under any window, independent of the pow2 padding
+    scale = 2.0 / np.sqrt(fft_len * float((win * win).sum()))
     sq = jnp.abs(spec) ** 2 * scale**2
     return jnp.sqrt(sq @ band_mat)
 
@@ -463,11 +565,13 @@ def vocode(modulator, carrier, params: VocoderParams, *,
         amps = _modulator_band_amps(
             jnp.asarray(modulator), jnp.asarray(bm_mod),
             window=W, stride=S, fft_len=mod_fft,
+            shape=params.modulator_window_shape,
         )
     else:
         amps = _modulator_band_amps_fast(
             jnp.asarray(modulator), jnp.asarray(edges),
             window=W, stride=S, n_frames=n_mod_frames, sample_rate=sr,
+            shape=params.modulator_window_shape,
         )
 
     # align: the carrier frame covering output [r*S, (r+1)*S) uses the most

@@ -316,7 +316,8 @@ def main(argv=None) -> int:
         amps = np.asarray(voc._modulator_band_amps_fast(
             mono.astype(np.float32), edges,
             window=params.modulator_window, stride=params.stride,
-            n_frames=n_vf, sample_rate=sr))
+            n_frames=n_vf, sample_rate=sr,
+            shape=params.modulator_window_shape))
         stages.record("vocoder bands", time.perf_counter() - t0)
         print()
         print("=== vocoder window (band envelopes) " + "=" * (args.width - 28))

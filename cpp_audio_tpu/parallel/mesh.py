@@ -220,6 +220,7 @@ class _ChainSetup:
         self.rcfg = resynth_mod._render_config(rconfig)
         self.li = loudness.phons_to_index(60.0)
 
+        self.mod_shape = vparams.modulator_window_shape
         self.S = S = vparams.stride
         self.W = W = vparams.modulator_window
         self.car_fft = stft_ops.fft_length_for(2 * S)
@@ -275,6 +276,7 @@ def make_sharded_chain(mesh: Mesh, n_samples: int, rconfig, vparams,
                                         cs.n_frames)
     Fp, total_frames, rcfg, li = cs.Fp, cs.total_frames, cs.rcfg, cs.li
     S, W, car_fft, edges, bm_car = cs.S, cs.W, cs.car_fft, cs.edges, cs.bm_car
+    mod_shape = cs.mod_shape
     n_mod_frames, vrows, tr_kw = cs.n_mod_frames, cs.vrows, cs.tr_kw
     wdt = jnp.float32
 
@@ -315,7 +317,7 @@ def make_sharded_chain(mesh: Mesh, n_samples: int, rconfig, vparams,
         # 5. replicated vocoder fast path on the mono bus
         amps = vocoder_mod._modulator_band_amps_fast(
             mono, tuple(float(e) for e in edges), window=W, stride=S,
-            n_frames=n_mod_frames, sample_rate=sr)
+            n_frames=n_mod_frames, sample_rate=sr, shape=mod_shape)
         voc = vocoder_mod._carrier_vocode(
             carrier, amps[jnp.asarray(vrows)], jnp.asarray(bm_car, wdt),
             stride=S, fft_len=car_fft)
@@ -407,6 +409,7 @@ def make_sharded_chain_2d(mesh: Mesh, n_samples: int, rconfig, vparams,
                                         cs.n_frames)
     Fp, total_frames, rcfg, li = cs.Fp, cs.total_frames, cs.rcfg, cs.li
     S, W, car_fft, edges, bm_car = cs.S, cs.W, cs.car_fft, cs.edges, cs.bm_car
+    mod_shape = cs.mod_shape
     n_mod_frames, vrows, tr_kw = cs.n_mod_frames, cs.vrows, cs.tr_kw
     wdt = jnp.float32
 
@@ -457,7 +460,7 @@ def make_sharded_chain_2d(mesh: Mesh, n_samples: int, rconfig, vparams,
         # 5. replicated vocoder (decimated fast modulator)
         amps = vocoder_mod._modulator_band_amps_fast(
             mono, tuple(float(e) for e in edges), window=W, stride=S,
-            n_frames=n_mod_frames, sample_rate=sr)
+            n_frames=n_mod_frames, sample_rate=sr, shape=mod_shape)
         voc = vocoder_mod._carrier_vocode(
             carrier, amps[jnp.asarray(vrows)], jnp.asarray(bm_car, wdt),
             stride=S, fft_len=car_fft)
@@ -529,6 +532,7 @@ def make_pipelined_chain(mesh_a: Mesh, mesh_b: Mesh, n_samples: int, rconfig,
                                         cs.n_frames)
     Fp, total_frames, rcfg, li = cs.Fp, cs.total_frames, cs.rcfg, cs.li
     S, W, car_fft, edges, bm_car = cs.S, cs.W, cs.car_fft, cs.edges, cs.bm_car
+    mod_shape = cs.mod_shape
     n_mod_frames, vrows, tr_kw = cs.n_mod_frames, cs.vrows, cs.tr_kw
     wdt = jnp.float32
     ax_a = mesh_a.axis_names[0]
@@ -551,7 +555,7 @@ def make_pipelined_chain(mesh_a: Mesh, mesh_b: Mesh, n_samples: int, rconfig,
         mag = jax.lax.all_gather(mag_sh, ax_a).reshape(Fp, -1)[:n_frames]
         amps = vocoder_mod._modulator_band_amps_fast(
             mono, tuple(float(e) for e in edges), window=W, stride=S,
-            n_frames=n_mod_frames, sample_rate=sr)
+            n_frames=n_mod_frames, sample_rate=sr, shape=mod_shape)
         voc = vocoder_mod._carrier_vocode(
             carrier, amps[jnp.asarray(vrows)], jnp.asarray(bm_car, wdt),
             stride=S, fft_len=car_fft)

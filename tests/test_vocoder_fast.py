@@ -30,10 +30,13 @@ def test_fast_modulator_silence():
     assert np.max(np.abs(out)) < 1e-9
 
 
-def test_decimated_band_amps_match_full():
-    """The decimated (per-band small SSB iffts + widest-band subtraction)
-    modulator must reproduce the full-length (whole-signal masked iffts)
-    band amplitudes to ~1% on every band of a broadband multitone."""
+@pytest.mark.parametrize("shape", ["gaussian", "rectangular"])
+def test_decimated_band_amps_match_full(shape):
+    """The decimated (per-band small SSB iffts) modulator must reproduce the
+    full-length (whole-signal masked iffts) band amplitudes to ~1% on every
+    band of a broadband multitone — under both the reference's Gaussian
+    analysis window (w^2-convolution energies) and the rectangular A/B
+    window (box cumsum energies)."""
     import jax.numpy as jnp
 
     sr = 44100
@@ -51,10 +54,10 @@ def test_decimated_band_amps_match_full():
     edges = p.band_freqs()
     full = np.asarray(vocoder._modulator_band_amps_fast(
         jnp.asarray(sig), edges, window=W, stride=S, n_frames=n_frames,
-        sample_rate=sr, mode="full"))
+        sample_rate=sr, mode="full", shape=shape))
     dec = np.asarray(vocoder._modulator_band_amps_fast(
         jnp.asarray(sig), edges, window=W, stride=S, n_frames=n_frames,
-        sample_rate=sr, mode="decimated"))
+        sample_rate=sr, mode="decimated", shape=shape))
     assert full.shape == dec.shape == (n_frames, 5)
     for b in range(full.shape[1]):
         rms = np.sqrt(np.mean(full[:, b] ** 2)) + 1e-12
@@ -84,6 +87,47 @@ def test_decimated_band_amps_many_bands():
     assert np.all(np.isfinite(dec))
     rms = np.sqrt(np.mean(full**2)) + 1e-12
     assert np.sqrt(np.mean((full - dec) ** 2)) < 0.03 * rms
+
+
+def test_gaussian_window_scale_and_effect():
+    """The Gaussian analysis window (reference default, vocoder.cpp:241)
+    must (a) keep the amp scale convention — a steady in-band sine reads the
+    same amplitude under both window shapes (the (2/sum_w)^2 per-bin scale
+    cancels the window gain) — and (b) actually act: an amplitude-modulated
+    tone's band envelope differs between shapes (the Gaussian's effective
+    averaging span is shorter than the box's)."""
+    import jax.numpy as jnp
+
+    sr = 44100
+    n = 2 * sr
+    t = np.arange(n)
+    p = vocoder.VocoderParams(sample_rate=sr)
+    S, W = p.stride, p.modulator_window
+    n_frames = (n - W) // S + 1
+    edges = p.band_freqs()
+
+    steady = (0.7 * np.sin(2 * np.pi * 1000 * t / sr)).astype(np.float32)
+    res = {}
+    for shape in ("gaussian", "rectangular"):
+        res[shape] = np.asarray(vocoder._modulator_band_amps_fast(
+            jnp.asarray(steady), edges, window=W, stride=S,
+            n_frames=n_frames, sample_rate=sr, shape=shape))
+    b = int(np.argmax(res["gaussian"].mean(axis=0)))
+    g = res["gaussian"][5:-5, b]
+    r = res["rectangular"][5:-5, b]
+    np.testing.assert_allclose(g.mean(), r.mean(), rtol=0.01)
+    np.testing.assert_allclose(g, g.mean(), rtol=0.02)  # steady under gauss
+
+    am = (np.sin(2 * np.pi * 1000 * t / sr)
+          * (0.5 + 0.5 * np.sin(2 * np.pi * 7 * t / sr))).astype(np.float32)
+    res = {}
+    for shape in ("gaussian", "rectangular"):
+        res[shape] = np.asarray(vocoder._modulator_band_amps_fast(
+            jnp.asarray(am), edges, window=W, stride=S,
+            n_frames=n_frames, sample_rate=sr, shape=shape))[5:-5, b]
+    # Gaussian tracks the 7 Hz AM with more swing than the 0.1 s box
+    swing = {k: v.max() - v.min() for k, v in res.items()}
+    assert swing["gaussian"] > 1.2 * swing["rectangular"], swing
 
 
 def test_class_strided_sample_matches_gather():
