@@ -112,14 +112,17 @@ class StreamingVocoder:
     the previous one. Here the same machinery runs blockwise with numpy FFTs
     (host streaming path; the offline batch form is analysis/vocoder.vocode).
 
-    The vocoded stream lags the input by 2S samples (the carrier window must
-    fill before its first crossfaded half emerges); the offline vocode()
-    compensates this latency, so parity holds as
-    streaming[t + 2*S] == offline[t] once the first modulator window has
+    The vocoded stream lags the input by 2S - 1 samples (the carrier window
+    must fill before its first crossfaded half emerges, and the reference
+    emits the first sample inside the completing feed() itself); the offline
+    vocode() compensates this latency, so parity holds as
+    streaming[t + 2*S - 1] == offline[t] once the first modulator window has
     completed (t >= W): before that the streaming path has no band
     amplitudes yet (silence), while offline clips early frames to the first
     window's amps (vocoder.py `rows` clip) — the same warm-up the reference
-    live app exhibits before its first FFT fires.
+    live app exhibits before its first FFT fires. The per-sample emission
+    is pinned against the compiled reference FFTModulator/FFTCarrier by
+    tests/test_reference_oracle.py::TestVocoderOracle.
     """
 
     def __init__(self, params: voc.VocoderParams):
@@ -135,7 +138,12 @@ class StreamingVocoder:
                                         sr / self._mod_fft)
         self._bm_car = voc._band_matrix(edges, self._car_fft // 2 + 1,
                                         sr / self._car_fft)
-        self._mod_scale = 2.0 / W
+        # the reference modulator windows with the 4-sigma Gaussian
+        # (SqMagFftOperation<Window::Gaussian>, vocoder.cpp:241); scale per
+        # vocoder._modulator_band_amps: unit in-band sine -> band amp 1
+        self._mod_win = params.modulator_window_array()
+        self._mod_scale = 2.0 / float(
+            np.sqrt(self._mod_fft * (self._mod_win ** 2).sum()))
         self._amps = np.zeros(params.count_bands)
         self._prev_tail = np.zeros(S)
         self._mod_pfft = PeriodicFFT(W, S, self._on_mod_window)
@@ -149,7 +157,7 @@ class StreamingVocoder:
     # latest per-band modulator amplitudes (FFTModulator::on_fft_result,
     # vocoder.cpp:109-163)
     def _on_mod_window(self, w: np.ndarray, end: int) -> None:
-        spec = np.fft.rfft(w, n=self._mod_fft)
+        spec = np.fft.rfft(w * self._mod_win, n=self._mod_fft)
         sq = (np.abs(spec) * self._mod_scale) ** 2
         self._amps = np.sqrt(sq @ self._bm_mod)
 
@@ -162,10 +170,13 @@ class StreamingVocoder:
         w_new = (k + 1.0) / S  # linear equal-gain (vocoder.cpp:538-541)
         out = sig[:S] * w_new + self._prev_tail * (1.0 - w_new)
         self._prev_tail = sig[S:]
-        # the crossfaded half plays right after its window completes: absolute
-        # output samples [end, end + S)
+        # the reference emits the FIRST crossfaded sample inside the very
+        # feed() call that completes the window (periodic_fft.feed then the
+        # xfade read, vocoder.cpp:509-527): absolute output samples
+        # [end - 1, end - 1 + S). Pinned against the compiled reference
+        # sample-for-sample by tests/test_reference_oracle.py::TestVocoder.
         if len(self._queue) == 0:
-            self._q_start = end
+            self._q_start = end - 1
         self._queue = np.concatenate([self._queue, out])
 
     def process(self, modulator, carrier) -> np.ndarray:

@@ -14,7 +14,7 @@
 // Output format: one datum per line, "<key> <args...> <value...>", doubles
 // printed with %.17g.
 
-#include "shim.h"
+#include "shim_vocoder.h"            // functional FFT surface (includes shim.h)
 
 #include "midi.h"                    // /root/reference/include/midi.h
 
@@ -45,8 +45,11 @@ struct NoteSpec {
 #include "rt.resynth.lib.algo.cpp"      // the full pitch pipeline
 #include "rt.resynth.lib.periodicfft.cpp"  // sliding-window FFT driver
 #include "rt.resynth.lib.metaqueue.cpp"     // SPSC sample queues + policies
+#include "rt.resynth.lib.vocoder.cpp"       // FFT vocoder (runs via shim_vocoder.h)
 
+#include <cstdlib>
 #include <cstring>
+#include <new>
 #include <deque>
 #include <functional>
 #include <variant>
@@ -690,6 +693,77 @@ static void dump_soundengine() {
   }
 }
 
+// Drives the reference's FFT vocoder (rt.resynth.lib.vocoder.cpp
+// FFTModulator + FFTCarrier, fed per sample exactly like Vocoder's
+// registered compute feeds them, modulator first — vocoder.cpp:781-809).
+// The FFT/window/xfade laws come from shim_vocoder.h (this repo's recovered
+// assumptions, matched to analysis/vocoder.py); what this pins is the
+// reference's OWN bookkeeping: good_stride, fill_freqs band edges, the
+// band-sum boundary conditions, the modulator/carrier window-stride
+// cadence, old/new swap timing, and the crossfade indexing in
+// FFTCarrier::feed. stdin: sr wss stride_s count_bands min_freq max_freq n
+// then n lines "mod car". Prints "G <stride>", "F <edges...>", then per
+// sample "V <vocoded>" and, when the modulator bands change, "A <amps...>".
+static void dump_vocoder() {
+  int sr, count_bands, n;
+  double wss, stride_s, min_freq, max_freq;
+  if (std::scanf("%d %lf %lf %d %lf %lf %d", &sr, &wss, &stride_s,
+                 &count_bands, &min_freq, &max_freq, &n) != 7)
+    std::exit(2);
+  SetupParams const sp{0.05f, static_cast<float>(wss),
+                       static_cast<float>(stride_s), count_bands,
+                       static_cast<float>(min_freq),
+                       static_cast<float>(max_freq)};
+  // NOTE (reference UB, worked around for determinism): (a) Vocoder::setup
+  // calls init_dynamic_allocs BEFORE FFTModulator::setup (vocoder.cpp:
+  // 849-855), so the PeriodicFFT window lambdas read the uninitialized
+  // window_size_seconds at setLambdas time — the FIRST window's length is
+  // indeterminate; the driver orders setup() first so the cadence is
+  // well-defined from sample 0. (b) FFTCarrier::feed indexes signal_old
+  // with sz_half_signal, which stays uninitialized until the first window
+  // completes (vocoder.cpp:424,519,532) — the first 2S-1 feeds read
+  // through garbage. Placement-new over zeroed storage makes those reads
+  // deterministic zeros (matching what the streaming mirror emits).
+  void* mem_m = std::calloc(1, sizeof(FFTModulator<double>));
+  void* mem_c = std::calloc(1, sizeof(FFTCarrier<double>));
+  auto* modulator_p = new (mem_m) FFTModulator<double>();
+  auto* carrier_p = new (mem_c) FFTCarrier<double>(*modulator_p);
+  auto& modulator = *modulator_p;
+  auto& carrier = *carrier_p;
+  modulator.setup(sp);
+  carrier.setup(sp);
+  modulator.init_dynamic_allocs(sr);
+  carrier.init_dynamic_allocs(sr);
+  std::printf("G %d\n", modulator.getStride(sr));
+  {
+    std::vector<double> freqs;
+    freqs.reserve(static_cast<std::size_t>(count_bands) + 2);
+    carrier.setup(sp);  // idempotent; fill freqs via modulator getter
+    std::vector<double> f2;
+    f2.reserve(static_cast<std::size_t>(count_bands) + 2);
+    modulator.getBandsFreqs(f2);
+    std::printf("F");
+    for (double v : f2) std::printf(" %.17g", v);
+    std::printf("\n");
+  }
+  std::vector<double> last_amps, amps;
+  amps.reserve(static_cast<std::size_t>(count_bands) + 1);
+  for (int i = 0; i < n; ++i) {
+    double m, c;
+    if (std::scanf("%lf %lf", &m, &c) != 2) std::exit(2);
+    modulator.feed({m, SampleContinuity::Yes});
+    double const v = carrier.feed({c, SampleContinuity::Yes});
+    modulator.getBandsAmplitudes(amps);
+    if (amps != last_amps) {
+      last_amps = amps;
+      std::printf("A %d", i);
+      for (double a : amps) std::printf(" %.17g", a);
+      std::printf("\n");
+    }
+    std::printf("V %.17g\n", v);
+  }
+}
+
 // Drives the reference's SamplerAlgo (audioelement.h:3274-3383): pitched
 // sample playback — lower_bound key selection over the increment->buffer
 // map (first key >= increment; silence when none), negative progress =
@@ -1124,6 +1198,8 @@ int main(int argc, char** argv) {
     dump_soundengine();
   } else if (!std::strcmp(argv[1], "sampler")) {
     dump_sampler();
+  } else if (!std::strcmp(argv[1], "vocoder")) {
+    dump_vocoder();
   } else if (!std::strcmp(argv[1], "windctrl")) {
     dump_windctrl();
   } else if (!std::strcmp(argv[1], "seorch")) {

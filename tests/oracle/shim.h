@@ -133,10 +133,6 @@ inline std::size_t ibegins_with(std::string const& str, char const* prefix) {
 template <typename T>
 using StackVector = std::vector<T>;
 
-// Parse-only declarations for the sibling repo's FFT surface: periodicfft
-// .cpp's FftOperation/SqMagFftOperation templates mention these names, but
-// the oracle never instantiates them (it uses its own trivial window-copy
-// op), so declarations suffice — nothing is defined or linked.
 namespace a64 {
 template <typename T>
 struct Alloc;
@@ -145,6 +141,14 @@ using vector = std::vector<T>;
 }  // namespace a64
 namespace fft {
 struct Fastest;
+}  // namespace fft
+#ifndef IMJ_SHIM_FUNCTIONAL_FFT
+// Parse-only declarations for the sibling repo's FFT surface: periodicfft
+// .cpp's FftOperation/SqMagFftOperation templates mention these names, but
+// without shim_vocoder.h nothing instantiates them, so declarations
+// suffice — nothing is defined or linked. (shim_vocoder.h defines
+// IMJ_SHIM_FUNCTIONAL_FFT and supplies working definitions instead.)
+namespace fft {
 template <typename Tag, typename T, template <typename> typename A>
 struct RealFBins_;
 template <typename Tag, typename T>
@@ -163,6 +167,7 @@ void half_gaussian_window(int, int, V&);
 template <typename Tag, typename... A>
 void findFrequenciesSqMag(A&&...);
 int get_fft_length_for(int, int);
+#endif  // IMJ_SHIM_FUNCTIONAL_FFT
 
 namespace audio {
 struct DurationNanos {

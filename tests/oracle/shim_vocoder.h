@@ -1,0 +1,234 @@
+// Functional FFT surface so the reference's rt.resynth.lib.vocoder.cpp
+// compiles and RUNS as a test oracle (FFTModulator + FFTCarrier).
+//
+// What this file supplies is the cpp.algorithms surface the vocoder pulls
+// in (FFT algo/bins, FrequenciesSqMag, windows, EqualGainXFade,
+// modulate_bands). Those laws are NOT in the reference repo — they are this
+// repo's recovered assumptions, implemented here to MATCH the production
+// implementations (analysis/vocoder.py band-amp scale, _band_matrix bin
+// mapping, the linear equal-gain crossfade law per the reference comment at
+// vocoder.cpp:538-541). What IS oracled by compiling the reference against
+// this shim is the reference's own bookkeeping: SetupParams::fill_freqs
+// band edges, good_stride, the FFTModulator band-sum boundary conditions
+// (vocoder.cpp:124-162), the modulator/carrier window-stride cadence, the
+// old/new signal swap timing, and the crossfade indexing of
+// FFTCarrier::feed (vocoder.cpp:501-530). Everything here is original shim
+// code; nothing is copied from the reference.
+#pragma once
+
+#define IMJ_SHIM_FUNCTIONAL_FFT 1
+
+#include "shim.h"
+
+#include <chrono>
+#include <complex>
+#include <thread>
+
+#ifndef unlikely
+#define unlikely(x) (x)
+#endif
+
+namespace imajuscule {
+// (pow2 and the unlikely macro come from shim_audioelement.h)
+
+// iterative radix-2 complex FFT (unnormalized in both directions; the
+// reference divides by Algo::scale * fft_length after inverse,
+// vocoder.cpp:443,472-474)
+inline void shim_fft_inplace(std::complex<double>* a, int n, bool inverse) {
+  for (int i = 1, j = 0; i < n; ++i) {
+    int bit = n >> 1;
+    for (; j & bit; bit >>= 1) j ^= bit;
+    j ^= bit;
+    if (i < j) std::swap(a[i], a[j]);
+  }
+  for (int len = 2; len <= n; len <<= 1) {
+    double const ang = 2.0 * M_PI / len * (inverse ? 1.0 : -1.0);
+    std::complex<double> const wl(std::cos(ang), std::sin(ang));
+    for (int i = 0; i < n; i += len) {
+      std::complex<double> w(1.0);
+      for (int k = 0; k < len / 2; ++k) {
+        auto u = a[i + k];
+        auto v = a[i + k + len / 2] * w;
+        a[i + k] = u + v;
+        a[i + k + len / 2] = u - v;
+        w *= wl;
+      }
+    }
+  }
+}
+
+template <typename T>
+struct FrequenciesSqMag {
+  std::vector<T> frequencies_sqmag;
+  int fft_length = 0;
+  int get_fft_length() const { return fft_length; }
+  double bin_index_to_Hz(int sample_rate) const {
+    return static_cast<double>(sample_rate) / fft_length;
+  }
+};
+
+inline int get_fft_length_for(int n, int zero_padding_factor) {
+  int target = n * zero_padding_factor;
+  int r = 1;
+  while (r < target) r *= 2;
+  return r;
+}
+
+template <typename T, typename V>
+void half_rectangular_window(int n, V& out) {
+  out.assign(static_cast<std::size_t>(n), T(1));
+}
+
+// mirror of ops/stft.half_gaussian_window (the recovered 4-sigma law)
+template <typename T, typename V>
+void half_gaussian_window(int sigmas, int n, V& out) {
+  out.clear();
+  for (int i = 0; i < n; ++i) {
+    double const x = double(sigmas) * (i + 0.5) / n;
+    out.push_back(static_cast<T>(std::exp(-0.5 * x * x)));
+  }
+}
+
+template <typename V>
+void normalize_window(V&) {
+  // absolute scale is applied inside findFrequenciesSqMag (see below)
+}
+
+template <typename It, typename V>
+void apply_rectangular_window(It it, It end, int stride, V& out) {
+  for (; it != end; it += stride) out.push_back(*it);
+}
+
+namespace fft {
+template <typename Tag, typename C>
+std::size_t capacity_for_unwrap_frequencies_sqmag(C&, int max_fft_length) {
+  return static_cast<std::size_t>(max_fft_length / 2 + 1);
+}
+
+template <typename Tag, typename T>
+struct Contexts_ {
+  struct Ctx {
+    int n;
+  };
+  static Contexts_& getInstance() {
+    static Contexts_ instance;
+    return instance;
+  }
+  Ctx getBySize(int n) { return Ctx{n}; }
+};
+
+template <typename Tag, typename T>
+struct Algo_ {
+  static constexpr T scale = T(1);
+  static constexpr bool inplace_dft = false;
+  typename Contexts_<Tag, T>::Ctx ctx;
+  explicit Algo_(typename Contexts_<Tag, T>::Ctx c) : ctx(c) {}
+
+  template <typename It>
+  void forward(It begin, std::complex<T>* out, int n) {
+    std::vector<std::complex<double>> a(static_cast<std::size_t>(n));
+    for (int i = 0; i < n; ++i, ++begin) a[static_cast<std::size_t>(i)] = *begin;
+    shim_fft_inplace(a.data(), n, false);
+    for (int i = 0; i < n; ++i)
+      out[i] = std::complex<T>(static_cast<T>(a[i].real()),
+                               static_cast<T>(a[i].imag()));
+  }
+
+  void inverse(std::complex<T> const* in, T* out, int n) {
+    std::vector<std::complex<double>> a(in, in + n);
+    shim_fft_inplace(a.data(), n, true);
+    for (int i = 0; i < n; ++i) out[i] = static_cast<T>(a[i].real());
+  }
+};
+
+template <typename Tag, typename T, template <typename> typename A>
+struct RealFBins_ {
+  using type = std::vector<std::complex<T>>;
+  static int get_fft_length(type const& b) { return static_cast<int>(b.size()); }
+  static void copy_same_size(type const& s, type& d) {
+    std::copy(s.begin(), s.end(), d.begin());
+  }
+  // per-bin gain = amplitude of the band whose (lo, hi] range contains the
+  // bin's (negative-frequency-folded) Hz — analysis/vocoder._band_matrix
+  static void modulate_bands(int sample_rate, std::vector<T> const& amps,
+                             std::vector<T> const& freqs, type& bins) {
+    int const n = static_cast<int>(bins.size());
+    int const n_bands = static_cast<int>(freqs.size()) - 1;
+    for (int k = 0; k < n; ++k) {
+      int const folded = std::min(k, n - k);
+      double const hz = static_cast<double>(folded) * sample_rate / n;
+      T gain{};
+      for (int b = 0; b < n_bands; ++b) {
+        if (hz > freqs[static_cast<std::size_t>(b)] &&
+            hz <= freqs[static_cast<std::size_t>(b + 1)]) {
+          gain = amps[static_cast<std::size_t>(b)];
+          break;
+        }
+      }
+      bins[static_cast<std::size_t>(k)] *= gain;
+    }
+  }
+};
+}  // namespace fft
+
+// windowed sqmag spectrum; scale per analysis/vocoder._modulator_band_amps:
+// sq = |fft(w x)|^2 * (2/sqrt(fft_len*sum(w^2)))^2 (unit in-band sine ->
+// band amp 1 regardless of window shape / pow2 padding)
+template <typename Tag, typename It, typename V1, typename V2, typename T>
+void findFrequenciesSqMag(It it, It end, int stride, V1 const& half_window,
+                          int zero_padding_factor, V2& work_signal,
+                          std::vector<std::complex<double>>& work_freqs,
+                          FrequenciesSqMag<T>& out) {
+  int const half = static_cast<int>(half_window.size());
+  int const w = 2 * half;
+  int const fft_len = get_fft_length_for(w, zero_padding_factor);
+  work_signal.clear();
+  double sum_w2 = 0.0;
+  int i = 0;
+  for (; it != end; it += stride, ++i) {
+    double const win = (i < half) ? half_window[static_cast<std::size_t>(
+                                        half - 1 - i)]
+                                  : half_window[static_cast<std::size_t>(
+                                        i - half)];
+    sum_w2 += win * win;
+    work_signal.push_back(*it * win);
+  }
+  work_freqs.assign(static_cast<std::size_t>(fft_len), {});
+  for (int j = 0; j < static_cast<int>(work_signal.size()); ++j)
+    work_freqs[static_cast<std::size_t>(j)] = work_signal[static_cast<std::size_t>(j)];
+  shim_fft_inplace(work_freqs.data(), fft_len, false);
+  double const s = 2.0 / std::sqrt(static_cast<double>(fft_len) * sum_w2);
+  out.fft_length = fft_len;
+  out.frequencies_sqmag.clear();
+  for (int k = 0; k <= fft_len / 2; ++k)
+    out.frequencies_sqmag.push_back(
+        static_cast<T>(std::norm(work_freqs[static_cast<std::size_t>(k)]) * s * s));
+}
+
+enum class EqualGainCrossFade { Sinusoidal, Linear };
+
+template <typename T>
+struct XFadeValues {
+  T new_signal_mult;
+  T old_signal_mult;
+};
+
+// linear equal-gain law (the reference comment: "contribution goes
+// linearily", vocoder.cpp:538-541; mirrored by analysis/vocoder.py)
+template <typename T>
+struct EqualGainXFade {
+  int n = 1;
+  void reserve(std::size_t) {}
+  void set(int n_, EqualGainCrossFade) { n = n_; }
+  XFadeValues<T> get(int i) const {
+    T const nm = static_cast<T>(i) / static_cast<T>(n + 1);
+    return {nm, T(1) - nm};
+  }
+};
+
+namespace audio::rtresynth {
+enum class SynthState { ComputeNotRegistered, ComputeRegistered,
+                        WaitingForComputeUnregistration };
+}  // namespace audio::rtresynth
+
+}  // namespace imajuscule

@@ -1249,6 +1249,77 @@ class TestSamplerOracle:
         np.testing.assert_allclose(got, ref, atol=1e-12)
 
 
+class TestVocoderOracle:
+    """analysis/streaming.StreamingVocoder vs the compiled reference
+    FFTModulator + FFTCarrier (rt.resynth.lib.vocoder.cpp), fed per sample
+    in the exact order of Vocoder's registered compute (modulator first,
+    vocoder.cpp:781-809). The FFT/window/crossfade LAWS come from
+    tests/oracle/shim_vocoder.h (this repo's recovered assumptions, matched
+    to the production code); what the comparison pins is the reference's
+    own bookkeeping: good_stride, fill_freqs band edges, the band-sum
+    boundary conditions (bin Hz in (lo, hi], vocoder.cpp:138-159), the
+    window/stride cadence of both PeriodicFFTs, the old/new signal swap
+    timing, and the crossfade emission indexing of FFTCarrier::feed —
+    including that the FIRST crossfaded sample is emitted inside the very
+    feed() call that completes a window (output position end-1, the
+    one-sample offset this oracle originally caught in the streaming
+    mirror).
+
+    (The reference's Vocoder::setup calls init_dynamic_allocs BEFORE
+    FFTModulator::setup — vocoder.cpp:849-855 — so its first window length
+    reads uninitialized memory; the oracle driver orders setup first to get
+    the well-defined steady cadence.)"""
+
+    def _run(self, oracle, sr, n, params, mod, car):
+        lines = [f"{sr} {params.modulator_window_size_seconds} "
+                 f"{params.stride_seconds} {params.count_bands} "
+                 f"{params.min_freq} {params.max_freq} {n}"]
+        lines += [f"{float(m)!r} {float(c)!r}" for m, c in zip(mod, car)]
+        out = oracle("vocoder", input_text="\n".join(lines) + "\n", raw=True)
+        V, edges, stride = [], None, None
+        for line in out.splitlines():
+            k, *vals = line.split()
+            if k == "V":
+                V.append(float(vals[0]))
+            elif k == "F":
+                edges = np.array([float(v) for v in vals])
+            elif k == "G":
+                stride = int(vals[0])
+        return np.array(V), edges, stride
+
+    @pytest.mark.parametrize("count_bands,stride_s", [(5, 0.005), (8, 0.003)])
+    def test_streaming_mirror_matches_reference(self, oracle, count_bands,
+                                                stride_s):
+        from cpp_audio_tpu.analysis import vocoder as vmod
+        from cpp_audio_tpu.analysis.streaming import StreamingVocoder
+
+        sr = 44100
+        n = sr
+        t = np.arange(n)
+        mod = (0.5 * np.sin(2 * np.pi * 300 * t / sr)
+               + 0.2 * np.sin(2 * np.pi * 3000 * t / sr)
+               + 0.1 * np.sin(2 * np.pi * 9000 * t / sr))
+        car = 0.5 * np.sign(np.sin(2 * np.pi * 150 * t / sr))
+        p = vmod.VocoderParams(sample_rate=sr, count_bands=count_bands,
+                               stride_seconds=stride_s)
+        V, edges, stride = self._run(oracle, sr, n, p, mod, car)
+
+        assert stride == p.stride  # good_stride (odd), vocoder.cpp:84-93
+        # fill_freqs log spacing; the reference narrows min/max through
+        # float32 params (SetupParams holds floats)
+        np.testing.assert_allclose(edges, p.band_freqs(), rtol=1e-6)
+
+        sv = StreamingVocoder(p)
+        got = sv.process(mod, car)
+        S, W = p.stride, p.modulator_window
+        lo = W + 3 * S  # both pipelines warm
+        scale = np.abs(V[lo:]).max() + 1e-12
+        np.testing.assert_allclose(got[lo:n], V[lo:n], atol=2e-9 * scale)
+        # warm-up region: both silent before the first possible emission
+        first = int(np.flatnonzero(V)[0])
+        assert np.abs(got[:first]).max() == 0.0
+
+
 class TestSmallHelpers:
     def test_stereo_pan(self, oracle):
         from cpp_audio_tpu.models.sine_synth import _stereo_gains

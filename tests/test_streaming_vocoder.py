@@ -1,7 +1,7 @@
 """StreamingVocoder + live MIDI->carrier->vocoder wiring tests.
 
 The streaming vocoder must reproduce the offline batch vocoder
-(analysis/vocoder.vocode) sample-for-sample after its 2-stride latency, and
+(analysis/vocoder.vocode) sample-for-sample after its 2S-1 latency, and
 LiveResynth with a CarrierSynth must render a vocoded carrier driven by MIDI
 (the reference's live application loop, rt.resynth.lib.cpp:1397-1418).
 """
@@ -27,7 +27,9 @@ class TestStreamingVocoder:
 
     @pytest.mark.parametrize("block", [512, 221, 1000])
     def test_matches_offline_after_latency(self, block):
-        """streaming[t + 2S] == offline[t] once both pipelines are warm."""
+        """streaming[t + 2S - 1] == offline[t] once both pipelines are warm
+        (the reference emits the first crossfaded sample inside the window-
+        completing feed itself — oracle-pinned, vocoder.cpp:509-527)."""
         sr = 44100
         p = voc.VocoderParams(sample_rate=sr)
         S, W = p.stride, p.modulator_window
@@ -38,7 +40,7 @@ class TestStreamingVocoder:
         stream = np.concatenate(
             [sv.process(mod[i : i + block], car[i : i + block])
              for i in range(0, n, block)])
-        lag = 2 * S
+        lag = 2 * S - 1
         warm = W + 2 * S  # first full modulator window + first carrier frame
         L = min(len(off), len(stream) - lag)
         err = np.abs(off[warm : L] - stream[warm + lag : L + lag]).max()
