@@ -491,6 +491,8 @@ def vocode_filter_bank(modulator, carrier, params: VocoderParams, *,
     """
     sr = params.sample_rate
     n = min(len(modulator), len(carrier))
+    if n == 0:
+        return np.zeros(0) if not device_out else jnp.zeros(0)
     fdt = jnp.float32
     mod = jnp.asarray(modulator, fdt)[:n]
     car = jnp.asarray(carrier, fdt)[:n]

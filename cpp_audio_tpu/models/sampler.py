@@ -132,7 +132,10 @@ def render_notes(notes: list[Note], sample_map: SampleMap, n_samples: int,
     for note in notes:
         inc = freq_to_angle_increment(note.frequency, config.sample_rate)
         si = sample_map.select_index(inc)
-        if si >= 0:
+        # zero-length mapped samples render silence (the reference's imag()
+        # range check, audioelement.h:3343) — drop them so the packed
+        # buffer gather never sees an empty row
+        if si >= 0 and len(sample_map._samples[si]) > 0:
             sel.append((note, si))
     if not sel:
         return np.zeros((n_samples, config.n_channels))
