@@ -289,18 +289,18 @@ def _modulator_band_amps_decimated(signal, *, edges, window: int, stride: int,
         else:
             # Gaussian-weighted energy E_w[f] = sum_t w^2(t) dens(f*S + t):
             # convolve the decimated density with the REVERSED decimated w^2
-            # kernel (linear conv: L >= m + Lg, no circular wrap), then one
-            # interpolated strided read at full-rate base (Lg-1)*d — frame f
-            # reads conv position (f*S)/d + Lg-1 = sum_l g(l*d) dens_dec(
-            # f*S/d + l), the Riemann image of the full-rate sum.
+            # kernel, then one interpolated strided read at full-rate base
+            # (Lg-1)*d — frame f reads conv position (f*S)/d + Lg-1 =
+            # sum_l g(l*d) dens_dec(f*S/d + l), the Riemann image of the
+            # full-rate sum. CIRCULAR length-m conv is safe: wrap terms only
+            # reach positions k < Lg-1, strictly below the read base, and
+            # every read k has its full kernel support k-l >= 0 in range
+            # (max read (n-1)/d < m).
             gd = _window_sq(window, shape)[::d]
             Lg = gd.shape[0]
-            L = 1
-            while L < m + Lg:
-                L *= 2
             cdt = jnp.complex128 if fdt == jnp.float64 else jnp.complex64
-            G = jnp.fft.fft(jnp.asarray(gd[::-1].copy(), fdt).astype(cdt), n=L)
-            c = jnp.real(jnp.fft.ifft(jnp.fft.fft(dens.astype(cdt), n=L) * G)
+            G = jnp.fft.fft(jnp.asarray(gd[::-1].copy(), fdt).astype(cdt), n=m)
+            c = jnp.real(jnp.fft.ifft(jnp.fft.fft(dens.astype(cdt)) * G)
                          ).astype(fdt)
             delta = _strided_interp_read(c, d=d, stride=stride,
                                          base=(Lg - 1) * d, n_frames=n_frames)
