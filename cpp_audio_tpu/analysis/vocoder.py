@@ -218,6 +218,49 @@ def _windowed_energy_at_frames(C, *, d: int, stride: int, window: int,
     return hi - lo
 
 
+def _windowed_gauss_energy_conv(dens, *, d: int, stride: int, window: int,
+                                shape: str, n_frames: int):
+    """E_w[f] = sum_l g(l*d) * dens_interp(f*stride/d + l) for f < n_frames
+    (g = the w^2 analysis-window kernel, dens on a d-decimated grid, linear
+    interpolation at the fractional per-residue-class alignment) — as ONE
+    strided 1-D convolution instead of FFT convs: frame f = d*j + i reads
+    position j*S + (i*S)/d, so output channel i correlates dens with a
+    per-class kernel k_i[l] = (1-a_i) g[l - q_i] + a_i g[l - q_i - 1]
+    (q_i + a_i = i*S/d) at output stride S. nf*(W/d + S) MACs total — MXU
+    work in place of 3 length-m FFTs per band."""
+    S = stride
+    gd = _window_sq(window, shape)[::d]
+    Lg = gd.shape[0]
+    K = Lg + S + 1  # kernel span covers the max class shift q_i <= S-1
+    i = np.arange(d)
+    pos = i * S / d
+    q = np.floor(pos).astype(np.int64)
+    alpha = pos - q
+    u = np.arange(K)
+    # k_i[u] = (1-a_i)*gd[u-q_i] + a_i*gd[u-q_i-1], gd out-of-range -> 0
+    idx = u[None, :] - q[:, None]
+
+    def safe_gd(v):
+        return np.where((v >= 0) & (v < Lg), gd[np.clip(v, 0, Lg - 1)], 0.0)
+
+    kern = (1.0 - alpha)[:, None] * safe_gd(idx) \
+        + alpha[:, None] * safe_gd(idx - 1)
+
+    J = -(-n_frames // d)
+    need = (J - 1) * S + K
+    m = dens.shape[0]
+    if need > m:
+        dens = jnp.concatenate([dens, jnp.zeros((need - m,), dens.dtype)])
+    else:
+        dens = dens[:need]
+    out = jax.lax.conv_general_dilated(
+        dens[None, None, :], jnp.asarray(kern, dens.dtype)[:, None, :],
+        window_strides=(S,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST)  # (1, d, J)
+    return out[0].T.reshape(-1)[:n_frames]  # (J, d) interleave -> frames
+
+
 @functools.partial(jax.jit, static_argnames=("edges", "window", "stride",
                                              "n_frames", "sample_rate",
                                              "shape"))
@@ -287,23 +330,9 @@ def _modulator_band_amps_decimated(signal, *, edges, window: int, stride: int,
             delta = _windowed_energy_at_frames(
                 C, d=d, stride=stride, window=window, n_frames=n_frames)
         else:
-            # Gaussian-weighted energy E_w[f] = sum_t w^2(t) dens(f*S + t):
-            # convolve the decimated density with the REVERSED decimated w^2
-            # kernel, then one interpolated strided read at full-rate base
-            # (Lg-1)*d — frame f reads conv position (f*S)/d + Lg-1 =
-            # sum_l g(l*d) dens_dec(f*S/d + l), the Riemann image of the
-            # full-rate sum. CIRCULAR length-m conv is safe: wrap terms only
-            # reach positions k < Lg-1, strictly below the read base, and
-            # every read k has its full kernel support k-l >= 0 in range
-            # (max read (n-1)/d < m).
-            gd = _window_sq(window, shape)[::d]
-            Lg = gd.shape[0]
-            cdt = jnp.complex128 if fdt == jnp.float64 else jnp.complex64
-            G = jnp.fft.fft(jnp.asarray(gd[::-1].copy(), fdt).astype(cdt), n=m)
-            c = jnp.real(jnp.fft.ifft(jnp.fft.fft(dens.astype(cdt)) * G)
-                         ).astype(fdt)
-            delta = _strided_interp_read(c, d=d, stride=stride,
-                                         base=(Lg - 1) * d, n_frames=n_frames)
+            delta = _windowed_gauss_energy_conv(
+                dens, d=d, stride=stride, window=window, shape=shape,
+                n_frames=n_frames)
         return 2.0 * d * (m / n_fft) ** 2 * delta
 
     band_e = jnp.stack(
@@ -349,12 +378,6 @@ def _modulator_band_amps_full(signal, edges, *, window: int, stride: int,
     hz = folded * (sample_rate / n_fft)
     n_bands = edges.shape[0] - 1
     gauss = shape != "rectangular"
-    if gauss:
-        # conv kernel: reversed w^2, zero-padded circular FFT of length
-        # n_fft (reads at k >= W-1 see no wrap for densities zeroed past n)
-        g = _window_sq(window, shape)[::-1].copy()
-        G = jnp.fft.fft(jnp.asarray(g, fdt).astype(cdt), n=n_fft)
-        in_range = (jnp.arange(n_fft) < n).astype(fdt)
     ys = []
     for p in range(0, n_bands, 2):
         mask_a = ((hz > edges[p]) & (hz <= edges[p + 1])).astype(fdt)
@@ -365,28 +388,14 @@ def _modulator_band_amps_full(signal, edges, *, window: int, stride: int,
         else:
             z = jnp.fft.ifft(X * mask_a)
             pair = (jnp.real(z),)
-        if not gauss:
-            ys.extend(yy[:n] for yy in pair)
-            continue
-        # pack the two band densities back into one complex conv
-        if len(pair) == 2:
-            dpair = (pair[0] * pair[0] + 1j * (pair[1] * pair[1])) \
-                * in_range.astype(cdt)
-            c = jnp.fft.ifft(jnp.fft.fft(dpair) * G)
-            ys.append(jnp.real(c))
-            ys.append(jnp.imag(c))
-        else:
-            d1 = (pair[0] * pair[0] * in_range).astype(cdt)
-            c = jnp.fft.ifft(jnp.fft.fft(d1) * G)
-            ys.append(jnp.real(c))
+        ys.extend(yy[:n] for yy in pair)
     if gauss:
-        # ys rows hold conv(dens_b, rev(w^2)); frame f's energy sits at
-        # index f*S + W - 1 (= sum_t w^2(t) dens(f*S + t))
-        carr = jnp.stack(ys, axis=0).astype(fdt)
-        lim = stride * (n_frames - 1) + 1
-        band_e = jax.lax.slice(carr, (0, window - 1),
-                               (carr.shape[0], window - 1 + lim),
-                               (1, stride)).T
+        # Gaussian-windowed energies: one strided conv per band (d = 1)
+        band_e = jnp.stack(
+            [_windowed_gauss_energy_conv(y * y, d=1, stride=stride,
+                                         window=window, shape=shape,
+                                         n_frames=n_frames) for y in ys],
+            axis=-1)
         return _amps_from_band_energy(band_e, window=window, shape=shape)
     # band-MAJOR layout: (bands, n) keeps the long time axis in lanes — a
     # (n, 5) layout runs the cumsum and slices at 5/128 lane occupancy
