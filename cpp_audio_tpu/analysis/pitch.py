@@ -146,13 +146,40 @@ def _lower_bound_closest_idx(pitch: float, items: list, key) -> int:
             else lo - 1)
 
 
-def harmonize_pitches(harmonize_amount: float, pitches: list[PitchVolume]) -> list[PitchVolume]:
+def harmonize_pitches(harmonize_amount: float, pitches: list[PitchVolume],
+                      semantics: str = "reference") -> list[PitchVolume]:
     """Add a transposed copy of each pitch, merging a copy that lands within
-    PITCH_EPSILON of the element find_closest_pitch returns (algo.cpp:318-371
-    — the search runs over the growing vector). Returns a new sorted list."""
+    PITCH_EPSILON of an existing pitch. Returns a new sorted list.
+
+    semantics="reference" replicates the reference probe-for-probe
+    (algo.cpp:318-371): its find_closest_pitch lower_bounds over the GROWING
+    vector whose sorted precondition its own appends break, so the search
+    can miss a true-closest original once any copy was appended — duplicate
+    eps-equal pitches then survive (the reference's own post-merge debug
+    Assert of strict ordering, algo.cpp:361-370, fires on exactly these,
+    showing the author never intended them; NDEBUG builds play the
+    duplicates ~3 dB hot). Reachable with everyday configs: autotune snaps
+    pitches to a grid, so an integer harmonize makes exact collisions.
+
+    semantics="merged" is the intent semantics (and exactly what the device
+    tracker kernel computes, device_tracker._harmonize_lanes): each copy
+    merges into the true closest ORIGINAL within PITCH_EPSILON — all
+    merges read the pre-harmonize volumes."""
     if not harmonize_amount:
         return pitches
     sz = len(pitches)
+    if semantics == "merged":
+        orig = [(pv.midipitch, pv.volume) for pv in pitches]
+        for mp, v in orig:
+            hp = mp + harmonize_amount
+            j = min(range(sz),
+                    key=lambda q: (abs(orig[q][0] - hp), q))
+            if abs(orig[j][0] - hp) <= PITCH_EPSILON:
+                pitches[j].volume += v
+            else:
+                pitches.append(PitchVolume(hp, v))
+        pitches.sort(key=lambda q: q.midipitch)
+        return pitches
     for i in range(sz):
         p = pitches[i]
         hp = p.midipitch + harmonize_amount

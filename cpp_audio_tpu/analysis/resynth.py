@@ -51,6 +51,10 @@ class ResynthConfig:
     volume_method: pp.VolumeReductionMethod = pp.VolumeReductionMethod.SUM_VOLUMES
     # autotune
     use_autotune: bool = False
+    # "reference" replicates the reference's probe-miss duplicates;
+    # "merged" is the intent semantics the device tracker computes
+    # (pitch.harmonize_pitches docstring)
+    harmonize_semantics: str = "reference"
     autotune_max_pitch: float = 150.0
     autotune_tolerance_pitches: float = 100.0
     autotune_kwargs: dict = field(default_factory=dict)
@@ -176,7 +180,8 @@ def track(peaks_per_frame, config: ResynthConfig, *, prefer_native: bool = True)
     """Run the pitch pipeline + tracking; returns (tracked_notes, frame_stats,
     n_dropped_noteon). Uses the C++ pipeline when built (native/pitchpipe.cpp);
     the pure-Python implementation below is the semantic reference."""
-    if prefer_native:
+    if prefer_native and config.harmonize_semantics == "reference":
+        # the C++ pipeline implements only the reference probe semantics
         from .. import native as nat
 
         if nat.available():
@@ -217,12 +222,14 @@ class PitchTracker:
         reduced = pp.reduce_pitches(config.pitch_method, config.volume_method,
                                     config.min_volume, intervals)
         pp.shift_pitches(config.pitch_shift_pre_autotune, reduced)
-        reduced = pp.harmonize_pitches(config.pitch_harmonize_pre_autotune, reduced)
+        reduced = pp.harmonize_pitches(config.pitch_harmonize_pre_autotune,
+                                       reduced, config.harmonize_semantics)
         tuned = pp.autotune_pitches(config.autotune_max_pitch,
                                     config.autotune_tolerance_pitches,
                                     self.autotune_fn, reduced)
         pp.shift_pitches(config.pitch_shift_post_autotune, tuned)
-        tuned = pp.harmonize_pitches(config.pitch_harmonize_post_autotune, tuned)
+        tuned = pp.harmonize_pitches(config.pitch_harmonize_post_autotune,
+                                     tuned, config.harmonize_semantics)
         pitch_changes, continue_playing = pp.track_pitches(
             config.max_track_pitches, tuned, self.played
         )

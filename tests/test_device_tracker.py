@@ -323,6 +323,166 @@ def test_tracker_silence_and_empty_frames():
     assert np.abs(out).max() == 0.0
 
 
+def _random_peaks(rng, F, k):
+    """Random track-structured peak arrays: births/deaths + pitch drift so
+    tracking, note-change, polyphony caps and loudness ordering all engage.
+    Lanes are freq-sorted, NaN/-inf padded (the analyze_arrays layout)."""
+    events = [[] for _ in range(F)]
+    for _ in range(int(rng.integers(2, 8))):
+        f0 = float(rng.uniform(80, 4000))
+        start = int(rng.integers(0, F - 2))
+        length = int(rng.integers(2, F - start))
+        drift = rng.normal(0.0, float(rng.uniform(0.001, 0.04)), length)
+        fr = f0 * np.exp(np.cumsum(drift))
+        db = float(rng.uniform(-50, -12)) + np.cumsum(
+            rng.normal(0.0, 1.0, length))
+        for i in range(length):
+            events[start + i].append((float(fr[i]), float(db[i])))
+    freq = np.full((F, k), np.nan)
+    mag = np.full((F, k), -np.inf)
+    for f, evs in enumerate(events):
+        evs.sort()
+        kept = []
+        for fv, dv in evs:
+            if kept and fv - kept[-1][0] < 1e-6:  # strictly increasing
+                continue
+            kept.append((fv, dv))
+        for j, (fv, dv) in enumerate(kept[:k]):
+            freq[f, j] = fv
+            mag[f, j] = dv
+    return freq, mag
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_device_tracker_random_configs_f64_exact(seed):
+    """Randomized differential campaign: random peak tracks + random tracker
+    configs (reduction methods, shifts, harmonize, autotune scale/chord,
+    polyphony caps) — the f64 device tracker's per-frame note multisets must
+    equal the host tracker's EXACTLY for every config."""
+    import jax.numpy as jnp
+
+    from cpp_audio_tpu.analysis import autotune as at
+    from cpp_audio_tpu.analysis import pitch as pp
+    from cpp_audio_tpu.analysis.chain import (autotune_device_arrays,
+                                              tracker_config_kwargs)
+
+    rng = np.random.default_rng(1000 + seed)
+    at_kwargs = {}
+    if rng.random() < 0.5:
+        if rng.random() < 0.5:
+            at_kwargs = dict(
+                autotune_type=at.AutotuneType.MUSICAL_SCALE,
+                musical_scale_mode=list(at.MusicalScaleMode)[
+                    int(rng.integers(0, 3))],
+                root_note_halftones_transpose=int(rng.integers(-6, 7)))
+        else:
+            at_kwargs = dict(autotune_type=at.AutotuneType.CHORD,
+                             bit_chord=int(rng.integers(1, 255)))
+    cfg = resynth.ResynthConfig(
+        sample_rate=44100, dtype="float64", seed=int(rng.integers(1000)),
+        nearby_distance_tones=float(rng.uniform(0.1, 1.0)),
+        min_volume=float(rng.uniform(1e-5, 3e-3)),
+        max_track_pitches=float(rng.uniform(0.5, 3.0)),
+        pitch_shift_pre_autotune=float(rng.choice([0.0, 2.0, -3.5])),
+        pitch_shift_post_autotune=float(rng.choice([0.0, -1.0, 4.0])),
+        pitch_harmonize_pre_autotune=float(rng.choice([0.0, 7.0, 12.5])),
+        pitch_harmonize_post_autotune=float(rng.choice([0.0, 5.0])),
+        use_autotune=bool(at_kwargs),
+        autotune_kwargs=at_kwargs,
+        autotune_tolerance_pitches=float(rng.choice([100.0, 3.0])),
+        max_voices=int(rng.integers(3, 20)),
+        pitch_method=list(pp.PitchReductionMethod)[int(rng.integers(0, 3))],
+        volume_method=list(pp.VolumeReductionMethod)[int(rng.integers(0, 2))],
+        stereo_spread=float(rng.uniform(0.0, 1.0)),
+        env_attack_seconds=float(rng.uniform(0.0, 0.02)),
+        env_decay_seconds=float(rng.uniform(0.0, 0.02)),
+        env_sustain_level=float(rng.uniform(0.3, 1.0)),
+        env_release_seconds=float(rng.uniform(0.0, 0.1)),
+        # the device kernel computes the intent ("merged") harmonize
+        # semantics; the host replicates it when asked (the "reference"
+        # probe-miss duplicates are covered by the oracle + the targeted
+        # test below)
+        harmonize_semantics="merged",
+    )
+    rcfg = resynth._render_config(cfg)
+    F = 40
+    freq, mag = _random_peaks(rng, F, cfg.max_voices + 1)
+    total = F + 8
+
+    peaks = [[(f, m) for f, m in zip(fr, mr) if np.isfinite(f)]
+             for fr, mr in zip(freq, mag)]
+    notes, _, dropped_h = resynth.track_python(peaks, cfg)
+    table_host = np.asarray(
+        resynth_bank._build_slot_tables(notes, total, rcfg))
+
+    li = loudness.phons_to_index(60.0)
+    cap = F * cfg.max_voices + 16
+    pan = np.random.default_rng(cfg.seed).uniform(-1.0, 1.0, cap)
+    phase = np.random.default_rng(0).uniform(0.0, 2.0, cap)
+    _kind, at_arrays = autotune_device_arrays(cfg, jnp.float64)
+    kw = tracker_config_kwargs(cfg, rcfg)
+    table_dev, dropped_d = device_tracker.build_tables_device(
+        np.asarray(freq, np.float64), np.asarray(mag, np.float64),
+        np.asarray(loudness.PITCHES, np.float64),
+        np.asarray(loudness.ELVS[li], np.float64), pan, phase,
+        total_frames=total, stride=rcfg.stride,
+        sample_rate=float(cfg.sample_rate), autotune_arrays=at_arrays, **kw)
+    table_dev = np.asarray(table_dev)
+
+    assert int(dropped_d) == int(dropped_h), "dropped NoteOn counts differ"
+    F_VTGT, F_VB, F_INC = (resynth_bank._F_VTGT, resynth_bank._F_VB,
+                           resynth_bank._F_INC)
+    act_h = (table_host[:, :, F_VTGT] != 0) | (table_host[:, :, F_VB] != 0)
+    act_d = (table_dev[:, :, F_VTGT] != 0) | (table_dev[:, :, F_VB] != 0)
+    for f in range(act_h.shape[0]):
+        hs, ds = np.nonzero(act_h[f])[0], np.nonzero(act_d[f])[0]
+        assert hs.size == ds.size, f"frame {f}: {hs.size} vs {ds.size} notes"
+        h = np.stack([table_host[f, hs, c] for c in (F_INC, F_VTGT, F_VB)],
+                     axis=-1)
+        d = np.stack([table_dev[f, ds, c] for c in (F_INC, F_VTGT, F_VB)],
+                     axis=-1)
+        h = h[np.lexsort(h.T)]
+        d = d[np.lexsort(d.T)]
+        np.testing.assert_allclose(
+            np.float32(d), np.float32(h), rtol=3e-6, atol=1e-12,
+            err_msg=f"frame {f} note multiset differs (seed {seed})")
+
+
+def test_harmonize_semantics_modes():
+    """The two harmonize semantics on a case where they genuinely diverge
+    (integer-grid pitches + integer harmonize — exactly what autotune
+    produces, so this is an everyday configuration, not a corner):
+
+    "reference" (probe semantics, oracle-pinned): the lower_bound over the
+    growing vector misses the true-closest original 93 for the copy of 81
+    (earlier appends broke its sorted precondition), leaving DUPLICATE
+    eps-equal pitches — the reference's own post-merge debug Assert of
+    strict ordering (algo.cpp:361-370) fires on these, so NDEBUG builds
+    play them ~3 dB hot; and copies read their source's CURRENT volume, so
+    a copy of a merged-into pitch carries the post-merge sum (aliasing).
+
+    "merged" (intent semantics == the device tracker kernel,
+    device_tracker._harmonize_lanes): every copy merges into the true
+    closest original within epsilon, and all copies carry pre-harmonize
+    volumes."""
+    from cpp_audio_tpu.analysis import pitch as pp2
+
+    def run(sem):
+        base = [45.0, 57.0, 72.0, 81.0, 82.0, 93.0]
+        lst = [pp2.PitchVolume(p, 0.1 * (i + 1)) for i, p in enumerate(base)]
+        out = pp2.harmonize_pitches(12.0, lst, sem)
+        return [(round(p.midipitch, 6), round(p.volume, 6)) for p in out]
+
+    ref = run("reference")
+    mer = run("merged")
+    assert ref == [(45.0, 0.1), (57.0, 0.3), (69.0, 0.3), (72.0, 0.3),
+                   (81.0, 0.4), (82.0, 0.5), (84.0, 0.3), (93.0, 0.6),
+                   (93.0, 0.4), (94.0, 0.5), (105.0, 0.6)]
+    assert mer == [(45.0, 0.1), (57.0, 0.3), (69.0, 0.2), (72.0, 0.3),
+                   (81.0, 0.4), (82.0, 0.5), (84.0, 0.3), (93.0, 1.0),
+                   (94.0, 0.5), (105.0, 0.6)]
+
+
 @pytest.mark.parametrize("kind", ["tones", "chirp"])
 def test_device_tracker_f64_sets_match_host_exactly(kind):
     """Verification mode: with float64 peaks, the device tracker's per-frame
