@@ -98,6 +98,7 @@ class _Voice:
     t_ref: int              # sample index where the current glide started
     phase_ref: float        # phase (rad/pi) before the step producing t_ref
     noise_start: int        # noise-table index at the press sample
+    finished_at: float = NEVER  # envelope Done2 sample
 
 
 def _glide_phase_advance(u, inc_from, inc_to, G):
@@ -226,7 +227,12 @@ class CarrierSynth:
     # -- event interface (reference onEvent via MidiInput) ------------------
     def on_event(self, ev: Event) -> bool:
         if ev.type is EventType.NOTE_ON:
-            if len(self._notes) >= self.config.n_voices:
+            # reference channel-occupancy drop (gen.crtp.h:221-225,398-413):
+            # the pool holds 2*n_voices channels and a releasing voice
+            # occupies its channel until the envelope reaches Done2
+            self._gc(int(ev.time))
+            if (len(self._notes) + len(self._finished)
+                    >= 2 * self.config.n_voices):
                 self.dropped_note_on += 1
                 return False
             inc = self._inc(ev.frequency)
@@ -245,6 +251,10 @@ class CarrierSynth:
             if v is None:
                 return False
             v.release = float(ev.time)
+            cfg = self.config
+            floor = np.floor(0.5 + 2.5 * 2.0 / max(self._inc_at(v, int(ev.time)), 1e-9))
+            v.finished_at = v.release + max(
+                float(np.max(np.asarray(cfg.ahdsr.release))), floor, 1.0)
             self._finished.append(v)
             return True
         # NOTE_CHANGE: retune through the 100-sample InterpolatedFreq glide
@@ -265,11 +275,8 @@ class CarrierSynth:
 
     # -- rendering ----------------------------------------------------------
     def _gc(self, t: int) -> None:
-        cfg = self.config
-        rel = max(float(np.max(np.asarray(cfg.ahdsr.release))),
-                  cfg.sample_rate / 1000)
-        self._finished = [v for v in self._finished
-                          if v.release + 4 * rel > t]
+        # channel freed exactly when its envelope finished (Done2)
+        self._finished = [v for v in self._finished if v.finished_at > t]
 
     def compute(self, t0: int, n: int) -> np.ndarray:
         """Render n mono samples covering [t0, t0+n)."""

@@ -5,8 +5,13 @@ Reference: ImplCRTP::onEvent + compute (include/gen.crtp.h:195-629). Events
 arrive between blocks (the engine's oneshot boundary replaces the lock-free
 CAS handshake); each block renders the currently-active bank rows with the
 same closed-form kernel as the offline path, shifted so the block starts at
-the engine time. Voice stealing: a NoteOn beyond `n_voices` concurrently
-active notes is dropped and counted (onDroppedNote, gen.crtp.h:412-413).
+the engine time. Voice stealing follows the reference's CHANNEL-OCCUPANCY
+rule: the pool holds n_channels = 2 * n_voices channels (gen.crtp.h:
+221-225), a NoteOn acquires any channel whose envelope reached Done2
+(tryAcquire, gen.crtp.h:398-413), and a channel stays occupied through its
+whole release (until the envelope finishes: release + max(R, the
+2.5-period anti-crack floor)); a NoteOn finding every channel occupied is
+dropped and counted (onDroppedNote).
 """
 
 from __future__ import annotations
@@ -29,6 +34,7 @@ class _Active:
     frequency: float
     velocity: float
     pan: float
+    finished_at: float = voicebank.NEVER  # envelope Done2 sample
 
 
 class StreamingSynth:
@@ -42,10 +48,22 @@ class StreamingSynth:
         self._finished: list[_Active] = []  # releasing, kept until env done
         self.dropped_note_on = 0
 
+    def _release_length(self, frequency: float) -> float:
+        """Effective envelope release span: max(R, 2.5-period anti-crack
+        floor, 1) samples (audioelement.h:216-225 + the closed-form kernel's
+        rounding, voicebank.py)."""
+        cfg = self.config
+        inc = 2.0 * abs(frequency) / cfg.sample_rate
+        floor = np.floor(0.5 + 2.5 * 2.0 / max(inc, 1e-9))
+        return max(float(np.max(np.asarray(cfg.ahdsr.release))), floor, 1.0)
+
     # --- event interface (reference onEvent) ---
     def on_event(self, ev: Event) -> bool:
         if ev.type is EventType.NOTE_ON:
-            if len(self._notes) >= self.n_voices:
+            # channel-occupancy drop (gen.crtp.h:398-413): releasing voices
+            # still occupy their channel until the envelope reaches Done2
+            self._gc(ev.time)
+            if len(self._notes) + len(self._finished) >= 2 * self.n_voices:
                 self.dropped_note_on += 1
                 return False
             self._notes[ev.note_id] = _Active(
@@ -58,6 +76,7 @@ class StreamingSynth:
             if a is None:
                 return False
             a.release = ev.time
+            a.finished_at = ev.time + self._release_length(a.frequency)
             self._finished.append(a)
             return True
         # NOTE_CHANGE: retune in place (the streaming path re-presses;
@@ -70,9 +89,8 @@ class StreamingSynth:
         return True
 
     def _gc(self, t: int) -> None:
-        cfg = self.config
-        rel = max(float(np.max(np.asarray(cfg.ahdsr.release))), cfg.sample_rate / 1000)
-        self._finished = [a for a in self._finished if a.release + 4 * rel > t]
+        # channel freed exactly when its envelope finished (Done2)
+        self._finished = [a for a in self._finished if a.finished_at > t]
 
     def compute(self, t0: int, n: int) -> np.ndarray | None:
         self._gc(t0)

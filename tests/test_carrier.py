@@ -153,11 +153,13 @@ class TestCarrierKernel:
         np.testing.assert_allclose(whole, parts, atol=1e-6)
 
     def test_polyphony_limit_drops(self):
+        """Reference channel-occupancy policy: 2*n_voices channels
+        (gen.crtp.h:221-225), dropped only when every channel is occupied."""
         cfg = CarrierSynthConfig(n_voices=2)
         s = CarrierSynth(cfg)
-        for i in range(4):
+        for i in range(6):
             s.on_event(events.Event(events.EventType.NOTE_ON, 0, i, 100.0 + i, 0.5))
-        assert len(s._notes) == 2
+        assert len(s._notes) == 4
         assert s.dropped_note_on == 2
 
     def test_release_ends_voice(self):

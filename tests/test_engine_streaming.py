@@ -152,8 +152,24 @@ class TestStreamingSynth:
         np.testing.assert_allclose(streamed, offline, atol=1e-9)
 
     def test_voice_stealing_drops(self):
-        synth = streaming_synth.StreamingSynth(n_voices=2)
-        assert synth.on_event(events.mk_note_on(0, 440.0, 1.0, note_id=1))
-        assert synth.on_event(events.mk_note_on(0, 550.0, 1.0, note_id=2))
-        assert not synth.on_event(events.mk_note_on(0, 660.0, 1.0, note_id=3))
+        """Reference channel-occupancy policy (gen.crtp.h:221-225,398-413):
+        the pool holds 2*n_voices channels; held AND still-releasing voices
+        occupy; a channel frees only when its envelope reaches Done2."""
+        cfg = sine_synth.SineSynthConfig(
+            ahdsr=envelopes.AHDSR(attack=10, hold=0, decay=0, release=1000,
+                                  sustain=1.0))
+        synth = streaming_synth.StreamingSynth(cfg, n_voices=2)
+        for i in range(4):  # n_channels = 4
+            assert synth.on_event(
+                events.mk_note_on(0, 440.0 + 10 * i, 1.0, note_id=i))
+        assert not synth.on_event(events.mk_note_on(0, 660.0, 1.0, note_id=9))
         assert synth.dropped_note_on == 1
+        # releasing voices still occupy their channel...
+        synth.on_event(events.mk_note_off(100, note_id=0))
+        assert not synth.on_event(
+            events.mk_note_on(101, 770.0, 1.0, note_id=10))
+        assert synth.dropped_note_on == 2
+        # ... until the envelope finishes (release 1000 > the 2.5-period
+        # floor at 440 Hz), after which the channel is reacquirable
+        assert synth.on_event(events.mk_note_on(1200, 770.0, 1.0, note_id=11))
+        assert synth.dropped_note_on == 2
