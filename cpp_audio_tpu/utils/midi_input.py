@@ -21,6 +21,8 @@ import threading
 import time
 from dataclasses import dataclass
 
+import numpy as np
+
 from ..core import events
 from .midifile import MidiEvent, NoteIdsGenerator
 from .midi import Midi
@@ -35,11 +37,19 @@ _PITCH_WHEEL = 0xE0
 _CC_ALL_NOTES_OFF = 123
 
 
-def parse_midi_bytes(status: int, d1: int, d2: int, *, time: int = 0) -> MidiEvent | None:
+def parse_midi_bytes(status: int, d1: int, d2: int, *, time: int = 0,
+                     wheel_law: str = "midi14") -> MidiEvent | None:
     """Decode one raw MIDI message into a MidiEvent (or None if unhandled).
 
     Mirrors the event vocabulary of rt.resynth.lib.midi.cpp (NoteOn with
     velocity 0 is a NoteOff, pitch wheel centers at 8192 -> value in -1..1).
+
+    wheel_law: "midi14" (standard 14-bit (d2<<7)|d1, 8192 centered — right
+    for Standard MIDI Files) or "reference" (the reference's Arturia-
+    calibrated law, rt.resynth.lib.midi.cpp:90-102,147-148: value =
+    d1 + (d2<<8) mapped by -1 + 2*v/0x7F7F — NOT the MIDI 14-bit packing,
+    and slightly off-center at wheel rest; oracle-pinned against the
+    compiled reference decode).
     """
     kind = status & 0xF0
     channel = status & 0x0F
@@ -52,6 +62,11 @@ def parse_midi_bytes(status: int, d1: int, d2: int, *, time: int = 0) -> MidiEve
     if kind == _CHANNEL_PRESSURE:
         return MidiEvent(time, "channel_pressure", channel, value=d1 / 127.0)
     if kind == _PITCH_WHEEL:
+        if wheel_law == "reference":
+            raw = d1 + (d2 << 8)  # Arturia packing (midi.cpp:148)
+            value = np.float32(-1.0) + np.float32(2.0) * np.float32(
+                (raw - 0x0000) * np.float32(1.0 / 0x7F7F))
+            return MidiEvent(time, "pitch_wheel", channel, value=float(value))
         raw = (d2 << 7) | d1  # 14-bit, 8192 = centered
         return MidiEvent(time, "pitch_wheel", channel,
                          value=(raw - 8192) / 8192.0)

@@ -14,8 +14,10 @@
 // Output format: one datum per line, "<key> <args...> <value...>", doubles
 // printed with %.17g.
 
+#define IMJ_SHIM_USE_REAL_EVENTS_H 1
 #include "shim_vocoder.h"            // functional FFT surface (includes shim.h)
 
+#include "events.h"                  // NoteId/Event/NoteIdsGenerator
 #include "midi.h"                    // /root/reference/include/midi.h
 
 // NoteSpec (include/note.h:3-8); note.h itself drags the Request/Sounds
@@ -46,6 +48,7 @@ struct NoteSpec {
 #include "rt.resynth.lib.periodicfft.cpp"  // sliding-window FFT driver
 #include "rt.resynth.lib.metaqueue.cpp"     // SPSC sample queues + policies
 #include "rt.resynth.lib.vocoder.cpp"       // FFT vocoder (runs via shim_vocoder.h)
+#include "rt.resynth.lib.midi.cpp"          // MIDI decode (portmidi.h shim)
 
 #include <cstdlib>
 #include <cstring>
@@ -825,6 +828,64 @@ static void dump_sampler() {
     run_sampler<2>(samples);
 }
 
+// Drives the reference's MIDI decode (rt.resynth.lib.midi.cpp:121-154) and
+// the PitchWheel value law (:90-102) over raw messages, plus
+// NoteIdsGenerator (events.h:228-280). stdin: lines
+//   m <status> <d1> <d2>   decode Pm_Message(status, d1, d2)
+//   on <key> | off <key> | chg <key>   NoteIdsGenerator ops
+static void dump_mididecode() {
+  using namespace imajuscule::audio::rtresynth::midi;
+  NoteIdsGenerator gen{64};
+  char op[4];
+  while (std::scanf("%3s", op) == 1) {
+    if (op[0] == 'm') {
+      int st, d1, d2;
+      if (std::scanf("%d %d %d", &st, &d1, &d2) != 3) std::exit(2);
+      auto const e = decode(Pm_Message(st, d1, d2));
+      if (!e) {
+        std::printf("U\n");
+      } else if (auto* n = std::get_if<NoteOn>(&*e)) {
+        std::printf("ON %d %d %d\n", n->channel, n->key, n->velocity);
+      } else if (auto* n2 = std::get_if<NoteOff>(&*e)) {
+        std::printf("OFF %d %d %d\n", n2->channel, n2->key, n2->velocity);
+      } else if (auto* k = std::get_if<KeyPressure>(&*e)) {
+        std::printf("KP %d %d %d\n", k->channel, k->key, k->pressure);
+      } else if (auto* c = std::get_if<ControlChange>(&*e)) {
+        std::printf("CC %d %d %d\n", c->channel, c->controller_number,
+                    c->controller_value);
+      } else if (auto* p = std::get_if<ProgramChange>(&*e)) {
+        std::printf("PC %d %d\n", p->channel, p->preset);
+      } else if (auto* cp = std::get_if<ChannelPressure>(&*e)) {
+        std::printf("CP %d %d\n", cp->channel, cp->pressure);
+      } else if (auto* w = std::get_if<PitchWheel>(&*e)) {
+        std::printf("PW %d %d %.17g\n", w->channel, w->pitchweel,
+                    static_cast<double>(w->getCenteredValue()));
+      } else {
+        std::printf("ANO\n");
+      }
+    } else if (op[0] == 'o' && op[1] == 'n') {
+      long k;
+      if (std::scanf("%ld", &k) != 1) std::exit(2);
+      std::printf("I %lld\n", static_cast<long long>(
+                                  gen.NoteOnId(static_cast<uint64_t>(k)).noteid));
+    } else if (op[0] == 'o') {
+      long k;
+      if (std::scanf("%ld", &k) != 1) std::exit(2);
+      std::printf("I %lld\n",
+                  static_cast<long long>(
+                      gen.NoteOffId(static_cast<uint64_t>(k)).noteid));
+    } else if (op[0] == 'c') {
+      long k;
+      if (std::scanf("%ld", &k) != 1) std::exit(2);
+      std::printf("I %lld\n",
+                  static_cast<long long>(
+                      gen.NoteChangeId(static_cast<uint64_t>(k)).noteid));
+    } else {
+      std::exit(2);
+    }
+  }
+}
+
 // Constant-power pan (include/stereo.h), pitch generators
 // (include/pitch_generators.h) and smoothed params (include/smoothparam.h)
 static void dump_small_helpers() {
@@ -1200,6 +1261,8 @@ int main(int argc, char** argv) {
     dump_sampler();
   } else if (!std::strcmp(argv[1], "vocoder")) {
     dump_vocoder();
+  } else if (!std::strcmp(argv[1], "mididecode")) {
+    dump_mididecode();
   } else if (!std::strcmp(argv[1], "windctrl")) {
     dump_windctrl();
   } else if (!std::strcmp(argv[1], "seorch")) {

@@ -31,6 +31,7 @@
 #include <limits>
 #include <numeric>
 #include <string>
+#include <unordered_map>
 #include <optional>
 #include <tuple>
 #include <type_traits>
@@ -173,8 +174,41 @@ namespace audio {
 struct DurationNanos {
   constexpr explicit DurationNanos(uint64_t t = 0) : nanos(t) {}
   constexpr uint64_t get() const { return nanos; }
+  friend constexpr bool operator<(DurationNanos a, DurationNanos b) {
+    return a.get() < b.get();
+  }
   uint64_t nanos;
 };
+
+// monotonic audio-clock time (the reference's audio_platforms.h:55-98
+// semantics, re-implemented for the oracle)
+struct TimeNanos {
+  constexpr explicit TimeNanos(uint64_t t = 0) : nanos(t) {}
+  constexpr uint64_t get() const { return nanos; }
+  constexpr TimeNanos& operator+=(DurationNanos d) {
+    nanos += d.get();
+    return *this;
+  }
+  friend constexpr bool operator<(TimeNanos a, TimeNanos b) {
+    return a.get() < b.get();
+  }
+  friend constexpr bool operator>=(TimeNanos a, TimeNanos b) {
+    return a.get() >= b.get();
+  }
+  friend constexpr bool operator==(TimeNanos a, TimeNanos b) {
+    return a.get() == b.get();
+  }
+  uint64_t nanos;
+};
+constexpr TimeNanos operator+(TimeNanos a, DurationNanos b) {
+  return TimeNanos{a.get() + b.get()};
+}
+constexpr DurationNanos operator-(TimeNanos a, TimeNanos b) {
+  return DurationNanos{a.get() - b.get()};
+}
+constexpr DurationNanos operator+(DurationNanos a, DurationNanos b) {
+  return DurationNanos{a.get() + b.get()};
+}
 
 // spectral peak as produced by the sibling repo's findFrequenciesSqMag
 template <typename T>
@@ -190,12 +224,15 @@ struct DbToMag {
   T operator()(T db) const { return std::pow(T(10), db / T(20)); }
 };
 
-// events.h:39 (not included here; PlayedNote stores it opaquely)
+#ifndef IMJ_SHIM_USE_REAL_EVENTS_H
+// events.h:39 (when the real events.h is not included; PlayedNote stores
+// it opaquely)
 struct NoteId {
   int64_t noteid;
   bool operator==(NoteId const& o) const { return noteid == o.noteid; }
   bool operator!=(NoteId const& o) const { return noteid != o.noteid; }
 };
+#endif
 }  // namespace audio
 
 }  // namespace imajuscule

@@ -1335,6 +1335,97 @@ class TestVocoderOracle:
         assert np.abs(got[:first]).max() == 0.0
 
 
+class TestMidiDecodeOracle:
+    """utils/midi_input.parse_midi_bytes + utils/midifile.NoteIdsGenerator
+    vs the compiled reference decode (rt.resynth.lib.midi.cpp:121-154), the
+    PitchWheel value law (:90-102), and NoteIdsGenerator (events.h:228-280).
+
+    Documented deltas asserted here: the repo maps CC123 to all_notes_off
+    (MIDI standard) where the reference decodes every 0xB status to a
+    ControlChange that RtResynth ignores (its AllNotesOff comes from
+    transport teardown, midi.cpp:222,289); and the repo's default
+    wheel_law="midi14" differs from the reference's Arturia packing, which
+    wheel_law="reference" replicates exactly."""
+
+    def test_decode_matches(self, oracle):
+        from cpp_audio_tpu.utils.midi_input import parse_midi_bytes
+
+        rng = np.random.default_rng(3)
+        msgs = [(int(s), int(d1), int(d2))
+                for s, d1, d2 in zip(rng.integers(0x80, 0x100, 300),
+                                     rng.integers(0, 128, 300),
+                                     rng.integers(0, 128, 300))]
+        msgs += [(0x90, 60, 0), (0x80, 60, 64), (0xE0, 0, 0x40),
+                 (0xE0, 0x7F, 0x7F), (0xB0, 123, 0), (0xF0, 1, 2)]
+        lines = [f"m {s} {d1} {d2}" for s, d1, d2 in msgs]
+        out = oracle("mididecode", input_text="\n".join(lines) + "\n",
+                     raw=True).splitlines()
+        assert len(out) == len(msgs)
+        for (s, d1, d2), line in zip(msgs, out):
+            ref = line.split()
+            ev = parse_midi_bytes(s, d1, d2, wheel_law="reference")
+            kind = (s & 0xF0) >> 4
+            if ref[0] == "U":
+                # SysEx/system and repo-unhandled agree except the repo's
+                # CC handling below
+                assert ev is None or ev.kind in ("all_notes_off",)
+            elif ref[0] == "ON":
+                assert (ev.kind, ev.channel, ev.key, ev.velocity) == \
+                    ("note_on", int(ref[1]), int(ref[2]), int(ref[3]))
+            elif ref[0] == "OFF":
+                assert (ev.kind, ev.channel, ev.key, ev.velocity) == \
+                    ("note_off", int(ref[1]), int(ref[2]), int(ref[3]))
+            elif ref[0] == "KP":
+                assert (ev.kind, ev.channel, ev.key) == \
+                    ("key_pressure", int(ref[1]), int(ref[2]))
+                assert ev.value == pytest.approx(int(ref[3]) / 127.0)
+            elif ref[0] == "CP":
+                assert (ev.kind, ev.channel) == \
+                    ("channel_pressure", int(ref[1]))
+                assert ev.value == pytest.approx(int(ref[2]) / 127.0)
+            elif ref[0] == "PW":
+                assert (ev.kind, ev.channel) == ("pitch_wheel", int(ref[1]))
+                # exact f32 law match
+                assert ev.value == float(ref[3]), (s, d1, d2)
+            elif ref[0] == "CC":
+                # the repo handles only CC123 (as the standard all-notes-off)
+                if int(ref[2]) == 123:
+                    assert ev.kind == "all_notes_off"
+                else:
+                    assert ev is None
+            elif ref[0] == "PC":
+                assert ev is None  # program change unhandled in the repo
+            else:
+                pytest.fail(f"unexpected oracle line {line!r}")
+
+    def test_noteids_match(self, oracle):
+        from cpp_audio_tpu.utils.midifile import NoteIdsGenerator
+
+        rng = np.random.default_rng(5)
+        gen = NoteIdsGenerator()
+        held: dict[int, int] = {}
+        ops, mine = [], []
+        for _ in range(200):
+            key = int(rng.integers(0, 5))
+            r = rng.random()
+            if r < 0.5 or held.get(key, 0) == 0:
+                ops.append(f"on {key}")
+                mine.append(gen.note_on_id(key))
+                held[key] = held.get(key, 0) + 1
+            elif r < 0.8:
+                ops.append(f"off {key}")
+                mine.append(gen.note_off_id(key))
+                held[key] -= 1
+            else:
+                ops.append(f"chg {key}")
+                # reference NoteChangeId = the most recent id for the key
+                mine.append(gen._by_key[key][-1])
+        out = oracle("mididecode", input_text="\n".join(ops) + "\n",
+                     raw=True).splitlines()
+        ref = [int(line.split()[1]) for line in out]
+        assert ref == mine
+
+
 class TestSmallHelpers:
     def test_stereo_pan(self, oracle):
         from cpp_audio_tpu.models.sine_synth import _stereo_gains
