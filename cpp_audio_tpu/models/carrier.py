@@ -253,8 +253,11 @@ class CarrierSynth:
             v.release = float(ev.time)
             cfg = self.config
             floor = np.floor(0.5 + 2.5 * 2.0 / max(self._inc_at(v, int(ev.time)), 1e-9))
+            # + the EnvelopeDone1->Done2 window (n_frames_per_buffer + 1 =
+            # 17 steps, audioelement.h:744-749) before the channel frees
             v.finished_at = v.release + max(
-                float(np.max(np.asarray(cfg.ahdsr.release))), floor, 1.0)
+                float(np.max(np.asarray(cfg.ahdsr.release))), floor,
+                1.0) + 17
             self._finished.append(v)
             return True
         # NOTE_CHANGE: retune through the 100-sample InterpolatedFreq glide

@@ -48,14 +48,22 @@ class StreamingSynth:
         self._finished: list[_Active] = []  # releasing, kept until env done
         self.dropped_note_on = 0
 
+    # after the release completes, the envelope sits in EnvelopeDone1 for
+    # n_frames_per_buffer + 1 = 17 more steps before Done2 makes the channel
+    # acquirable (audioelement.h:744-749; n_frames_per_buffer = 16,
+    # audioelement.h:3) — boundary pinned against the compiled reference by
+    # tests/test_reference_oracle.py::TestSynthPoolOracle
+    _DONE1_TO_DONE2 = 17
+
     def _release_length(self, frequency: float) -> float:
-        """Effective envelope release span: max(R, 2.5-period anti-crack
-        floor, 1) samples (audioelement.h:216-225 + the closed-form kernel's
-        rounding, voicebank.py)."""
+        """Samples from onKeyReleased to the channel becoming acquirable:
+        max(R, 2.5-period anti-crack floor) release steps (getReleaseTime,
+        audioelement.h:1003-1005) + the Done1->Done2 window."""
         cfg = self.config
         inc = 2.0 * abs(frequency) / cfg.sample_rate
         floor = np.floor(0.5 + 2.5 * 2.0 / max(inc, 1e-9))
-        return max(float(np.max(np.asarray(cfg.ahdsr.release))), floor, 1.0)
+        return max(float(np.max(np.asarray(cfg.ahdsr.release))), floor,
+                   1.0) + self._DONE1_TO_DONE2
 
     # --- event interface (reference onEvent) ---
     def on_event(self, ev: Event) -> bool:

@@ -39,9 +39,13 @@ struct NoteSpec {
 #include "sound.functions.h"         // /root/reference/include/sound.functions.h
 
 #include "shim_audioelement.h"       // itp/maybeAtomic/... for audioelement
+#include "shim_crtp.h"               // LocalPairArray etc. for gen.crtp.h
 #include "sound.h"                   // Sound taxonomy + soundBaseVolume
 #include "audioelement.h"            // AHDSR envelope, LogRamp, oscillators
 #include "soundengine.h"             // markov-driven ramp-spec generator
+#include "program.h"                 // Program (used by gen.crtp.h Impl)
+#include "gen.crtp.h"                // ImplCRTP polyphony core
+#include "gen.sine.h"                // SynthImpl + sine::Synth alias
 
 #include "rt.resynth.lib.autotune.cpp"  // /root/reference/source/...
 #include "rt.resynth.lib.algo.cpp"      // the full pitch pipeline
@@ -56,6 +60,19 @@ struct NoteSpec {
 #include <deque>
 #include <functional>
 #include <variant>
+
+// the clock/jitter globals gen.crtp.h declares (the reference defines them
+// in unity.build.cpp:29-43; same shapes here)
+namespace imajuscule::audio {
+std::unordered_map<uint64_t, std::optional<DurationNanos>>& midiDelays() {
+  static std::unordered_map<uint64_t, std::optional<DurationNanos>> m(100);
+  return m;
+}
+DurationNanos& maxMIDIJitter() {
+  static DurationNanos v(0);
+  return v;
+}
+}  // namespace imajuscule::audio
 
 using namespace imajuscule;
 using namespace imajuscule::audio;
@@ -828,6 +845,141 @@ static void dump_sampler() {
     run_sampler<2>(samples);
 }
 
+// Drives the reference's ImplCRTP polyphony core (gen.crtp.h:195-629) as a
+// compiled synth: NoteOn channel acquisition over the 2*nVoices pool (CAS
+// tryAcquire of envelope Done2, :398-413), drop policy (:412), NoteOff
+// matching by NoteId with FIFO channel scan (:543-592), NoteChange retune
+// (:595-618), phase-sync policy, the pitch-wheel multiplier (:320-332), and
+// the per-sample compute loop (:350-378). Element: VolumeAdjusted<
+// Enveloped<SineOscillatorAlgo, AHDSR>> — every ingredient individually
+// oracled already; the filter law inside VolumeAdjusted comes from the
+// shim (the repo's recovered alpha, see shim_audioelement.h).
+//
+// stdin: first line "sr nVoices A aItp H D dItp R rItp sustain", then ops:
+//   on <id> <freq> <vel>   -> prints "R 1|0" (accepted | dropped)
+//   off <id>
+//   chg <id> <freq> <vel>
+//   mult <m>               (onAngleIncrementMultiplier)
+//   step <n>               -> drains pending oneshots, computes n frames,
+//                             prints "V <left-sample>" per frame then
+//                             "S <n_rt_active>"
+namespace synth_oracle {
+struct FakeLock {};
+struct FakeOut {
+  struct LockFromNRT {
+    explicit LockFromNRT(FakeLock) {}
+  };
+  FakeLock get_lock() { return {}; }
+};
+struct FakeChans {
+  using F = std::function<void(FakeOut&, TimeNanos)>;
+  std::vector<F> q;
+  template <typename Fn>
+  void enqueueOneShot(Fn&& f) {
+    q.emplace_back(std::forward<Fn>(f));
+  }
+  void drain(FakeOut& o, TimeNanos t) {
+    std::vector<F> cur;
+    cur.swap(q);
+    for (auto& f : cur) f(o, t);
+  }
+};
+struct OracleSynthBase {
+  static constexpr float get_xfade_length() { return 0.009f; }
+  static constexpr float get_gain() { return 1.f; }
+  template <typename Element>
+  bool setupAudioElement(float freq, Element& e, int sample_rate) {
+    e.setAngleIncrements(
+        freq_to_angle_increment(static_cast<double>(freq), sample_rate));
+    return true;
+  }
+};
+}  // namespace synth_oracle
+
+static void dump_synthpool() {
+  using namespace audioelement;
+  using namespace synth_oracle;
+  using Env = AHDSREnvelope<Atomicity::Yes, double,
+                            EnvelopeRelease::WaitForKeyRelease,
+                            AllowZeroAttack::No>;
+  using Elem = VolumeAdjusted<Enveloped<SineOscillatorAlgo<double>, Env>>;
+  constexpr int kVoices = 4;
+  using Synth =
+      ImplCRTP<2, Elem, TryAccountForTimeSourceJitter::No,
+               SynchronizePhase::Yes, DefaultStartPhase::Zero,
+               HandleNoteOff::Yes, OracleSynthBase, kVoices>;
+
+  int sr, n_voices_req, A, aItp, H, D, dItp, R, rItp;
+  double sustain;
+  if (std::scanf("%d %d %d %d %d %d %d %d %d %lf", &sr, &n_voices_req, &A,
+                 &aItp, &H, &D, &dItp, &R, &rItp, &sustain) != 10)
+    std::exit(2);
+  if (n_voices_req != kVoices) {
+    std::fprintf(stderr, "driver is compiled for nVoices=%d\n", kVoices);
+    std::exit(2);
+  }
+  AHDSR const env_params{A,
+                         static_cast<itp::interpolation>(aItp),
+                         H,
+                         D,
+                         static_cast<itp::interpolation>(dItp),
+                         R,
+                         static_cast<itp::interpolation>(rItp),
+                         static_cast<float>(sustain)};
+  auto synth = std::make_unique<Synth>();
+  synth->forEachElem([&](auto& c) {
+    c.elem.editEnvelope().setAHDSR(env_params, sr);
+  });
+  FakeOut out;
+  FakeChans chans;
+  long t = 0;  // current engine sample
+  std::vector<double> buf;
+  char op[6];
+  while (std::scanf("%5s", op) == 1) {
+    if (!std::strcmp(op, "on")) {
+      long id;
+      double freq, vel;
+      if (std::scanf("%ld %lf %lf", &id, &freq, &vel) != 3) std::exit(2);
+      auto const r = synth->onEvent(
+          sr, mkNoteOn(NoteId{id}, static_cast<float>(freq),
+                       static_cast<float>(vel)),
+          out, chans, {});
+      std::printf("R %d\n", r == onEventResult::OK ? 1 : 0);
+    } else if (!std::strcmp(op, "off")) {
+      long id;
+      if (std::scanf("%ld", &id) != 1) std::exit(2);
+      synth->onEvent(sr, mkNoteOff(NoteId{id}), out, chans, {});
+    } else if (!std::strcmp(op, "chg")) {
+      long id;
+      double freq, vel;
+      if (std::scanf("%ld %lf %lf", &id, &freq, &vel) != 3) std::exit(2);
+      synth->onEvent(sr,
+                     mkNoteChange(NoteId{id}, static_cast<float>(vel),
+                                  static_cast<float>(freq)),
+                     out, chans, {});
+    } else if (!std::strcmp(op, "mult")) {
+      double m;
+      if (std::scanf("%lf", &m) != 1) std::exit(2);
+      synth->onAngleIncrementMultiplier(chans, static_cast<float>(m));
+    } else if (!std::strcmp(op, "step")) {
+      int n;
+      if (std::scanf("%d", &n) != 1) std::exit(2);
+      chans.drain(out, TimeNanos{static_cast<uint64_t>(
+                           t * (1000000000ll / sr))});
+      buf.assign(static_cast<std::size_t>(2 * n), 0.0);
+      synth->compute(buf.data(), n);
+      for (int i = 0; i < n; ++i)
+        std::printf("V %.17g\n", buf[static_cast<std::size_t>(2 * i)]);
+      int active = 0;
+      synth->forEachRTActiveElem([&active](auto&) { ++active; });
+      std::printf("S %d\n", active);
+      t += n;
+    } else {
+      std::exit(2);
+    }
+  }
+}
+
 // Drives the reference's MIDI decode (rt.resynth.lib.midi.cpp:121-154) and
 // the PitchWheel value law (:90-102) over raw messages, plus
 // NoteIdsGenerator (events.h:228-280). stdin: lines
@@ -1263,6 +1415,8 @@ int main(int argc, char** argv) {
     dump_vocoder();
   } else if (!std::strcmp(argv[1], "mididecode")) {
     dump_mididecode();
+  } else if (!std::strcmp(argv[1], "synthpool")) {
+    dump_synthpool();
   } else if (!std::strcmp(argv[1], "windctrl")) {
     dump_windctrl();
   } else if (!std::strcmp(argv[1], "seorch")) {

@@ -156,20 +156,42 @@ template <int N, typename... Ts>
 using NthTypeOf = std::tuple_element_t<N, std::tuple<Ts...>>;
 
 enum class FilterType { LOW_PASS, HIGH_PASS };
-// Complete no-op stand-in: SoundEngine's class instantiation requires the
-// member type (VolumeAdjusted::volume_filter, audioelement.h:1227), but the
-// oracle never renders through it — only spec-building paths run. Any
-// method that would matter for samples is a passthrough.
+// FUNCTIONAL one-pole cascade using this repo's RECOVERED coefficient law
+// (alpha = 1 - exp(-pi*inc), ops/filters.py — the true cpp.algorithms law is
+// unavailable, docs/FIDELITY.md "what cannot be oracled"). This makes the
+// wrappers AROUND the filter oracle-able (VolumeAdjusted's period-tracked
+// volume smoothing, audioelement.h:1159-1216) while the law itself stays a
+// shared assumption. SoundEngine spec-generation paths never step it, so
+// pre-existing oracles are unaffected.
 template <typename T, int NDims, FilterType K, int ORDER>
 struct Filter {
+  static constexpr int n_stages = ORDER > 0 ? ORDER : 1;
   void set_sample_rate(int) {}
-  void forgetPastSignals() {}
-  void initWithAngleIncrement(T) {}
-  void initWithFreq(T, T) {}
+  void forgetPastSignals() {
+    for (auto& s : state) s = T(0);
+  }
+  void initWithAngleIncrement(T inc) {
+    alpha = T(1) - std::exp(-T(M_PI) * std::abs(inc));
+  }
+  void initWithFreq(int sample_rate, T freq) {
+    initWithAngleIncrement(T(2) * freq / sample_rate);
+  }
   void setFiltersOrder(int) {}
-  void feed(T const* v) { last = *v; }
-  void setInitialValue(T v) { last = v; }
+  void feed(T const* v) {
+    T x = *v;
+    for (auto& s : state) {
+      s += alpha * (x - s);
+      x = (K == FilterType::LOW_PASS) ? s : x - s;
+    }
+    last = x;
+  }
+  void setInitialValue(T v) {
+    for (auto& s : state) s = v;
+    last = v;
+  }
   T const* filtered() const { return &last; }
+  std::array<T, static_cast<std::size_t>(n_stages)> state{};
+  T alpha{};
   T last{};
 };
 template <FilterType K>

@@ -1335,6 +1335,111 @@ class TestVocoderOracle:
         assert np.abs(got[:first]).max() == 0.0
 
 
+class TestSynthPoolOracle:
+    """models/streaming_synth.StreamingSynth's voice policy vs the compiled
+    reference ImplCRTP (gen.crtp.h:195-629, driven through a stub Base and
+    the real VolumeAdjusted<Enveloped<Sine, AHDSR>> element): channel pool
+    of 2*nVoices, acquisition only from envelope-Done2 channels, NoteOff
+    matching by NoteId, and the exact sample at which a released channel
+    becomes reacquirable (release length = max(R, 2.5-period floor))."""
+
+    SR = 44100
+
+    def _run(self, oracle, ops, ahdsr=(441, 0, 0, 0, 0, 1000, 0, 0.7)):
+        A, aI, H, D, dI, R, rI, sus = ahdsr
+        lines = [f"{self.SR} 4 {A} {aI} {H} {D} {dI} {R} {rI} {sus}"]
+        lines += ops
+        out = oracle("synthpool", input_text="\n".join(lines) + "\n",
+                     raw=True).splitlines()
+        results = [line.split()[1] == "1" for line in out
+                   if line.startswith("R ")]
+        samples = [float(line.split()[1]) for line in out
+                   if line.startswith("V ")]
+        actives = [int(line.split()[1]) for line in out
+                   if line.startswith("S ")]
+        return results, np.array(samples), actives
+
+    def _repo(self, ops, ahdsr=(441, 0, 0, 0, 0, 1000, 0, 0.7)):
+        from cpp_audio_tpu.core import events
+        from cpp_audio_tpu.models import sine_synth, streaming_synth
+        from cpp_audio_tpu.ops import envelopes
+
+        A, _aI, H, D, _dI, R, _rI, sus = ahdsr
+        cfg = sine_synth.SineSynthConfig(
+            sample_rate=self.SR, dtype="float64",
+            ahdsr=envelopes.AHDSR(attack=A, hold=H, decay=D, release=R,
+                                  sustain=sus))
+        s = streaming_synth.StreamingSynth(cfg, n_voices=4)
+        t = 0
+        accepts = []
+        for op in ops:
+            parts = op.split()
+            if parts[0] == "on":
+                accepts.append(s.on_event(events.mk_note_on(
+                    t, float(parts[2]), float(parts[3]),
+                    note_id=int(parts[1]))))
+            elif parts[0] == "off":
+                s.on_event(events.mk_note_off(t, note_id=int(parts[1])))
+            elif parts[0] == "step":
+                s.compute(t, int(parts[1]))
+                t += int(parts[1])
+        return accepts
+
+    def test_channel_pool_acquisition_and_occupancy(self, oracle):
+        ops = (["on 1 440 1.0", "step 8"]
+               + [f"on {i} {440 + 110 * i} 0.5" for i in range(2, 10)]
+               + ["step 4", "off 1", "step 4", "on 10 330 0.5", "step 2"])
+        ref, _, actives = self._run(oracle, ops)
+        got = self._repo(ops)
+        # 8 channels: ons 1..8 accepted, 9 dropped; 10 dropped while 1's
+        # release still occupies its channel
+        assert ref == [True] * 8 + [False, False]
+        assert got == ref
+
+    def test_release_reacquire_boundary(self, oracle):
+        """The released channel frees EXACTLY when the envelope finishes:
+        R=1000 samples after the (step-boundary) release here (440 Hz floor
+        251 < R). A NoteOn probing 1 sample early must drop; at the
+        boundary it must acquire — in both the compiled reference and the
+        repo."""
+        base = (["on 1 440 1.0", "step 8"]
+                + [f"on {i} {440 + 110 * i} 0.5" for i in range(2, 9)]
+                + ["step 4", "off 1"])
+        # free at release + max(R, floor) + the Done1->Done2 window
+        # (17 steps, audioelement.h:744-749): 1000 + 17 here
+        for wait, expect in ((1016, False), (1017, True)):
+            ops = base + [f"step {wait}", "on 42 330 0.5", "step 2"]
+            ref, _, _ = self._run(oracle, ops)
+            got = self._repo(ops)
+            assert ref[-1] is expect or ref[-1] == expect, (wait, ref[-1])
+            assert got[-1] == ref[-1], (
+                f"repo {got[-1]} vs reference {ref[-1]} at wait={wait}")
+
+    def test_single_note_waveform_matches(self, oracle):
+        """One 440 Hz note: the compiled reference voice (VolumeAdjusted<
+        Enveloped<Sine, AHDSR>> with the shim's recovered filter law) vs
+        the repo's closed-form kernel, normalized for the stereo pan gain.
+        (The release here lands mid-attack; release-during-attack semantics
+        are separately oracled in TestEnvelope.)"""
+        from cpp_audio_tpu.core import events
+        from cpp_audio_tpu.models import sine_synth, streaming_synth
+        from cpp_audio_tpu.ops import envelopes
+
+        n = 2000
+        ops = ["on 1 440 1.0", f"step {n}"]
+        _, ref, _ = self._run(oracle, ops)
+        cfg = sine_synth.SineSynthConfig(
+            sample_rate=self.SR, dtype="float64",
+            ahdsr=envelopes.AHDSR(attack=441, hold=0, decay=0, release=1000,
+                                  sustain=0.7))
+        s = streaming_synth.StreamingSynth(cfg, n_voices=4)
+        s.on_event(events.mk_note_on(0, 440.0, 1.0, note_id=1, pan=0.0))
+        got = np.asarray(s.compute(0, n))[:, 0]
+        scale = np.max(np.abs(ref)) / max(np.max(np.abs(got)), 1e-12)
+        np.testing.assert_allclose(got * scale, ref,
+                                   atol=5e-4 * np.max(np.abs(ref)))
+
+
 class TestMidiDecodeOracle:
     """utils/midi_input.parse_midi_bytes + utils/midifile.NoteIdsGenerator
     vs the compiled reference decode (rt.resynth.lib.midi.cpp:121-154), the
