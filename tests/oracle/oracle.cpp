@@ -896,7 +896,8 @@ struct OracleSynthBase {
 };
 }  // namespace synth_oracle
 
-static void dump_synthpool() {
+template <TryAccountForTimeSourceJitter Jitter>
+static void run_synthpool() {
   using namespace audioelement;
   using namespace synth_oracle;
   using Env = AHDSREnvelope<Atomicity::Yes, double,
@@ -905,9 +906,9 @@ static void dump_synthpool() {
   using Elem = VolumeAdjusted<Enveloped<SineOscillatorAlgo<double>, Env>>;
   constexpr int kVoices = 4;
   using Synth =
-      ImplCRTP<2, Elem, TryAccountForTimeSourceJitter::No,
-               SynchronizePhase::Yes, DefaultStartPhase::Zero,
-               HandleNoteOff::Yes, OracleSynthBase, kVoices>;
+      ImplCRTP<2, Elem, Jitter, SynchronizePhase::Yes,
+               DefaultStartPhase::Zero, HandleNoteOff::Yes, OracleSynthBase,
+               kVoices>;
 
   int sr, n_voices_req, A, aItp, H, D, dItp, R, rItp;
   double sustain;
@@ -945,6 +946,25 @@ static void dump_synthpool() {
                        static_cast<float>(vel)),
           out, chans, {});
       std::printf("R %d\n", r == onEventResult::OK ? 1 : 0);
+    } else if (!std::strcmp(op, "ont")) {
+      // timestamped NoteOn: the jitter-compensated path
+      // (gen.crtp.h:477-527); midi time in nanos, source key 7
+      long id;
+      double freq, vel;
+      unsigned long long tn;
+      if (std::scanf("%ld %lf %lf %llu", &id, &freq, &vel, &tn) != 4)
+        std::exit(2);
+      auto const r = synth->onEvent(
+          sr, mkNoteOn(NoteId{id}, static_cast<float>(freq),
+                       static_cast<float>(vel)),
+          out, chans, TimestampAndSource{TimeNanos{tn}, 7});
+      std::printf("R %d\n", r == onEventResult::OK ? 1 : 0);
+    } else if (!std::strcmp(op, "offt")) {
+      long id;
+      unsigned long long tn;
+      if (std::scanf("%ld %llu", &id, &tn) != 2) std::exit(2);
+      synth->onEvent(sr, mkNoteOff(NoteId{id}), out, chans,
+                     TimestampAndSource{TimeNanos{tn}, 7});
     } else if (!std::strcmp(op, "off")) {
       long id;
       if (std::scanf("%ld", &id) != 1) std::exit(2);
@@ -1416,7 +1436,14 @@ int main(int argc, char** argv) {
   } else if (!std::strcmp(argv[1], "mididecode")) {
     dump_mididecode();
   } else if (!std::strcmp(argv[1], "synthpool")) {
-    dump_synthpool();
+    imajuscule::audio::midiDelays().clear();
+    run_synthpool<TryAccountForTimeSourceJitter::No>();
+  } else if (!std::strcmp(argv[1], "synthpool-jitter")) {
+    imajuscule::audio::midiDelays().clear();
+    if (argc > 2)
+      imajuscule::audio::maxMIDIJitter() =
+          DurationNanos{std::strtoull(argv[2], nullptr, 10)};
+    run_synthpool<TryAccountForTimeSourceJitter::Yes>();
   } else if (!std::strcmp(argv[1], "windctrl")) {
     dump_windctrl();
   } else if (!std::strcmp(argv[1], "seorch")) {

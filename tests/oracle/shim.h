@@ -171,8 +171,12 @@ int get_fft_length_for(int, int);
 #endif  // IMJ_SHIM_FUNCTIONAL_FFT
 
 namespace audio {
+struct TimeNanos;
 struct DurationNanos {
   constexpr explicit DurationNanos(uint64_t t = 0) : nanos(t) {}
+  // the reference assigns TimeNanos values into DurationNanos slots
+  // (gen.crtp.h:559), so the real type must interconvert
+  constexpr DurationNanos(TimeNanos t);
   constexpr uint64_t get() const { return nanos; }
   friend constexpr bool operator<(DurationNanos a, DurationNanos b) {
     return a.get() < b.get();
@@ -184,6 +188,9 @@ struct DurationNanos {
 // semantics, re-implemented for the oracle)
 struct TimeNanos {
   constexpr explicit TimeNanos(uint64_t t = 0) : nanos(t) {}
+  // the reference constructs TimestampAndSource (TimeNanos slot) from
+  // DurationNanos delays (gen.crtp.h:515,521)
+  constexpr TimeNanos(DurationNanos d);
   constexpr uint64_t get() const { return nanos; }
   constexpr TimeNanos& operator+=(DurationNanos d) {
     nanos += d.get();
@@ -200,6 +207,8 @@ struct TimeNanos {
   }
   uint64_t nanos;
 };
+constexpr DurationNanos::DurationNanos(TimeNanos t) : nanos(t.get()) {}
+constexpr TimeNanos::TimeNanos(DurationNanos d) : nanos(d.get()) {}
 constexpr TimeNanos operator+(TimeNanos a, DurationNanos b) {
   return TimeNanos{a.get() + b.get()};
 }

@@ -1440,6 +1440,73 @@ class TestSynthPoolOracle:
                                    atol=5e-4 * np.max(np.abs(ref)))
 
 
+class TestMidiJitterOracle:
+    """utils/midi_input.MidiJitterCompensator vs the compiled reference
+    jitter path (TryAccountForTimeSourceJitter::Yes, gen.crtp.h:477-527):
+    the per-source delay is learned from the first timestamped event
+    (margin + (now - midi_time)), reused while candidates stay within
+    2*(margin + 100us), and replaced beyond that; late events play
+    immediately. Onsets are measured as the envelope's first nonzero
+    output sample."""
+
+    SR = 44100
+    NS_PER_SAMPLE = 10**9 // 44100  # the driver's integer clock
+
+    def test_delay_learning_and_replacement(self, oracle):
+        from cpp_audio_tpu.utils.convert import nanoseconds_to_frames
+        from cpp_audio_tpu.utils.midi_input import MidiJitterCompensator
+
+        margin_ns = 10_000_000  # 10 ms
+        gap = 3000
+        # (drain_sample, midi_ns): ev2 consistent with ev1's learned delay;
+        # ev3 deviates by ~80 ms > 2*(margin+100us) -> delay replaced
+        drains = [100, 100 + 2 * gap, 100 + 4 * gap]
+        midi_ns = [
+            drains[0] * self.NS_PER_SAMPLE - 1_000_000,
+            drains[1] * self.NS_PER_SAMPLE - 2_000_000,
+            drains[2] * self.NS_PER_SAMPLE - 80_000_000,
+        ]
+        ops = ["step 100"]
+        for i, mt in enumerate(midi_ns):
+            ops.append(f"ont {i + 1} 440 1.0 {mt}")
+            ops.append(f"step {gap}")
+            ops.append(f"offt {i + 1} {mt + 1_000_000}")
+            ops.append(f"step {gap}")
+        lines = [f"{self.SR} 4 441 0 0 0 0 300 0 0.7"] + ops
+        out = oracle("synthpool-jitter", str(margin_ns),
+                     input_text="\n".join(lines) + "\n", raw=True)
+        V = np.array([float(l.split()[1]) for l in out.splitlines()
+                      if l.startswith("V ")])
+        nz = np.flatnonzero(np.abs(V) > 0)
+        onsets = [int(nz[0])]
+        for a, b in zip(nz, nz[1:]):
+            if b - a > 1:
+                onsets.append(int(b))
+        assert len(onsets) == 3, onsets
+
+        # nanos-domain mirror of the reference arithmetic
+        delay = None
+        expected = []
+        for drain, mt in zip(drains, midi_ns):
+            cur = drain * self.NS_PER_SAMPLE
+            cand = margin_ns + (cur - mt)
+            if delay is None or abs(cand - delay) > 2 * (margin_ns + 100_000):
+                delay = cand
+            target = mt + delay
+            press = (0 if target < cur
+                     else nanoseconds_to_frames(target - cur, self.SR))
+            # first nonzero output: the envelope's first post-delay step
+            expected.append(drain + press)
+        assert onsets == expected, (onsets, expected)
+
+        # the repo compensator (sample domain) agrees within 1 sample
+        comp = MidiJitterCompensator(
+            nanoseconds_to_frames(margin_ns, self.SR), self.SR)
+        for drain, mt, want in zip(drains, midi_ns, expected):
+            t = comp.schedule(7, mt / self.NS_PER_SAMPLE, float(drain))
+            assert abs(t - want) <= 1, (t, want)
+
+
 class TestMidiDecodeOracle:
     """utils/midi_input.parse_midi_bytes + utils/midifile.NoteIdsGenerator
     vs the compiled reference decode (rt.resynth.lib.midi.cpp:121-154), the
