@@ -68,7 +68,10 @@ def schedule_from_notes(notes: list[Note], *, pad_to: int = 128,
         freq[i] = note.frequency
         vel[i] = note.velocity
         pan[i] = note.pan
-        if default_phase == "random":
+        ph = getattr(note, "phase", None)
+        if ph is not None:
+            phase[i] = ph
+        elif default_phase == "random":
             phase[i] = rng.uniform(0.0, 2.0)
     return NoteSchedule(press, release, freq, vel, pan, phase, n)
 

@@ -35,6 +35,7 @@ class _Active:
     velocity: float
     pan: float
     finished_at: float = voicebank.NEVER  # envelope Done2 sample
+    phase0: float = 0.0     # start angle at press (rad/pi)
 
 
 class StreamingSynth:
@@ -87,11 +88,18 @@ class StreamingSynth:
             a.finished_at = ev.time + self._release_length(a.frequency)
             self._finished.append(a)
             return True
-        # NOTE_CHANGE: retune in place (the streaming path re-presses;
-        # the tracked-note renderer models glides exactly)
+        # NOTE_CHANGE: phase-continuous retune (the reference's
+        # setAngleIncrements path, gen.crtp.h:595-618): the kernel renders
+        # phase from the press sample, so an in-place frequency change
+        # would rewrite the whole phase history (an audible click per
+        # tracker update); compensate via the start angle instead
         a = self._notes.get(ev.note_id)
         if a is None:
             return False
+        sr = self.config.sample_rate
+        a.phase0 = voicebank.retuned_phase0(
+            a.press, ev.time, a.phase0,
+            2.0 * a.frequency / sr, 2.0 * ev.frequency / sr)
         a.frequency = ev.frequency
         a.velocity = ev.velocity
         return True
@@ -108,7 +116,7 @@ class StreamingSynth:
         sched = voices_mod.schedule_from_notes(
             [type("N", (), dict(press=a.press, release=a.release,
                                 frequency=a.frequency, velocity=a.velocity,
-                                pan=a.pan))() for a in active],
+                                pan=a.pan, phase=a.phase0))() for a in active],
             pad_to=8,
         )
         # shift so the kernel's block 0 covers [t0, t0+n)

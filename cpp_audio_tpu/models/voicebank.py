@@ -103,6 +103,24 @@ def _host_envelope_derived(bank: VoiceBank):
     return A, H, D, R, S, release, skipped, top
 
 
+def retuned_phase0(press, t_change, phase0_old: float,
+                   inc_old: float, inc_new: float) -> float:
+    """Start angle that makes a frequency change at `t_change` PHASE-
+    CONTINUOUS under the kernel's exact uint32 NCO arithmetic (phase counts
+    at sample t = (t - press + 1)*inc_fix + phase0_fix mod 2^32): the new
+    (inc, phase0) pair reproduces the old phase at the last old-increment
+    step, so sample t_change advances from it by one new-increment step —
+    the reference's setAngleIncrements retune (Phased, audioelement.h:
+    1439-1448; NoteChange path gen.crtp.h:595-618)."""
+    TWO32 = 1 << 32
+    half = TWO32 >> 1
+    io = int(np.round(inc_old * half)) % TWO32
+    inew = int(np.round(inc_new * half)) % TWO32
+    p0 = int(np.round(phase0_old * half)) % TWO32
+    steps = int(t_change) - int(press)  # old-increment steps before t_change
+    return ((steps * io + p0 - steps * inew) % TWO32) / half
+
+
 def _static_itp(codes):
     """Return an int if the curve codes are uniform, else None."""
     if isinstance(codes, (int, np.integer)):

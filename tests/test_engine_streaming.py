@@ -151,6 +151,32 @@ class TestStreamingSynth:
         offline = sine_synth.render_schedule(sch, 7 * 4096, cfg)
         np.testing.assert_allclose(streamed, offline, atol=1e-9)
 
+    def test_note_change_is_phase_continuous(self):
+        """Retunes must not jump phase: the kernel renders phase from the
+        press sample, so NOTE_CHANGE compensates through the start angle
+        (voicebank.retuned_phase0, exact in the NCO's uint32 arithmetic —
+        the reference's setAngleIncrements keeps the accumulated angle,
+        audioelement.h:1439-1448). A glide retuned every block must show no
+        larger inter-sample step at the retune boundaries than within
+        blocks (the old in-place frequency change jumped ~40x)."""
+        cfg = sine_synth.SineSynthConfig(
+            sample_rate=44100, dtype="float64",
+            ahdsr=envelopes.AHDSR(attack=100, hold=0, decay=0, release=1000,
+                                  sustain=1.0))
+        s = streaming_synth.StreamingSynth(cfg, n_voices=4)
+        s.on_event(events.mk_note_on(0, 440.0, 1.0, note_id=1, pan=0.0))
+        blocks, t = [], 0
+        for k in range(8):
+            blocks.append(np.asarray(s.compute(t, 4096))[:, 0])
+            t += 4096
+            s.on_event(events.mk_note_change(t, 1, 440.0 + 3.0 * (k + 1),
+                                             1.0))
+        y = np.concatenate(blocks)
+        d = np.abs(np.diff(y))
+        boundary = max(d[4096 * k - 1] for k in range(1, 8))
+        typical = np.median(d)
+        assert boundary < 3.0 * typical, (boundary, typical)
+
     def test_voice_stealing_drops(self):
         """Reference channel-occupancy policy (gen.crtp.h:221-225,398-413):
         the pool holds 2*n_voices channels; held AND still-releasing voices
