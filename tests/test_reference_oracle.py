@@ -1415,6 +1415,48 @@ class TestSynthPoolOracle:
             assert got[-1] == ref[-1], (
                 f"repo {got[-1]} vs reference {ref[-1]} at wait={wait}")
 
+    def test_glide_waveform_matches(self, oracle):
+        """A note retuned every 200 samples after the envelope settles
+        (constant velocity): the compiled reference keeps the accumulated
+        angle across setAngleIncrements (audioelement.h:1439-1448); the
+        repo compensates through the start angle (voicebank.
+        retuned_phase0). Waveforms must match — this pins the retune phase
+        continuity itself.
+
+        (Retunes DURING attack/decay carry a known transient delta: the
+        reference's 2.5-period min-change floor follows the retuned
+        frequency live, while the closed-form kernel applies the final
+        frequency's floor to the whole segment — observed 0.13% of
+        amplitude for a mid-decay retune, gone once sustained.)"""
+        from cpp_audio_tpu.core import events
+        from cpp_audio_tpu.models import sine_synth, streaming_synth
+        from cpp_audio_tpu.ops import envelopes
+
+        freqs = [452.0, 431.0, 447.5, 460.0, 438.5]
+        ops = ["on 1 440 1.0", "step 800"]  # attack 441 fully settled
+        for f in freqs:
+            ops.append(f"chg 1 {f} 1.0")
+            ops.append("step 200")
+        _, ref, _ = self._run(oracle, ops,
+                              ahdsr=(441, 0, 0, 0, 0, 1000, 0, 1.0))
+
+        cfg = sine_synth.SineSynthConfig(
+            sample_rate=self.SR, dtype="float64",
+            ahdsr=envelopes.AHDSR(attack=441, hold=0, decay=0, release=1000,
+                                  sustain=1.0))
+        s = streaming_synth.StreamingSynth(cfg, n_voices=4)
+        s.on_event(events.mk_note_on(0, 440.0, 1.0, note_id=1, pan=0.0))
+        parts = [np.asarray(s.compute(0, 800))[:, 0]]
+        t = 800
+        for f in freqs:
+            s.on_event(events.mk_note_change(t, 1, f, 1.0))
+            parts.append(np.asarray(s.compute(t, 200))[:, 0])
+            t += 200
+        got = np.concatenate(parts)
+        scale = np.max(np.abs(ref)) / max(np.max(np.abs(got)), 1e-12)
+        np.testing.assert_allclose(got * scale, ref,
+                                   atol=5e-4 * np.max(np.abs(ref)))
+
     def test_single_note_waveform_matches(self, oracle):
         """One 440 Hz note: the compiled reference voice (VolumeAdjusted<
         Enveloped<Sine, AHDSR>> with the shim's recovered filter law) vs
