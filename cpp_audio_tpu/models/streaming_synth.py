@@ -12,6 +12,13 @@ rule: the pool holds n_channels = 2 * n_voices channels (gen.crtp.h:
 whole release (until the envelope finishes: release + max(R, the
 2.5-period anti-crack floor)); a NoteOn finding every channel occupied is
 dropped and counted (onDroppedNote).
+
+Known live-path delta: a NOTE_CHANGE velocity lands as a step at the next
+block boundary, where the reference low-passes the volume target with a
+one-period time constant (VolumeAdjusted, audioelement.h:1159-1216). The
+offline tracked-note renderer (models/resynth_bank.py) models that volume
+recurrence exactly; here the per-stride steps of live tracking are small.
+Frequency retunes ARE phase-continuous (voicebank.retuned_phase0).
 """
 
 from __future__ import annotations
