@@ -19,11 +19,11 @@ TPU-native form: all voices are rows of a (V, T) tile; phases, glides and
 envelopes are closed-form in the sample index (no per-sample recurrence):
 
   - InterpolatedFreq's PROPORTIONAL_VALUE_DERIVATIVE stepping
-    (include/audioelement.h:2706-2817) makes the increment exponential in
-    time, f(u) = from * exp(lambda*u) with lambda = ln(to/from)/G, reaching
-    `to` at u = G; the phase advance is its integral
-    (from/lambda)*(exp(lambda*u)-1) — same closed form as
-    models/resynth_bank.py.
+    (include/audioelement.h:2706-2817) is an EXACTLY-solvable affine
+    recurrence: the emitted increment is g_n = (from+a/2)*(1+lam)^n - a/2
+    (a = (to-from)/G, lam = ln(to/from)/G), first step exactly `from`,
+    clamping to `to` after m = floor(ln(to/(from+a/2))/ln(1+lam))+1 steps;
+    the phase advance is its geometric partial sum (_glide_phase_advance).
   - All six oscillators share one phase trajectory (SynchronizePhase
     distributes the same start angle and FreqCtrl_ feeds the same increments
     to every member; soundBufferWrapperAlgo ignores frequency and steps its
@@ -102,23 +102,36 @@ class _Voice:
 
 
 def _glide_phase_advance(u, inc_from, inc_to, G):
-    """Phase advance (rad/pi) after u whole steps of an exponential glide.
+    """Phase advance (rad/pi) after u whole steps of the reference's
+    InterpolatedFreq glide — EXACT discrete semantics.
 
-    The reference adds the per-sample increment f(k) = inc_from *
-    exp(lambda*k) (lambda = ln(to/from)/G) each step, so the advance is the
-    DISCRETE geometric sum sum_{k=1..m} f(k) = from*e^lam*expm1(lam*m)/
-    expm1(lam) with m = min(u, G), then inc_to per step beyond G. Steady
-    state (from == to) is linear.
+    The reference (include/audioelement.h:2746-2787) advances a progress
+    variable by C*f(cur+0.5) per step with the emitted value LINEAR in the
+    progress, which makes the emitted increment the affine recurrence
+    g_{n+1} = g_n*(1+lam) + lam*a/2 with a=(to-from)/G, lam=ln(to/from)/G.
+    Closed form: g_n = b*(1+lam)^n - a/2, b = from + a/2, so the FIRST
+    post-retune step emits exactly `from` (f_result at cur_sample=0). The
+    glide clamps to `to` at step m = floor(ln(to/b)/ln(1+lam)) + 1 (the
+    `cur_sample + .5 > duration` check), steady thereafter. Phase advance
+    over u steps is the geometric partial sum
+        Phi(u) = b*((1+lam)^min(u,m) - 1)/lam - a/2*min(u,m)
+                 + to*max(u - m, 0).
+    Validated to f64 rounding against a direct simulation of step().
     """
+    a = (inc_to - inc_from) / G
     lam = jnp.log(jnp.maximum(inc_to, 1e-30) / jnp.maximum(inc_from, 1e-30)) / G
     steady = jnp.abs(lam) < 1e-12
-    lam_safe = jnp.where(steady, 1.0, lam)
-    ug = jnp.minimum(u, G)
-    d_glide = jnp.where(
-        steady, inc_from * ug,
-        inc_from * jnp.exp(lam_safe) * jnp.expm1(lam_safe * ug)
-        / jnp.expm1(lam_safe))
-    return d_glide + inc_to * jnp.maximum(u - G, 0.0)
+    lam_s = jnp.where(steady, 1.0, lam)
+    b = jnp.maximum(inc_from + 0.5 * a, 1e-30)
+    logr = jnp.log(jnp.maximum(1.0 + lam_s, 1e-30))
+    logr_s = jnp.where(steady, 1.0, logr)
+    m = jnp.clip(
+        jnp.floor(jnp.log(jnp.maximum(inc_to, 1e-30) / b) / logr_s) + 1.0,
+        0.0, None)
+    ug = jnp.minimum(u, m)
+    phi_glide = b * jnp.expm1(ug * logr_s) / lam_s - 0.5 * a * ug
+    return jnp.where(steady, inc_to * u,
+                     phi_glide + inc_to * jnp.maximum(u - m, 0.0))
 
 
 @functools.partial(
@@ -201,27 +214,42 @@ class CarrierSynth:
     def _inc(self, frequency: float) -> float:
         return 2.0 * frequency / self.config.sample_rate
 
-    def _inc_at(self, v: _Voice, t: int) -> float:
-        """Increment used for sample t-1 (InterpolatedFreq f_result)."""
-        G = self.config.glide_samples
-        u = min(max(t - v.t_ref, 0), G)
-        if v.inc_from <= 0 or v.inc_to <= 0 or v.inc_from == v.inc_to:
-            return v.inc_to
+    def _glide_params(self, v: _Voice):
+        """(a, lam, b, m) of the exact discrete glide (see
+        _glide_phase_advance); None when steady."""
+        G = float(self.config.glide_samples)
+        if v.inc_from == v.inc_to or v.inc_from <= 0 or v.inc_to <= 0:
+            return None
+        a = (v.inc_to - v.inc_from) / G
         lam = np.log(v.inc_to / v.inc_from) / G
-        return v.inc_from * np.exp(lam * u)
+        b = v.inc_from + 0.5 * a
+        m = max(np.floor(np.log(v.inc_to / b) / np.log1p(lam)) + 1.0, 0.0)
+        return a, lam, b, m
+
+    def _inc_at(self, v: _Voice, t: int) -> float:
+        """Increment used for sample t-1 — the reference's *f_result, which
+        a retune at t adopts as its new `from` (audioelement.h:2751-2760)."""
+        g = self._glide_params(v)
+        if g is None:
+            return v.inc_to
+        a, lam, b, m = g
+        n = max(t - 1 - v.t_ref, 0)
+        if n >= m:
+            return v.inc_to
+        return b * (1.0 + lam) ** n - 0.5 * a
 
     def _phase_at(self, v: _Voice, t: int) -> float:
         """Phase after the step producing sample t-1 (discrete glide sum,
         matching _glide_phase_advance)."""
-        G = float(self.config.glide_samples)
         u = float(max(t - v.t_ref, 0))
-        if v.inc_from == v.inc_to or v.inc_from <= 0 or v.inc_to <= 0:
+        g = self._glide_params(v)
+        if g is None:
             d = v.inc_to * u
         else:
-            lam = np.log(v.inc_to / v.inc_from) / G
-            ug = min(u, G)
-            d = (v.inc_from * np.exp(lam) * np.expm1(lam * ug) / np.expm1(lam)
-                 + v.inc_to * max(u - G, 0.0))
+            a, lam, b, m = g
+            ug = min(u, m)
+            d = (b * np.expm1(ug * np.log1p(lam)) / lam - 0.5 * a * ug
+                 + v.inc_to * max(u - m, 0.0))
         return float(np.mod(v.phase_ref + d, 2.0))
 
     # -- event interface (reference onEvent via MidiInput) ------------------

@@ -845,6 +845,134 @@ static void dump_sampler() {
     run_sampler<2>(samples);
 }
 
+// White-noise table for soundBufferWrapperAlgo<Sound::NOISE> (declared in
+// sound.h:239-240, generated by the absent sound.cpp from an UNSEEDED rng —
+// content is test data; the driver supplies it)
+namespace imajuscule::audio {
+static std::vector<double> g_white_noise_values{0.0};
+soundBuffer<double> const& getWhiteNoise(int) {
+  static soundBuffer<double> b = [] {
+    soundBuffer<double> x(g_white_noise_values.size(), 0.f);
+    std::copy(g_white_noise_values.begin(), g_white_noise_values.end(),
+              x.getBuffer().begin());
+    return x;
+  }();
+  return b;
+}
+float getWhiteNoiseAbsMean(int) {
+  double s = 0.0;
+  for (double v : g_white_noise_values) s += std::abs(v);
+  return static_cast<float>(s / g_white_noise_values.size());
+}
+}  // namespace imajuscule::audio
+
+// Drives the reference's vocoder-carrier osc-mix element: the EXACT
+// composition of rt.resynth.lib.cpp:21-52 — VolumeAdjusted<Enveloped<
+// FreqCtrl_<UnityGainMix<6 x VolumeAdjusted oscillators>, InterpolatedFreq>,
+// AHDSR(atomic)>, BaseVolumeDef::One> — initialized the way
+// VocoderCarrierElementInitializer does (:137-196) and played the way the
+// sine::Synth NoteOn path plays it. stdin:
+//   sr A aItp H D dItp R rItp sustain
+//   vols <noise> <saw> <tri> <square> <sine> <pulse> <width>
+//   table <n> <vals...>
+//   on <freq> <vel> <angle> | chg <freq> | off | step <n>  (prints V)
+static void dump_carrier() {
+  using namespace audioelement;
+  // the reference's alias, rt.resynth.lib.cpp:21-52 (type instantiation)
+  using CarrierElem = VolumeAdjusted<
+      Enveloped<
+          FreqCtrl_<
+              UnityGainMix<
+                  VolumeAdjusted<soundBufferWrapperAlgo<Sound::NOISE>>,
+                  VolumeAdjusted<FOscillatorAlgo<
+                      double, FOscillator::SAW,
+                      OscillatorUsage::FilteredByLoudnessAdaptedSound>>,
+                  VolumeAdjusted<FOscillatorAlgo<
+                      double, FOscillator::TRIANGLE,
+                      OscillatorUsage::FilteredByLoudnessAdaptedSound>>,
+                  VolumeAdjusted<FOscillatorAlgo<
+                      double, FOscillator::SQUARE,
+                      OscillatorUsage::FilteredByLoudnessAdaptedSound>>,
+                  VolumeAdjusted<SineOscillatorAlgo<double>>,
+                  VolumeAdjusted<PulseTrainAlgo<double>>>,
+              InterpolatedFreq<double>>,
+          AHDSREnvelope<Atomicity::Yes, double,
+                        EnvelopeRelease::WaitForKeyRelease,
+                        AllowZeroAttack::No>>,
+      BaseVolumeDef::One>;
+
+  int sr, A, aItp, H, D, dItp, R, rItp;
+  double sustain;
+  if (std::scanf("%d %d %d %d %d %d %d %d %lf", &sr, &A, &aItp, &H, &D,
+                 &dItp, &R, &rItp, &sustain) != 9)
+    std::exit(2);
+  AHDSR const env_params{A,
+                         static_cast<itp::interpolation>(aItp),
+                         H,
+                         D,
+                         static_cast<itp::interpolation>(dItp),
+                         R,
+                         static_cast<itp::interpolation>(rItp),
+                         static_cast<float>(sustain)};
+  auto elem = std::make_unique<CarrierElem>();
+  auto& e = *elem;
+  char op[8];
+  while (std::scanf("%7s", op) == 1) {
+    if (!std::strcmp(op, "vols")) {
+      double nv, sv, tv, qv, siv, pv, pw;
+      if (std::scanf("%lf %lf %lf %lf %lf %lf %lf", &nv, &sv, &tv, &qv, &siv,
+                     &pv, &pw) != 7)
+        std::exit(2);
+      // VocoderCarrierElementInitializer::operator() (:155-176)
+      e.editEnvelope().setAHDSR(env_params, sr);
+      e.getVolumeAdjustment().getOsc().getAlgo().getCtrl().setup(
+          100, itp::LINEAR);
+      auto& oscs = e.getVolumeAdjustment().getOsc().getAlgo().getOsc().get();
+      std::get<0>(oscs).setVolumeTarget(static_cast<double>(nv));
+      std::get<1>(oscs).setVolumeTarget(static_cast<double>(sv));
+      std::get<2>(oscs).setVolumeTarget(static_cast<double>(tv));
+      std::get<3>(oscs).setVolumeTarget(static_cast<double>(qv));
+      std::get<4>(oscs).setVolumeTarget(static_cast<double>(siv));
+      std::get<5>(oscs).setVolumeTarget(static_cast<double>(pv));
+      std::get<5>(oscs).getOsc().getAlgo().setPulseWidth(pw);
+    } else if (!std::strcmp(op, "table")) {
+      int n;
+      if (std::scanf("%d", &n) != 1) std::exit(2);
+      g_white_noise_values.resize(static_cast<std::size_t>(n));
+      for (auto& v : g_white_noise_values)
+        if (std::scanf("%lf", &v) != 1) std::exit(2);
+    } else if (!std::strcmp(op, "on")) {
+      double freq, vel, angle;
+      if (std::scanf("%lf %lf %lf", &freq, &vel, &angle) != 3) std::exit(2);
+      // the NoteOn path (gen.crtp.h:421-529 + sine::SynthImpl::
+      // setupAudioElement)
+      e.forgetPastSignals();
+      e.set_sample_rate(sr);
+      e.getVolumeAdjustment().setVolumeTarget(1.0 * vel);  // BaseVolume One
+      e.setLoudnessParams(sr, 5, 0.8f, 30.f);
+      e.setAngleIncrements(freq_to_angle_increment(freq, sr));
+      e.setStartAngle(angle);
+      e.editEnvelope().tryAcquire();
+      e.onKeyPressed(0);
+    } else if (!std::strcmp(op, "chg")) {
+      double freq;
+      if (std::scanf("%lf", &freq) != 1) std::exit(2);
+      e.setAngleIncrements(freq_to_angle_increment(freq, sr));
+    } else if (!std::strcmp(op, "off")) {
+      e.onKeyReleased(0);
+    } else if (!std::strcmp(op, "step")) {
+      int n;
+      if (std::scanf("%d", &n) != 1) std::exit(2);
+      for (int i = 0; i < n; ++i) {
+        e.step();
+        std::printf("V %.17g\n", e.imag());
+      }
+    } else {
+      std::exit(2);
+    }
+  }
+}
+
 // Drives the reference's ImplCRTP polyphony core (gen.crtp.h:195-629) as a
 // compiled synth: NoteOn channel acquisition over the 2*nVoices pool (CAS
 // tryAcquire of envelope Done2, :398-413), drop policy (:412), NoteOff
@@ -1435,6 +1563,8 @@ int main(int argc, char** argv) {
     dump_vocoder();
   } else if (!std::strcmp(argv[1], "mididecode")) {
     dump_mididecode();
+  } else if (!std::strcmp(argv[1], "carrier")) {
+    dump_carrier();
   } else if (!std::strcmp(argv[1], "synthpool")) {
     imajuscule::audio::midiDelays().clear();
     run_synthpool<TryAccountForTimeSourceJitter::No>();

@@ -23,9 +23,11 @@ def scalar_carrier_voice(n, *, sample_rate, press, release, velocity,
     """Per-sample scalar render of one carrier voice.
 
     segments: list of (t_change, freq) with the first at t=press (NoteOn) —
-    each later entry starts a glide from the current increment to the new one
-    over `glide` samples (exponential-in-time, the closed form of
-    InterpolatedFreq's PROPORTIONAL_VALUE_DERIVATIVE stepping).
+    each later entry starts a glide from the last EMITTED increment to the
+    new one over `glide` samples. The glide is a direct per-sample port of
+    InterpolatedFreq::step (include/audioelement.h:2746-2787): progress
+    advances by C*f(cur+0.5) with the value LINEAR in progress, clamping
+    when cur_sample+0.5 > duration.
     """
     sr = sample_rate
     table = noise_ops.white_noise_table(int(0.05 * sr))
@@ -69,20 +71,24 @@ def scalar_carrier_voice(n, *, sample_rate, press, release, velocity,
     out = np.zeros(n)
     phase = start_phase % 2.0
     cur_inc = inc_of(segments[0][1])
-    glide_from, glide_to, glide_t0 = cur_inc, cur_inc, press
+    gfrom = gto = cur_inc
+    cur_sample, C = 0.0, 0.0
     seg_i = 1
     for t in range(press, n):
         if seg_i < len(segments) and t == segments[seg_i][0]:
-            glide_from = cur_inc
-            glide_to = inc_of(segments[seg_i][1])
-            glide_t0 = t
+            gfrom = cur_inc                 # from = *f_result
+            gto = inc_of(segments[seg_i][1])
+            cur_sample = 0.0
+            C = 1.0 if gto == gfrom else -np.log(gfrom / gto) / (gto - gfrom)
             seg_i += 1
-        u = t - glide_t0 + 1
-        if glide_from == glide_to:
-            cur_inc = glide_to
-        else:
-            lam = np.log(glide_to / glide_from) / glide
-            cur_inc = glide_from * np.exp(lam * min(u, glide))
+        # InterpolatedFreq::step (audioelement.h:2765-2787)
+        if cur_inc != gto:
+            if cur_sample + 0.5 > glide:
+                cur_sample = glide
+            cur_inc = gfrom + (gto - gfrom) * cur_sample / glide
+            if cur_sample < glide:
+                f_mid = gfrom + (gto - gfrom) * (cur_sample + 0.5) / glide
+                cur_sample += C * f_mid
         phase = (phase + cur_inc) % 2.0
         ph = phase
         w = (osc.sine * np.sin(np.pi * ph)

@@ -1482,6 +1482,105 @@ class TestSynthPoolOracle:
                                    atol=5e-4 * np.max(np.abs(ref)))
 
 
+class TestCarrierOracle:
+    """models/carrier.CarrierSynth vs the compiled reference vocoder-carrier
+    element — the EXACT composition of rt.resynth.lib.cpp:21-52
+    (VolumeAdjusted<Enveloped<FreqCtrl_<UnityGainMix<6 VolumeAdjusted
+    oscillators>, InterpolatedFreq>, AHDSR>, BaseVolumeDef::One>),
+    initialized like VocoderCarrierElementInitializer (:137-196): per-osc
+    volume targets, pulse width latch, the 100-sample LINEAR glide, shared
+    start angle. Deterministic oscillators only (the reference's noise table
+    content is unseeded; the noise lane is tested via a driver-supplied
+    table elsewhere)."""
+
+    def test_osc_mix_waveform_matches(self, oracle):
+        from cpp_audio_tpu.core import events
+        from cpp_audio_tpu.models.carrier import (CarrierOscMix, CarrierSynth,
+                                                  CarrierSynthConfig)
+        from cpp_audio_tpu.ops import envelopes
+
+        sr = 44100
+        angle = 0.25
+        lines = [f"{sr} 441 0 0 0 0 1000 0 1.0",
+                 "vols 0 0.8 0.2 0.3 0.5 0.4 0.3",
+                 "table 4 0 0 0 0",
+                 f"on 440 1.0 {angle}",
+                 "step 1500", "chg 452.0", "step 600", "off", "step 800"]
+        out = oracle("carrier", input_text="\n".join(lines) + "\n", raw=True)
+        ref = np.array([float(l.split()[1]) for l in out.splitlines()
+                        if l.startswith("V ")])
+
+        cfg = CarrierSynthConfig(
+            sample_rate=sr, dtype="float64",
+            ahdsr=envelopes.AHDSR(attack=441, hold=0, decay=0, release=1000,
+                                  sustain=1.0),
+            osc=CarrierOscMix(noise=0.0, saw=0.8, triangle=0.2, square=0.3,
+                              sine=0.5, pulse=0.4, pulse_width=0.3))
+        s = CarrierSynth(cfg)
+        s._rng = type("R", (), {"uniform": lambda self, a, b: angle})()
+        s.on_event(events.Event(events.EventType.NOTE_ON, 0, 1, 440.0, 1.0))
+        parts = [np.asarray(s.compute(0, 1500))]
+        s.on_event(events.mk_note_change(1500, 1, 452.0, 1.0))
+        parts.append(np.asarray(s.compute(1500, 600)))
+        s.on_event(events.mk_note_off(2100, 1))
+        parts.append(np.asarray(s.compute(2100, 800)))
+        got = np.concatenate(parts)
+        peak = np.max(np.abs(ref))
+        assert peak > 0.1
+        np.testing.assert_allclose(got, ref, atol=2e-3 * peak)
+
+    def test_midglide_retune_and_noise_lane(self, oracle):
+        """Retunes landing INSIDE the 100-sample InterpolatedFreq glide (the
+        new `from` adopts the last emitted *f_result mid-glide,
+        audioelement.h:2751-2760) plus the noise lane: the driver supplies
+        the white-noise table (sound.h:239-240 content is unseeded test
+        data) and the start index follows setStartAngle
+        (audioelement.h:1544-1556: int((a+1)*N/2+0.5), pre-decremented, so
+        the first read is that index mod N)."""
+        from cpp_audio_tpu.core import events
+        from cpp_audio_tpu.models.carrier import (CarrierOscMix, CarrierSynth,
+                                                  CarrierSynthConfig)
+        from cpp_audio_tpu.ops import envelopes
+
+        sr = 44100
+        angle = -0.375
+        rng = np.random.default_rng(7)
+        table = rng.uniform(-1.0, 1.0, 64)
+        tbl = " ".join(f"{float(v)!r}" for v in table)
+        lines = [f"{sr} 441 0 0 0 0 1000 0 1.0",
+                 "vols 0.6 0.5 0 0 0.7 0 0.01",
+                 f"table {len(table)} {tbl}",
+                 f"on 330 0.9 {angle}",
+                 "step 900", "chg 392.0", "step 40", "chg 311.1", "step 30",
+                 "chg 370.0", "step 700", "off", "step 600"]
+        out = oracle("carrier", input_text="\n".join(lines) + "\n", raw=True)
+        ref = np.array([float(l.split()[1]) for l in out.splitlines()
+                        if l.startswith("V ")])
+
+        cfg = CarrierSynthConfig(
+            sample_rate=sr, dtype="float64",
+            ahdsr=envelopes.AHDSR(attack=441, hold=0, decay=0, release=1000,
+                                  sustain=1.0),
+            osc=CarrierOscMix(noise=0.6, saw=0.5, triangle=0.0, square=0.0,
+                              sine=0.7, pulse=0.0, pulse_width=0.01))
+        s = CarrierSynth(cfg)
+        s._rng = type("R", (), {"uniform": lambda self, a, b: angle})()
+        import jax.numpy as jnp
+        s._noise = table
+        s._noise_dev = jnp.asarray(table)
+        s.on_event(events.Event(events.EventType.NOTE_ON, 0, 1, 330.0, 0.9))
+        parts = [np.asarray(s.compute(0, 900))]
+        for t0, n, f in [(900, 40, 392.0), (940, 30, 311.1), (970, 700, 370.0)]:
+            s.on_event(events.mk_note_change(t0, 1, f, 0.9))
+            parts.append(np.asarray(s.compute(t0, n)))
+        s.on_event(events.mk_note_off(1670, 1))
+        parts.append(np.asarray(s.compute(1670, 600)))
+        got = np.concatenate(parts)
+        peak = np.max(np.abs(ref))
+        assert peak > 0.1
+        np.testing.assert_allclose(got, ref, atol=2e-3 * peak)
+
+
 class TestMidiJitterOracle:
     """utils/midi_input.MidiJitterCompensator vs the compiled reference
     jitter path (TryAccountForTimeSourceJitter::Yes, gen.crtp.h:477-527):
