@@ -47,6 +47,10 @@ struct NoteSpec {
 #include "gen.crtp.h"                // ImplCRTP polyphony core
 #include "gen.sine.h"                // SynthImpl + sine::Synth alias
 
+#include "shim_channel.h"            // fifo/removeLowBits/... for channel.h
+#include "request.h"                 // Request/QueuedRequest/Volumes
+#include "channel.h"                 // the L3 Channel xfade/volume machinery
+
 #include "rt.resynth.lib.autotune.cpp"  // /root/reference/source/...
 #include "rt.resynth.lib.algo.cpp"      // the full pitch pipeline
 #include "rt.resynth.lib.periodicfft.cpp"  // sliding-window FFT driver
@@ -973,6 +977,73 @@ static void dump_carrier() {
   }
 }
 
+// Drives the reference's Channel request queue (channel.h:88-900): the
+// equal-gain request crossfades (write_left_xfade/write_right_xfade +
+// handleToZero/onBeginToZero, :410-690,766-785), per-channel volume ramps
+// (stepVolume), xfade_now and stopPlayingByXFadeToZero, through the real
+// step() block loop. stdin ops:
+//   set_xfade <odd_n>                       (UseXfade only, before playing)
+//   setvol <v> | tovol <v> <nsteps>
+//   req <duration> <volL> <volR> <n> <vals...>   -> prints "ADD 0|1"
+//   xfadenow | stop <nsteps>
+//   step <n>   (runs in <=16-frame callback chunks) -> prints "F l r" rows
+template <imajuscule::audio::XfadePolicy XF>
+static void run_channel() {
+  using namespace imajuscule;
+  using namespace imajuscule::audio;
+  Channel<Atomicity::No, 2, XF, MaxQueueSize::Infinite> ch;
+  std::deque<std::unique_ptr<soundBuffer<double>>> bufs;
+  char op[16];
+  while (std::scanf("%15s", op) == 1) {
+    if (!std::strcmp(op, "set_xfade")) {
+      int n;
+      if (std::scanf("%d", &n) != 1) std::exit(2);
+      ch.set_xfade(n);
+    } else if (!std::strcmp(op, "setvol")) {
+      double v;
+      if (std::scanf("%lf", &v) != 1) std::exit(2);
+      ch.setVolume(v);
+    } else if (!std::strcmp(op, "tovol")) {
+      double v;
+      int n;
+      if (std::scanf("%lf %d", &v, &n) != 2) std::exit(2);
+      ch.toVolume(v, n);
+    } else if (!std::strcmp(op, "req")) {
+      int dur, n;
+      double vl, vr;
+      if (std::scanf("%d %lf %lf %d", &dur, &vl, &vr, &n) != 4) std::exit(2);
+      bufs.emplace_back(std::make_unique<soundBuffer<double>>(
+          static_cast<std::size_t>(n), 0.f));
+      for (int i = 0; i < n; ++i)
+        if (std::scanf("%lf", &bufs.back()->getBuffer()[i]) != 1)
+          std::exit(2);
+      Request<Atomicity::No, 2> r(bufs.back().get(),
+                                  Volumes<2>(std::array<double, 2>{vl, vr}),
+                                  dur);
+      std::printf("ADD %d\n", ch.addRequest(std::move(r)) ? 1 : 0);
+    } else if (!std::strcmp(op, "xfadenow")) {
+      ch.xfade_now();
+    } else if (!std::strcmp(op, "stop")) {
+      int n;
+      if (std::scanf("%d", &n) != 1) std::exit(2);
+      ch.stopPlayingByXFadeToZero(n);
+    } else if (!std::strcmp(op, "step")) {
+      int n;
+      if (std::scanf("%d", &n) != 1) std::exit(2);
+      while (n > 0) {
+        int const c = n < 16 ? n : 16;
+        double out[32] = {0.0};
+        ch.step(out, c, 0);
+        for (int i = 0; i < c; ++i)
+          std::printf("F %.17g %.17g\n", out[2 * i], out[2 * i + 1]);
+        n -= c;
+      }
+    } else {
+      std::exit(2);
+    }
+  }
+}
+
 // Drives the reference's ImplCRTP polyphony core (gen.crtp.h:195-629) as a
 // compiled synth: NoteOn channel acquisition over the 2*nVoices pool (CAS
 // tryAcquire of envelope Done2, :398-413), drop policy (:412), NoteOff
@@ -1565,6 +1636,11 @@ int main(int argc, char** argv) {
     dump_mididecode();
   } else if (!std::strcmp(argv[1], "carrier")) {
     dump_carrier();
+  } else if (!std::strcmp(argv[1], "channel")) {
+    if (argc > 2 && !std::strcmp(argv[2], "skip"))
+      run_channel<imajuscule::audio::XfadePolicy::SkipXfade>();
+    else
+      run_channel<imajuscule::audio::XfadePolicy::UseXfade>();
   } else if (!std::strcmp(argv[1], "synthpool")) {
     imajuscule::audio::midiDelays().clear();
     run_synthpool<TryAccountForTimeSourceJitter::No>();

@@ -34,7 +34,10 @@ pytestmark = pytest.mark.skipif(
 def oracle(tmp_path_factory):
     exe = tmp_path_factory.mktemp("oracle") / "oracle"
     subprocess.run(
-        ["g++", "-std=c++17", "-O1", "-DNDEBUG", "-I", str(ORACLE_DIR),
+        # -fpermissive: request.h/channel.h use the `using X = X<...>`
+        # member-alias pattern that GCC rejects as changes-meaning by default
+        ["g++", "-std=c++17", "-O1", "-DNDEBUG", "-fpermissive",
+         "-I", str(ORACLE_DIR),
          "-I", str(REF / "include"), "-I", str(REF / "source"),
          str(ORACLE_DIR / "oracle.cpp"), "-o", str(exe)],
         check=True, capture_output=True)
@@ -1899,3 +1902,142 @@ class TestAutotune:
         pitches = [12.0, 40.0, 40.5, 69.0, 100.0]
         for p, out in t["findc"]:
             assert at.find_closest_pitch(p, pitches) == pytest.approx(out)
+
+
+class TestChannelOracle:
+    """core.channels.Channel vs the compiled reference Channel state machine
+    (include/channel.h:88-900 through the real step() block loop): request
+    crossfades split into left/right seam halves, from-zero/to-zero
+    pseudo-requests, onBeginToZero buffer-index sync, duration accounting
+    (mid-seam to mid-seam), addRequest rejection of short requests, volume
+    ramps, xfade_now, stopPlayingByXFadeToZero, and the subtle
+    add-mid-fadeout re-consume behavior."""
+
+    def _run_oracle(self, oracle, ops, xfade, skip):
+        lines = [] if skip else [f"set_xfade {xfade}"]
+        for op in ops:
+            k = op[0]
+            if k == "setvol":
+                lines.append(f"setvol {op[1]}")
+            elif k == "tovol":
+                lines.append(f"tovol {op[1]} {op[2]}")
+            elif k == "req":
+                lines.append(f"req {op[1]} {op[2]} {op[3]} {len(op[4])} "
+                             + " ".join(str(v) for v in op[4]))
+            elif k == "xfadenow":
+                lines.append("xfadenow")
+            elif k == "stop":
+                lines.append(f"stop {op[1]}")
+            elif k == "step":
+                lines.append(f"step {op[1]}")
+        args = ("channel", "skip") if skip else ("channel",)
+        out = oracle(*args, input_text="\n".join(lines) + "\n", raw=True)
+        frames, adds = [], []
+        for line in out.splitlines():
+            p = line.split()
+            if p[0] == "F":
+                frames.append([float(p[1]), float(p[2])])
+            elif p[0] == "ADD":
+                adds.append(int(p[1]))
+        return np.array(frames).reshape(-1, 2), adds
+
+    def _run_python(self, ops, xfade, skip):
+        from cpp_audio_tpu.core.channels import Channel, Request, XfadePolicy
+
+        ch = Channel(n_outs=2, xfade_length=xfade,
+                     xfade_policy=(XfadePolicy.SKIP_XFADE if skip
+                                   else XfadePolicy.USE_XFADE))
+        frames, adds = [], []
+        for op in ops:
+            k = op[0]
+            if k == "setvol":
+                ch.set_volume(op[1])
+            elif k == "tovol":
+                ch.to_volume(op[1], op[2])
+            elif k == "req":
+                r = Request(np.asarray(op[4], float),
+                            np.array([op[2], op[3]]), op[1])
+                adds.append(1 if ch.add_request(r) else 0)
+            elif k == "xfadenow":
+                ch.xfade_now()
+            elif k == "stop":
+                ch.stop_playing_by_xfade_to_zero(op[1])
+            elif k == "step":
+                n = op[1]
+                while n > 0:  # the oracle chunks steps at 16 frames
+                    c = min(16, n)
+                    frames.append(ch.step(c))
+                    n -= c
+        got = (np.concatenate(frames) if frames else np.zeros((0, 2)))
+        return got, adds
+
+    def _check(self, oracle, ops, xfade=5, skip=False):
+        ref, radds = self._run_oracle(oracle, ops, xfade, skip)
+        got, padds = self._run_python(ops, xfade, skip)
+        assert radds == padds
+        assert ref.shape == got.shape
+        np.testing.assert_allclose(got, ref, atol=1e-12)
+
+    RAMP = [10.0, 20.0, 30.0, 40.0]
+
+    def test_two_requests_seam_and_ladders(self, oracle):
+        self._check(oracle, [("setvol", 1), ("req", 12, 1, 1, [1, 1, 1, 1]),
+                             ("req", 12, 1, 1, [2, 2, 2, 2]), ("step", 30)])
+
+    def test_buffer_sync_and_phase(self, oracle):
+        self._check(oracle, [("setvol", 1), ("req", 12, 1, 1, [0, 0, 0, 0]),
+                             ("req", 12, 1, 1, self.RAMP), ("step", 30)])
+        self._check(oracle, [("setvol", 1), ("req", 12, 1, 1, self.RAMP),
+                             ("step", 20)])
+
+    def test_skip_xfade(self, oracle):
+        self._check(oracle, [("setvol", 1), ("req", 6, 1, 1, self.RAMP),
+                             ("req", 6, 1, 1, [-1, -2, -3, -4]),
+                             ("step", 16)], skip=True)
+
+    def test_short_request_rejected(self, oracle):
+        self._check(oracle, [("setvol", 1), ("req", 8, 1, 1, self.RAMP),
+                             ("step", 16), ("req", 8, 1, 1, self.RAMP),
+                             ("step", 16)])
+
+    @pytest.mark.parametrize("at", [16, 17, 18, 19, 20, 21])
+    def test_add_during_fadeout(self, oracle, at):
+        """The from-zero pseudo-request clobbers the outgoing fade's read
+        index (onBeginToZero), truncating its ladder — channel.h:325-329."""
+        self._check(oracle, [("setvol", 1), ("req", 16, 1, 1, [1, 1, 1, 1]),
+                             ("step", at), ("req", 16, 1, 1, [2, 2, 2, 2]),
+                             ("step", 22)])
+
+    def test_xfade_now(self, oracle):
+        self._check(oracle, [("setvol", 1), ("req", 20, 1, 1, [1, 1, 1, 1]),
+                             ("req", 20, 1, 1, [2, 2, 2, 2]), ("step", 7),
+                             ("xfadenow",), ("step", 12)])
+        self._check(oracle, [("setvol", 1), ("req", 20, 1, 1, [1, 1, 1, 1]),
+                             ("step", 7), ("xfadenow",), ("step", 10)])
+
+    def test_stop_and_volume_ramps(self, oracle):
+        self._check(oracle, [("setvol", 1), ("req", 20, 1, 1, [1, 1, 1, 1]),
+                             ("step", 7), ("stop", 4), ("step", 10)])
+        self._check(oracle, [("setvol", 1), ("req", 20, 1, 1, [1, 1, 1, 1]),
+                             ("step", 7), ("stop", -1), ("step", 10)])
+        self._check(oracle, [("setvol", 1), ("req", 20, 1, 1, [1, 1, 1, 1]),
+                             ("step", 6), ("tovol", 0.5, 4), ("step", 8)])
+
+    @pytest.mark.parametrize("seed", range(8))
+    def test_randomized(self, oracle, seed):
+        rng = np.random.default_rng(seed)
+        xfade = int(rng.choice([3, 5, 7, 9, 11]))
+        ops = [("setvol", round(float(rng.uniform(0.5, 1.5)), 3))]
+        for _ in range(int(rng.integers(2, 6))):
+            m = int(rng.integers(2, 9))
+            vals = [round(float(v), 3) for v in rng.uniform(-2, 2, m)]
+            dur = int(rng.integers(1, 4) * xfade + rng.integers(0, 30))
+            ops.append(("req", dur, round(float(rng.uniform(0.2, 1.0)), 3),
+                        round(float(rng.uniform(0.2, 1.0)), 3), vals))
+            if rng.random() < 0.3:
+                ops.append(("step", int(rng.integers(1, 40))))
+            if rng.random() < 0.2:
+                ops.append(("tovol", round(float(rng.uniform(0.0, 1.2)), 3),
+                            int(rng.integers(1, 50))))
+        ops.append(("step", 200))
+        self._check(oracle, ops, xfade=xfade)
