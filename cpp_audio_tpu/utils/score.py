@@ -120,32 +120,69 @@ def notespecs_to_notes(specs: list[NoteSpec], *, sample_rate: int = 44100,
     return notes
 
 
+def ms_to_frames(duration_ms: float, sample_rate: int) -> int:
+    """Reference ms_to_frames (sound.functions.h:27-33): float32 arithmetic,
+    round-half-up."""
+    import numpy as np
+
+    fval = np.float32(sample_rate) / np.float32(1000.0) * np.float32(duration_ms)
+    return int(np.float32(0.5) + fval)
+
+
+def sine_sound_buffer(period: int):
+    """One period of the reference's cached SINE soundBuffer
+    (source/sound.cpp:218-221 generate(period, sinf) with the mapping
+    sound.cpp:97-105: sample i in [0, period) -> sinf(2pi*(i+1)/period) —
+    first sample non-zero, LAST sample zero, which is what the channel seam
+    sync law (channel.h:721-731) relies on). Float32 like the reference."""
+    import numpy as np
+
+    inc = np.float32(2.0 * np.pi) / np.float32(period)
+    return np.sin(inc * np.arange(1, period + 1, dtype=np.float32))
+
+
 def notespecs_to_requests(specs: list[NoteSpec], *, sample_rate: int = 44100,
                           time_unit_ms: float = 180.0, octave: int = 4,
                           volume: float = 0.5, n_outs: int = 2,
                           midi: Midi | None = None):
     """Resolve a parsed score into channel `Request`s (reference `to_request`,
-    note.h:10-40): a looping sine table at the note's well-tempered frequency
-    (loud = 2x volume), or a silence request for rests, each lasting the
-    spec's duration — ready to `Channels.play` with crossfade splices."""
+    note.h:10-40): a looping one-period sine table at the note's
+    well-tempered frequency (loud = 2x volume, note.h:33), or a silence
+    request for rests, each lasting `time_unit * duration` ms.
+
+    Reference laws (request.h:271-310, sound.h:52-67):
+      - period = int(sample_rate / freq) — truncation
+        (freq_to_period_in_samples, sound.functions.h:45-50);
+      - notes below 10 Hz, with zero volumes, or with period <
+        minimalPeriod()==3 are SILENCED, keeping the rhythm
+        (request.h:281-299, sound.h:28-48);
+      - duration converts through float32 ms_to_frames once, from the total
+        milliseconds (not per-unit rounding);
+      - sine durations round UP to the next period multiple so notes end on
+        zero crossings (zeroOnPeriodBoundaries, request.h:308-325).
+    """
     import numpy as np
 
     from ..core.channels import Request, silence
 
     midi = midi or Midi()
-    unit = int(0.5 + time_unit_ms * sample_rate / 1000.0)
     reqs = []
     for s in specs:
-        dur = max(1, s.duration * unit)
+        # f32 like the reference: time_unit * (float)s.duration (note.h:24,35)
+        dur_ms = float(np.float32(time_unit_ms) * np.float32(s.duration))
+        dur = max(1, ms_to_frames(dur_ms, sample_rate))
         if s.note is None:
             reqs.append(silence(dur))
             continue
         interval = int(s.note) - int(Note.La) + 12 * (octave - 4)
-        freq = float(midi.Ainterval_to_freq(interval))
-        # one-period sine table, like the reference's periodic soundBuffer
-        period = max(2, int(0.5 + sample_rate / freq))
-        t = np.arange(period)
-        buf = np.sin(2.0 * np.pi * t / period)
+        freq = float(np.float32(midi.Ainterval_to_freq(interval)))
+        period = (int(np.float32(sample_rate) / np.float32(freq))
+                  if freq > 0 else 1)
+        if freq < 10.0 or period < 3:   # silenced, inaudible (request.h:285-299)
+            reqs.append(silence(dur))
+            continue
         vol = volume * (2.0 if s.loud else 1.0)
-        reqs.append(Request.make(buf, vol, dur, n_outs=n_outs))
+        dur = period if dur == 0 else dur + (-dur % period)
+        reqs.append(Request.make(sine_sound_buffer(period), vol, dur,
+                                 n_outs=n_outs))
     return reqs

@@ -20,16 +20,8 @@
 #include "events.h"                  // NoteId/Event/NoteIdsGenerator
 #include "midi.h"                    // /root/reference/include/midi.h
 
-// NoteSpec (include/note.h:3-8); note.h itself drags the Request/Sounds
-// engine types, so the struct is re-declared here instead of included
-namespace imajuscule::audio {
-struct NoteSpec {
-  std::optional<Note> note;  // no value means silence
-  bool loud;
-  unsigned int duration : 7;
-};
-}  // namespace imajuscule::audio
-#include "parse.music.cpp"           // the score language parser
+// NoteSpec comes from the real note.h now (included below, after the
+// Request/Sounds engine types it needs); parse.music.cpp follows it.
 #include "stereo.h"                  // constant-power pan
 #include "pitch_generators.h"        // MultiOctave/ShufflePattern/Drifter
 #include "smoothparam.h"             // step-limited parameter smoothing
@@ -50,6 +42,27 @@ struct NoteSpec {
 #include "shim_channel.h"            // fifo/removeLowBits/... for channel.h
 #include "request.h"                 // Request/QueuedRequest/Volumes
 #include "channel.h"                 // the L3 Channel xfade/volume machinery
+
+#include "shim_sound.h"              // ScopedLog/StringPlot + noise stubs
+#include "sounds.h"                  // the soundId -> soundBuffer cache
+// sound.cpp's noise-table getters are renamed away: the driver injects its
+// own deterministic getWhiteNoise/getWhiteNoiseAbsMean (below) for the
+// carrier's noise lane; the score oracle only uses SINE/SILENCE buffers.
+#define getWhiteNoise shim_unused_getWhiteNoise
+#define getPinkNoise shim_unused_getPinkNoise
+#define getGreyNoise shim_unused_getGreyNoise
+#define getWhiteNoiseAbsMean shim_unused_getWhiteNoiseAbsMean
+#define getPinkNoiseAbsMean shim_unused_getPinkNoiseAbsMean
+#define getGreyNoiseAbsMean shim_unused_getGreyNoiseAbsMean
+#include "sound.cpp"                 // soundBuffer generation (sine law etc.)
+#undef getWhiteNoise
+#undef getPinkNoise
+#undef getGreyNoise
+#undef getWhiteNoiseAbsMean
+#undef getPinkNoiseAbsMean
+#undef getGreyNoiseAbsMean
+#include "note.h"                    // NoteSpec + to_request
+#include "parse.music.cpp"           // the score language parser
 
 #include "rt.resynth.lib.autotune.cpp"  // /root/reference/source/...
 #include "rt.resynth.lib.algo.cpp"      // the full pitch pipeline
@@ -1044,6 +1057,47 @@ static void run_channel() {
   }
 }
 
+// Drives the reference's full score-playback path: parseMusic
+// (source/parse.music.cpp) -> to_request (include/note.h:10-40: cached SINE
+// soundBuffer via Sounds/soundId with the truncated period law
+// sound.functions.h:45-50, f32 ms_to_frames durations, loud = 2x volume,
+// inaudible-frequency silencing request.h:281-299) -> the real Channel
+// UseXfade step loop. stdin: "<sr> <time_unit_ms> <vol> <xfade> <nsteps>\n
+// <score line>". Prints per-request "DUR n", "ADD 0|1", then "F l r" frames.
+static void run_score() {
+  using namespace imajuscule;
+  using namespace imajuscule::audio;
+  int sr, xfade, nsteps;
+  double time_unit, vol;
+  if (std::scanf("%d %lf %lf %d %d ", &sr, &time_unit, &vol, &xfade,
+                 &nsteps) != 5)
+    std::exit(2);
+  char line[4096];
+  if (!std::fgets(line, sizeof line, stdin)) std::exit(2);
+  if (auto* nl = std::strchr(line, '\n')) *nl = '\0';
+  auto const specs = parseMusic(line);
+  static Sounds<Atomicity::No> sounds;
+  Midi const midi;
+  Channel<Atomicity::No, 2, XfadePolicy::UseXfade, MaxQueueSize::Infinite> ch;
+  ch.set_xfade(xfade);
+  ch.setVolume(1.);
+  for (auto const& s : specs) {
+    auto r = to_request<2, Atomicity::No>(
+        sr, s, static_cast<float>(time_unit), 1.f, midi, sounds,
+        Volumes<2>(std::array<double, 2>{vol, vol}));
+    std::printf("DUR %d\n", r.duration_in_frames);
+    std::printf("ADD %d\n", ch.addRequest(std::move(r)) ? 1 : 0);
+  }
+  while (nsteps > 0) {
+    int const c = nsteps < 16 ? nsteps : 16;
+    double out[32] = {0.0};
+    ch.step(out, c, 0);
+    for (int i = 0; i < c; ++i)
+      std::printf("F %.17g %.17g\n", out[2 * i], out[2 * i + 1]);
+    nsteps -= c;
+  }
+}
+
 // Drives the reference's ImplCRTP polyphony core (gen.crtp.h:195-629) as a
 // compiled synth: NoteOn channel acquisition over the 2*nVoices pool (CAS
 // tryAcquire of envelope Done2, :398-413), drop policy (:412), NoteOff
@@ -1636,6 +1690,8 @@ int main(int argc, char** argv) {
     dump_mididecode();
   } else if (!std::strcmp(argv[1], "carrier")) {
     dump_carrier();
+  } else if (!std::strcmp(argv[1], "playscore")) {
+    run_score();
   } else if (!std::strcmp(argv[1], "channel")) {
     if (argc > 2 && !std::strcmp(argv[2], "skip"))
       run_channel<imajuscule::audio::XfadePolicy::SkipXfade>();

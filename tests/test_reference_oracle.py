@@ -2041,3 +2041,59 @@ class TestChannelOracle:
                             int(rng.integers(1, 50))))
         ops.append(("step", 200))
         self._check(oracle, ops, xfade=xfade)
+
+
+class TestScorePlaybackOracle:
+    """End-to-end score playback vs the compiled reference: parseMusic ->
+    to_request (note.h:10-40) -> Sounds cache (sounds.h:50-64, SINE buffers
+    generated by sound.cpp:97-105,218-221 as sinf(2pi*(i+1)/period)) -> the
+    real Channel UseXfade step loop. Pins the truncated period law
+    (sound.functions.h:45-50), f32 ms_to_frames durations, the round-up to
+    period multiples (zeroOnPeriodBoundaries, request.h:308-325), loud = 2x
+    volume, and the seam phase through the looping sine tables."""
+
+    def _compare(self, oracle, score, *, sr=44100, time_unit=180.0, vol=0.5,
+                 xfade=401, nsteps=60000):
+        from cpp_audio_tpu.core.channels import Channel
+        from cpp_audio_tpu.utils.score import (notespecs_to_requests,
+                                               parse_music)
+
+        inp = f"{sr} {time_unit} {vol} {xfade} {nsteps}\n{score}\n"
+        out = oracle("playscore", input_text=inp, raw=True)
+        durs, adds, frames = [], [], []
+        for line in out.splitlines():
+            p = line.split()
+            if p[0] == "F":
+                frames.append(float(p[1]))
+            elif p[0] == "DUR":
+                durs.append(int(p[1]))
+            elif p[0] == "ADD":
+                adds.append(int(p[1]))
+        ref = np.array(frames)
+
+        reqs = notespecs_to_requests(parse_music(score), sample_rate=sr,
+                                     time_unit_ms=time_unit, volume=vol,
+                                     octave=4)
+        ch = Channel(n_outs=2, xfade_length=xfade)
+        assert durs == [r.length for r in reqs]
+        assert adds == [1 if ch.add_request(r) else 0 for r in reqs]
+        got = []
+        n = nsteps
+        while n:  # the oracle chunks steps at 16 frames
+            c = min(16, n)
+            got.append(ch.step(c)[:, 0])
+            n -= c
+        # waveforms match to f32 sine ULP (the reference samples sinf)
+        np.testing.assert_allclose(np.concatenate(got), ref, atol=2e-7)
+
+    def test_notes_rest_loud_tie(self, oracle):
+        self._compare(oracle, "do . Mi")
+        self._compare(oracle, "do mi sol Do--")
+
+    def test_accidentals_and_ties(self, oracle):
+        self._compare(oracle, "la si . do Fa- sib lad")
+
+    def test_other_unit_volume_xfade(self, oracle):
+        self._compare(oracle, "do re mi fa sol la si", time_unit=95.5,
+                      vol=0.8, xfade=201)
+        self._compare(oracle, "Do . . mi", time_unit=50.0, xfade=45)
