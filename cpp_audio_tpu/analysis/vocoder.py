@@ -223,11 +223,18 @@ def _windowed_gauss_energy_conv(dens, *, d: int, stride: int, window: int,
     """E_w[f] = sum_l g(l*d) * dens_interp(f*stride/d + l) for f < n_frames
     (g = the w^2 analysis-window kernel, dens on a d-decimated grid, linear
     interpolation at the fractional per-residue-class alignment) — as ONE
-    strided 1-D convolution instead of FFT convs: frame f = d*j + i reads
-    position j*S + (i*S)/d, so output channel i correlates dens with a
-    per-class kernel k_i[l] = (1-a_i) g[l - q_i] + a_i g[l - q_i - 1]
-    (q_i + a_i = i*S/d) at output stride S. nf*(W/d + S) MACs total — MXU
-    work in place of 3 length-m FFTs per band."""
+    matmul instead of FFT convs: frame f = d*j + i reads position
+    j*S + (i*S)/d, so output channel i correlates dens with a per-class
+    kernel k_i[l] = (1-a_i) g[l - q_i] + a_i g[l - q_i - 1]
+    (q_i + a_i = i*S/d) at output stride S. nf*(W/d + S) MACs total.
+
+    Executed as ONE (rows, S) x (S, d*c) matmul + c shifted-diagonal adds:
+    with the kernel zero-padded to c = ceil(K/S) chunks of S taps,
+    out[j, i] = sum_c M[j+c, i, c] where M = dens.reshape(rows, S) @ kern
+    chunks. (An equivalent lax.conv with window_strides=S was 20-100x
+    slower on TPU: XLA rewrites the strided conv into a degenerate
+    stride-1 conv with a (J*S + K)-tap kernel that executes near-scalar —
+    ~6 ms of a 10 ms chain render; the matmul form is MXU-native.)"""
     S = stride
     gd = _window_sq(window, shape)[::d]
     Lg = gd.shape[0]
@@ -247,18 +254,24 @@ def _windowed_gauss_energy_conv(dens, *, d: int, stride: int, window: int,
         + alpha[:, None] * safe_gd(idx - 1)
 
     J = -(-n_frames // d)
-    need = (J - 1) * S + K
+    c = -(-K // S)  # kernel chunks of S taps
+    kpad = np.zeros((d, c * S))
+    kpad[:, :K] = kern
+    kmat = kpad.reshape(d, c, S)
+    rows = J + c - 1
+    need = rows * S  # >= (J-1)*S + K; the extra taps are kernel zeros
     m = dens.shape[0]
     if need > m:
         dens = jnp.concatenate([dens, jnp.zeros((need - m,), dens.dtype)])
     else:
         dens = dens[:need]
-    out = jax.lax.conv_general_dilated(
-        dens[None, None, :], jnp.asarray(kern, dens.dtype)[:, None, :],
-        window_strides=(S,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=jax.lax.Precision.HIGHEST)  # (1, d, J)
-    return out[0].T.reshape(-1)[:n_frames]  # (J, d) interleave -> frames
+    M = jnp.einsum("rs,dcs->rdc", dens.reshape(rows, S),
+                   jnp.asarray(kmat, dens.dtype),
+                   precision=jax.lax.Precision.HIGHEST)  # (rows, d, c)
+    out = M[0:J, :, 0]
+    for cc in range(1, c):
+        out = out + M[cc:cc + J, :, cc]
+    return out.reshape(-1)[:n_frames]  # (J, d) interleave -> frames
 
 
 @functools.partial(jax.jit, static_argnames=("edges", "window", "stride",
