@@ -15,7 +15,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..models.voice_presets import FreqXfade, Mode, VoiceProgram
+from ..models.voice_presets import (FreqXfade, Mode, VoiceProgram,
+                                    _slow_iter_stored)
 from ..utils.interp import Itp
 
 
@@ -29,16 +30,22 @@ class ParamSpec:
     enum_values: tuple | None = None  # discrete params (interpolation kinds...)
 
     def normalize(self, v: float) -> float:
+        """float32 like the reference's do_normalize_f (pernamespace.
+        implparams.h via gen.voice.h's Limits<>); no clamping — factory
+        values outside the limits store out-of-range like the reference's
+        (e.g. Talkative bird's 0.05 xfade, the sweeps' sub-10Hz lows)."""
         if self.enum_values is not None:
             return float(self.enum_values.index(v))
         if self.max == self.min:
             return 0.0
-        return (v - self.min) / (self.max - self.min)
+        f = np.float32
+        return float((f(v) - f(self.min)) / (f(self.max) - f(self.min)))
 
     def denormalize(self, x: float) -> float:
         if self.enum_values is not None:
             return self.enum_values[int(0.5 + x)]
-        return self.min + x * (self.max - self.min)
+        f = np.float32
+        return float(f(self.min) + f(x) * (f(self.max) - f(self.min)))
 
 
 @dataclass
@@ -111,7 +118,7 @@ LIMITS: dict[ImplParams, ParamSpec] = {
     P.CENTER_SHORT_TERM_RATIO: ParamSpec("Short Center Ratio"),
     P.SECONDS_SLOW_ITER_SHORT_TERM: ParamSpec("Iter exp short"),
     P.SECONDS_SLOW_ITER_LONG_TERM: ParamSpec("Iter exp long"),
-    P.ORDER_FILTERS: ParamSpec("Filters Order", 1.0, 200.0),
+    P.ORDER_FILTERS: ParamSpec("Filters Order", 1.0, 258.0),
     P.SINE_GAIN: ParamSpec("[Sine] Gain"),
     P.SEED: ParamSpec("Seed", 0.0, 257.0),
     P.RANDOM_PAN: ParamSpec("Random pan", 0.0, 1.0),
@@ -143,42 +150,50 @@ LIMITS: dict[ImplParams, ParamSpec] = {
     P.HIGH_FREQ: ParamSpec("[Sweep] High freq.", 20.0, 40000.0),
 }
 
-_COMMON = [
+# per-mode param subsets IN THE REFERENCE'S ARRAY ORDER (params_birds/
+# params_robots/params_sweep/params_wind, gen.voice.h:55-208; pinned
+# index-for-index against the compiled getPrograms() arrays by
+# tests/test_reference_oracle.py::TestVoicePrograms). Notables: SWEEP has
+# no SEED; WIND has no articulative-pause param (initialize_wind takes
+# none) and interleaves its slow-iter params between the centers and the
+# filter order; ROBOTS puts D1/D2/HARMONIC_ATTENUATION between the markov
+# block and INTERPOLATION.
+_PREFIX = [
     P.PINK_NOISE_LP_GAIN, P.PINK_NOISE_BP_GAIN, P.PINK_NOISE_BR_GAIN,
     P.PINK_NOISE_BP_OCTAVE_WIDTH_MIN, P.PINK_NOISE_BP_OCTAVE_WIDTH_MAX,
     P.CENTER_OCTAVE_MIN_LONG_TERM, P.CENTER_OCTAVE_MAX_LONG_TERM,
-    P.ORDER_FILTERS, P.SINE_GAIN, P.SEED, P.RANDOM_PAN, P.PAN, P.GAIN,
+]
+_SUFFIX = [
+    P.SINE_GAIN, P.SEED, P.RANDOM_PAN, P.PAN, P.GAIN,
     P.LOUDNESS_LEVEL, P.LOUDNESS_COMPENSATION_AMOUNT, P.LOUDNESS_REF_FREQ_INDEX,
 ]
+_MARKOV = [
+    P.MARKOV_START_NODE, P.MARKOV_PRE_TRIES, P.MARKOV_MIN_PATH_LENGTH,
+    P.MARKOV_ADDITIONAL_TRIES,
+]
+_RAMP = [
+    P.INTERPOLATION, P.FREQ_SCATTER, P.LENGTH, P.LENGTH_EXPONENT,
+    P.LENGTH_EXPONENT_SCATTER, P.XFADE_LENGTH,
+]
 
-# per-mode param subsets (reference gen.voice.h:55-208)
 MODE_PARAMS: dict[Mode, list[ImplParams]] = {
-    Mode.BIRDS: _COMMON + [
-        P.MARKOV_START_NODE, P.MARKOV_PRE_TRIES, P.MARKOV_MIN_PATH_LENGTH,
-        P.MARKOV_ADDITIONAL_TRIES, P.MARKOV_ARTICULATIVE_PAUSE_LENGTH,
-        P.INTERPOLATION, P.FREQ_SCATTER, P.LENGTH, P.LENGTH_EXPONENT,
-        P.LENGTH_EXPONENT_SCATTER, P.XFADE_LENGTH, P.MARKOV_XFADE_FREQ,
-        P.FREQ_TRANSITION_LENGTH, P.FREQ_TRANSITION_INTERPOLATION,
-        P.PHASE_RATIO1, P.PHASE_RATIO2,
-    ],
-    Mode.ROBOTS: _COMMON + [
-        P.MARKOV_START_NODE, P.MARKOV_PRE_TRIES, P.MARKOV_MIN_PATH_LENGTH,
-        P.MARKOV_ADDITIONAL_TRIES, P.MARKOV_ARTICULATIVE_PAUSE_LENGTH,
-        P.INTERPOLATION, P.FREQ_SCATTER, P.LENGTH, P.LENGTH_EXPONENT,
-        P.LENGTH_EXPONENT_SCATTER, P.XFADE_LENGTH, P.D1, P.D2,
-        P.HARMONIC_ATTENUATION, P.PHASE_RATIO1, P.PHASE_RATIO2,
-    ],
-    Mode.SWEEP: _COMMON + [
-        P.INTERPOLATION, P.LENGTH, P.LENGTH_EXPONENT, P.XFADE_LENGTH,
-        P.LOW_FREQ, P.HIGH_FREQ,
-    ],
-    Mode.WIND: _COMMON + [
-        P.CENTER_SHORT_TERM_RATIO, P.SECONDS_SLOW_ITER_SHORT_TERM,
-        P.SECONDS_SLOW_ITER_LONG_TERM, P.MARKOV_START_NODE, P.MARKOV_PRE_TRIES,
-        P.MARKOV_MIN_PATH_LENGTH, P.MARKOV_ADDITIONAL_TRIES,
-        P.INTERPOLATION, P.FREQ_SCATTER, P.LENGTH, P.LENGTH_EXPONENT,
-        P.LENGTH_EXPONENT_SCATTER, P.XFADE_LENGTH,
-    ],
+    Mode.BIRDS: _PREFIX + [P.ORDER_FILTERS] + _SUFFIX + _MARKOV
+    + [P.MARKOV_ARTICULATIVE_PAUSE_LENGTH] + _RAMP
+    + [P.MARKOV_XFADE_FREQ, P.FREQ_TRANSITION_LENGTH,
+       P.FREQ_TRANSITION_INTERPOLATION, P.PHASE_RATIO1, P.PHASE_RATIO2],
+    Mode.ROBOTS: _PREFIX + [P.ORDER_FILTERS] + _SUFFIX + _MARKOV
+    + [P.MARKOV_ARTICULATIVE_PAUSE_LENGTH, P.D1, P.D2,
+       P.HARMONIC_ATTENUATION] + _RAMP + [P.PHASE_RATIO1, P.PHASE_RATIO2],
+    Mode.SWEEP: _PREFIX + [P.ORDER_FILTERS, P.SINE_GAIN, P.RANDOM_PAN, P.PAN,
+                           P.GAIN, P.LOUDNESS_LEVEL,
+                           P.LOUDNESS_COMPENSATION_AMOUNT,
+                           P.LOUDNESS_REF_FREQ_INDEX, P.INTERPOLATION,
+                           P.LENGTH, P.LENGTH_EXPONENT, P.XFADE_LENGTH,
+                           P.LOW_FREQ, P.HIGH_FREQ],
+    Mode.WIND: _PREFIX + [P.CENTER_SHORT_TERM_RATIO,
+                          P.SECONDS_SLOW_ITER_SHORT_TERM,
+                          P.SECONDS_SLOW_ITER_LONG_TERM, P.ORDER_FILTERS]
+    + _SUFFIX + _MARKOV + _RAMP,
 }
 
 MAX_SECONDS_SLOW_ITER = 2.268
@@ -186,6 +201,21 @@ MAX_SECONDS_SLOW_ITER = 2.268
 
 def get_param_specs(mode: Mode) -> list[ParamSpec]:
     return [LIMITS[p] for p in MODE_PARAMS[mode]]
+
+
+# Params the factories store RAW, not normalized (make_common's
+# commented-out normalize<> calls + the plain static_casts,
+# gen.voice.h:504-533; SECONDS_SLOW_ITER_* live in log_2.268 space,
+# gen.voice.h:645): value<P>() reads them back as m + stored.
+RAW_STORED = frozenset({
+    P.SEED, P.RANDOM_PAN, P.LOUDNESS_COMPENSATION_AMOUNT,
+    P.LOUDNESS_REF_FREQ_INDEX, P.MARKOV_START_NODE, P.MARKOV_PRE_TRIES,
+    P.MARKOV_MIN_PATH_LENGTH, P.MARKOV_ADDITIONAL_TRIES, P.D1, P.D2,
+    P.FREQ_SCATTER, P.SECONDS_SLOW_ITER_LONG_TERM,
+    P.SECONDS_SLOW_ITER_SHORT_TERM,
+})
+# ORDER_FILTERS is stored offset by its minimum (gen.voice.h:514)
+_OFFSET_STORED = frozenset({P.ORDER_FILTERS})
 
 
 def voice_program_to_normalized(vp: VoiceProgram) -> Program:
@@ -225,25 +255,28 @@ def voice_program_to_normalized(vp: VoiceProgram) -> Program:
         P.PHASE_RATIO2: vp.phase_ratio2,
         P.D1: vp.d1,
         P.D2: vp.d2,
-        P.HARMONIC_ATTENUATION: max(vp.harmonic_attenuation, 0.5),
+        P.HARMONIC_ATTENUATION: vp.harmonic_attenuation,
         P.MARKOV_XFADE_FREQ: vp.xfade_freq,
         P.FREQ_TRANSITION_LENGTH: vp.freq_transition_seconds,
         P.FREQ_TRANSITION_INTERPOLATION: vp.freq_interpolation,
-        P.LOW_FREQ: max(vp.low_freq, 10.0),
-        P.HIGH_FREQ: max(vp.high_freq, 20.0),
-        # stored as log_x(seconds) like the reference (gen.voice.h:645)
-        P.SECONDS_SLOW_ITER_LONG_TERM:
-            np.log(max(vp.seconds_slow_iter_long, 1e-9)) / np.log(MAX_SECONDS_SLOW_ITER),
-        P.SECONDS_SLOW_ITER_SHORT_TERM:
-            np.log(max(vp.seconds_slow_iter_short, 1e-9)) / np.log(MAX_SECONDS_SLOW_ITER),
+        P.LOW_FREQ: vp.low_freq,
+        P.HIGH_FREQ: vp.high_freq,
+        # stored as log_2.268(seconds) in f32 like the reference
+        # (gen.voice.h:645; glibc logf == f32-rounded f64 log — see
+        # voice_presets._slow_iter_stored)
+        P.SECONDS_SLOW_ITER_LONG_TERM: float(_slow_iter_stored(
+            max(vp.seconds_slow_iter_long, 1e-9))),
+        P.SECONDS_SLOW_ITER_SHORT_TERM: float(_slow_iter_stored(
+            max(vp.seconds_slow_iter_short, 1e-9))),
     }
     for i, p in enumerate(order):
-        spec = LIMITS[p]
         v = direct[p]
-        if p in (P.SECONDS_SLOW_ITER_LONG_TERM, P.SECONDS_SLOW_ITER_SHORT_TERM):
-            vals[i] = v  # already in normalized (exponent) space
+        if p in RAW_STORED:
+            vals[i] = float(np.float32(v))
+        elif p in _OFFSET_STORED:
+            vals[i] = float(np.float32(v - LIMITS[p].min))
         else:
-            vals[i] = spec.normalize(v)
+            vals[i] = LIMITS[p].normalize(v)
     return Program(vp.name, vals, vp.preferred_seeds)
 
 
@@ -252,15 +285,22 @@ def normalized_to_voice_program(mode: Mode, prog: Program) -> VoiceProgram:
     order = MODE_PARAMS[mode]
     idx = {p: i for i, p in enumerate(order)}
 
-    def den(p, default=0.0):
-        if p not in idx:
-            return default
-        return LIMITS[p].denormalize(float(prog.values[idx[p]]))
-
     def raw(p, default=0.0):
         if p not in idx:
             return default
         return float(prog.values[idx[p]])
+
+    def den(p, default=0.0):
+        # the reference's read-back: denormalize<> for normalized storage,
+        # value<> (m + stored) for raw/offset storage
+        if p not in idx:
+            return default
+        v = float(prog.values[idx[p]])
+        if p in RAW_STORED:
+            return v
+        if p in _OFFSET_STORED:
+            return LIMITS[p].min + v
+        return LIMITS[p].denormalize(v)
 
     return VoiceProgram(
         name=prog.name, mode=mode,

@@ -136,22 +136,23 @@ class SoundEngineScheduler:
         self.base_freq = base_freq
         self.rng = np.random.default_rng(seed)
         self.midi = Midi()
-        ex = p.length_exponent
-        var = p.length_exponent_scatter
-        if p.mode is Mode.SWEEP:
-            self.min_exp = self.max_exp = ex
-        else:
-            self.min_exp = ex * (1.0 - var)
-            self.max_exp = ex * (1.0 + var)
-        self.length = p.length_ms
+        # engine-facing values go through the reference's f32 program
+        # storage + setupAudioElement conversions (effective_engine_config,
+        # pinned against compiled gen.voice.h): env charac time ROUNDS,
+        # freq_xfade and the articulative pause TRUNCATE
+        from .voice_presets import effective_engine_config
+        eff = effective_engine_config(p, sample_rate)
+        self.min_exp, self.max_exp = eff["length_exp"]
+        self.length = eff["length"]
         self.interpolation = p.interpolation
         self.freq_interpolation = p.freq_interpolation
         self.xfade_freq = p.xfade_freq
-        self.xfade_len = int(0.5 + p.xfade_seconds * sample_rate)
-        self.freq_xfade = int(0.5 + p.freq_transition_seconds * sample_rate)
-        self.pause_len = int(0.5 + p.articulative_pause_seconds * sample_rate)
-        self.phase_ratio1 = p.phase_ratio1
-        self.phase_ratio2 = p.phase_ratio2
+        self.xfade_len = eff["env_charac_time"]
+        self.freq_xfade = eff.get("freq_xfade", 0)
+        self.pause_len = (eff["init"][-1]
+                          if p.mode in (Mode.BIRDS, Mode.ROBOTS) else 0)
+        self.phase_ratio1 = eff.get("phase_ratio1", 0.0)
+        self.phase_ratio2 = eff.get("phase_ratio2", 0.0)
 
     def _rand01(self) -> float:
         return float(self.rng.uniform(0.0, 1.0))

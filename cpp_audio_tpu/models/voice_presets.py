@@ -14,6 +14,8 @@ from __future__ import annotations
 import enum
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from ..utils.interp import Itp
 
 
@@ -84,6 +86,13 @@ class VoiceProgram:
 def _bird(name, start_node, pre_tries, min_path_length, additional_tries, itp_i,
           freq_scat, length, length_med_exp, length_scale_exp,
           articulative_pause, xfade, xfade_freq, freq_xfade, freq_i, seeds=()):
+    # The reference's make_bird accepts a freq interpolation argument but
+    # NEVER uses it: FREQ_TRANSITION_INTERPOLATION is stored from the MAIN
+    # interpolation's traversal index (gen.voice.h:608-613 reuses `i`, the
+    # `freq_i` parameter is dead) — pinned by the compiled voice oracle.
+    # `freq_i` is kept here to document the call sites (gen.voice.h:700-735)
+    # but, like the reference, the effective value is `itp_i`.
+    del freq_i
     return VoiceProgram(
         name=name, mode=Mode.BIRDS, start_node=start_node, pre_tries=pre_tries,
         min_path_length=min_path_length, additional_tries=additional_tries,
@@ -91,7 +100,7 @@ def _bird(name, start_node, pre_tries, min_path_length, additional_tries, itp_i,
         freq_scatter=freq_scat, length_ms=length, length_exponent=length_med_exp,
         length_exponent_scatter=length_scale_exp, xfade_seconds=xfade,
         xfade_freq=xfade_freq, freq_transition_seconds=freq_xfade,
-        freq_interpolation=freq_i, preferred_seeds=tuple(seeds),
+        freq_interpolation=itp_i, preferred_seeds=tuple(seeds),
     )
 
 
@@ -109,10 +118,12 @@ def _robot(name, start_node, pre_tries, min_path_length, additional_tries,
 
 
 def _sweep(name, itp_i, length, length_med_exp, xfade, low, high):
+    # make_sweep passes filter_order 20 to make_common (gen.voice.h:565)
     return VoiceProgram(
         name=name, mode=Mode.SWEEP, interpolation=itp_i, length_ms=length,
         length_exponent=length_med_exp, length_exponent_scatter=0.0,
         xfade_seconds=xfade, low_freq=low, high_freq=high, min_path_length=1,
+        filter_order=20,
     )
 
 
@@ -221,11 +232,14 @@ WIND_PROGRAMS = [
     _mixed_wind("Kettle whistle mixed", 7, (0.9, 0.9), (7.5, 7.7), 0.00716),
 ]
 
+# ProgramsI sorts programs by name (reference include/program.h:64-69), so
+# program INDICES are alphabetical — kept here so index-based selection
+# (apps --program N, the worklet useProgram) matches the reference's.
 PROGRAMS = {
-    Mode.BIRDS: BIRD_PROGRAMS,
-    Mode.ROBOTS: ROBOT_PROGRAMS,
-    Mode.SWEEP: SWEEP_PROGRAMS,
-    Mode.WIND: WIND_PROGRAMS,
+    Mode.BIRDS: sorted(BIRD_PROGRAMS, key=lambda p: p.name),
+    Mode.ROBOTS: sorted(ROBOT_PROGRAMS, key=lambda p: p.name),
+    Mode.SWEEP: sorted(SWEEP_PROGRAMS, key=lambda p: p.name),
+    Mode.WIND: sorted(WIND_PROGRAMS, key=lambda p: p.name),
 }
 
 
@@ -237,3 +251,129 @@ def get_program(mode: Mode, index_or_name) -> VoiceProgram:
         if p.name == index_or_name:
             return p
     raise KeyError(index_or_name)
+
+
+# ---------------------------------------------------------------------------
+# Effective engine configuration
+# ---------------------------------------------------------------------------
+# The reference never feeds a program's natural values to the SoundEngine
+# directly: factories store them as float32 normalized params
+# (make_common/make_bird/..., gen.voice.h:477-699) and setupAudioElement
+# (gen.voice.h:882-1037) denormalizes in float32 and converts to the engine
+# setters' types — int TRUNCATION for freq_xfade / articulative pause /
+# slow-step counts (implicit float->int at the call sites) but ROUNDING
+# (int(.5f + x)) for the envelope charac time. effective_engine_config
+# replays that arithmetic exactly (pinned value-for-value against the
+# compiled reference by tests/test_reference_oracle.py::TestVoicePrograms);
+# the production renderers (models/soundengine.py scheduler, models/wind.py)
+# consume these values, not the naturals.
+
+_F = np.float32
+
+
+def _rt(nat, lo, hi):
+    """The float32 normalize->denormalize storage roundtrip a natural value
+    suffers between a factory and setupAudioElement (do_normalize_f /
+    do_denormalize_f over Limits<> [lo, hi])."""
+    v = (_F(nat) - _F(lo)) / (_F(hi) - _F(lo))
+    return _F(lo) + v * (_F(hi) - _F(lo))
+
+
+def _slow_iter_stored(seconds) -> np.float32:
+    """make_*_wind stores log(seconds)/log(2.268) unnormalized in float32
+    (gen.voice.h:645,676-677,697). glibc's logf is correctly rounded, i.e.
+    f32(log_f64(x)) — numpy's f32 log is NOT (SIMD path, ~1 ulp off), so
+    compute in f64 and round each factor."""
+    import math
+    num = _F(math.log(float(_F(seconds))))
+    den = _F(math.log(float(_F(MAX_SECONDS_SLOW_ITER))))
+    return num / den
+
+
+def effective_engine_config(p: VoiceProgram, sample_rate: int) -> dict:
+    """Exact engine-facing values for a program (see block comment above).
+
+    Keys mirror the engine setter calls in setupAudioElement
+    (gen.voice.h:882-1037); only the keys the program's mode wires are
+    present.
+    """
+    sr = sample_rate
+    cfg: dict = {}
+    cfg["itp"] = int(p.interpolation)
+    xfade = _rt(p.xfade_seconds, 0.0023, 0.0454)
+    cfg["env_charac_time"] = int(_F(0.5) + xfade * _F(sr))
+    ex = _rt(p.length_exponent, 0.0, 7.0)
+    if p.mode is Mode.SWEEP:
+        cfg["length_exp"] = (float(ex), float(ex))
+    else:
+        var = _rt(p.length_exponent_scatter, 0.0, 1.0)
+        cfg["length_exp"] = (float(ex * (_F(1) - var)),
+                             float(ex * (_F(1) + var)))
+        # FREQ_SCATTER is stored raw (make_common's commented-out
+        # normalize, gen.voice.h:517) and read back identically
+        cfg["freq_scatter"] = float(_F(p.freq_scatter))
+        if p.mode is not Mode.WIND:
+            cfg["phase_ratio1"] = float(_rt(p.phase_ratio1, 0.0, 1.0))
+            cfg["phase_ratio2"] = float(_rt(p.phase_ratio2, 0.0, 1.0))
+    cfg["length"] = float(_rt(p.length_ms, 10.0, 500.0))
+    cfg["loudness"] = (sr, int(p.loudness_ref_freq_index),
+                       float(_F(p.loudness_compensation)),
+                       float(_rt(p.loudness_level, 20.0, 100.0)))
+    cfg["filters_order"] = int(p.filter_order)
+
+    if p.mode is Mode.WIND:
+        m = _rt(p.bp_width_min, 0.0, 5.0)
+        M = _rt(p.bp_width_max, 0.0, 5.0)
+        cfg["width_range"] = (float(min(m, M)), float(max(m, M)))
+        cfg["gains"] = (float(_rt(p.pink_lp_gain, 0.0, 1.0)),
+                        float(_rt(p.pink_bp_gain, 0.0, 1.0)),
+                        float(_rt(p.pink_br_gain, 0.0, 1.0)),
+                        float(_rt(p.sine_gain, 0.0, 1.0)))
+        # octaveToFreq: 10 * 2^denorm in f32 (gen.voice.h:855-870), swapped
+        # into ascending order, then 2f/sr (sound.functions.h:58-62)
+        # std::pow(2.f, m) is glibc powf (correctly rounded) — compute in
+        # f64 and round, like _slow_iter_stored's logs
+        f1 = _F(10.0) * _F(2.0 ** float(_rt(p.center_octave_min, 0.0, 10.0)))
+        f2 = _F(10.0) * _F(2.0 ** float(_rt(p.center_octave_max, 0.0, 10.0)))
+        lo, hi = (f1, f2) if f1 <= f2 else (f2, f1)
+        cfg["center_inc_range"] = (float(_F(2.0) * lo / _F(sr)),
+                                   float(_F(2.0) * hi / _F(sr)))
+        # n_slow_steps = sr * 2.268^stored in f32 (gen.voice.h:966-967),
+        # truncated by the int parameters of ConfigureFilters /
+        # SetSlowParams / SlowIter::set_n_slow_steps
+        n_long = _F(sr) * _F(float(_F(MAX_SECONDS_SLOW_ITER))
+                             ** float(_slow_iter_stored(
+                                 p.seconds_slow_iter_long)))
+        n_short = _F(sr) * _F(float(_F(MAX_SECONDS_SLOW_ITER))
+                              ** float(_slow_iter_stored(
+                                  p.seconds_slow_iter_short)))
+        cfg["n_slow_steps_long"] = int(n_long)
+        # SetSlowParams' int parameter truncates, then
+        # set_short_term_noise_rate(float) widens back (gen.voice.h:328-340)
+        cfg["spec_short_rate"] = float(int(n_short))
+        cfg["spec_short_amp"] = float(_rt(p.center_short_term_ratio,
+                                          0.0, 1.0))
+        cfg["init"] = (p.start_node, p.pre_tries, p.min_path_length,
+                       p.additional_tries)
+        return cfg
+
+    cfg["gains"] = (float(_rt(p.sine_gain, 0.0, 1.0)),)
+    pause = int(_rt(p.articulative_pause_seconds, 0.0, 0.5) * _F(sr))
+    if p.mode is Mode.BIRDS:
+        # set_freq_xfade takes int: denorm * sr TRUNCATES (gen.voice.h:1005)
+        cfg["freq_xfade"] = int(_rt(p.freq_transition_seconds, 0.0, 0.5)
+                                * _F(sr))
+        cfg["freq_itp"] = int(p.freq_interpolation)
+        cfg["init"] = (p.start_node, p.pre_tries, p.min_path_length,
+                       p.additional_tries, p.xfade_freq, pause)
+    elif p.mode is Mode.ROBOTS:
+        # d1/d2 are stored and read raw (value<D1>, gen.voice.h:1027-1028)
+        cfg["d1"] = float(_F(p.d1))
+        cfg["d2"] = float(_F(p.d2))
+        cfg["har_att"] = float(_rt(p.harmonic_attenuation, 0.5, 0.98))
+        cfg["init"] = (p.start_node, p.pre_tries, p.min_path_length,
+                       p.additional_tries, pause)
+    else:  # SWEEP
+        cfg["init"] = (float(_rt(p.low_freq, 10.0, 10000.0)),
+                       float(_rt(p.high_freq, 20.0, 40000.0)))
+    return cfg

@@ -263,20 +263,22 @@ def render_program(program: VoiceProgram, n_samples: int, sample_rate: int = 441
     pink = tables["pink"]
     inv_approx = 1.0 / (2.0 * tables["pink_abs_mean"])
 
-    f_lo = 10.0 * 2.0**p.center_octave_min
-    f_hi = 10.0 * 2.0**p.center_octave_max
-    inc_lo = 2.0 * min(f_lo, f_hi) / sample_rate
-    inc_hi = 2.0 * max(f_lo, f_hi) / sample_rate
-
-    n_slow_long = int(sample_rate * p.seconds_slow_iter_long)
-    # the reference passes the short rate through an `int` parameter
-    # (gen.voice.h:965 -> SetSlowParams<WIND>::set, gen.voice.h:328-340)
-    n_slow_short = float(int(sample_rate * p.seconds_slow_iter_short))
-    xfade = int(0.5 + p.xfade_seconds * sample_rate)
+    # all engine-facing values go through the reference's f32 program
+    # storage + setupAudioElement conversions (voice_presets.
+    # effective_engine_config, pinned against compiled gen.voice.h):
+    # center octaves -> f32 pow2 freqs -> 2f/sr increments, slow-step
+    # counts sr*2.268^stored truncated by the int parameters, widths/gains
+    # f32-roundtripped, envelope charac time rounded
+    from .voice_presets import effective_engine_config
+    eff = effective_engine_config(p, sample_rate)
+    inc_lo, inc_hi = eff["center_inc_range"]
+    n_slow_long = eff["n_slow_steps_long"]
+    n_slow_short = eff["spec_short_rate"]
+    xfade = eff["env_charac_time"]
 
     params = np.array([
-        p.bp_width_min, p.bp_width_max,
-        p.pink_lp_gain, p.pink_bp_gain, p.pink_br_gain, p.sine_gain,
+        eff["width_range"][0], eff["width_range"][1],
+        eff["gains"][0], eff["gains"][1], eff["gains"][2], eff["gains"][3],
         xfade, velocity * p.gain,
     ])
     offsets = rng.integers(0, len(pink) - 1, 7)
@@ -298,7 +300,7 @@ def render_program(program: VoiceProgram, n_samples: int, sample_rate: int = 441
                                       int(p.interpolation), n_samples))
     wobble = wind_short_walk(pink32, offsets[1], n_slow_short, inc_long)
     inc_main = inc_long * np.exp2(wobble * np.float32(
-        p.center_short_term_ratio))
+        eff["spec_short_amp"]))
     lin = int(Itp.LINEAR)
     c1 = exp_map(wind_long_walk(pink32, offsets[3], n_slow_long, lin,
                                 n_samples))

@@ -43,6 +43,11 @@
 #include "request.h"                 // Request/QueuedRequest/Volumes
 #include "channel.h"                 // the L3 Channel xfade/volume machinery
 
+#include "shim_voice.h"              // normalize/denormalize + traversals
+#include "paramspec.h"               // ParamSpec (getParamSpecs tables)
+#include "gen.voice.h"               // voice params/programs/setup wiring
+#include "gen.voice.cpp"             // float Limits<> bound definitions
+
 #include "shim_sound.h"              // ScopedLog/StringPlot + noise stubs
 #include "sounds.h"                  // the soundId -> soundBuffer cache
 // sound.cpp's noise-table getters are renamed away: the driver injects its
@@ -1643,6 +1648,254 @@ static void dump_pitchpipe() {
   }
 }
 
+// Drives the reference's voice param/program system (gen.voice.h): the 27
+// factory programs (getPrograms(), gen.voice.h:700-810, name-sorted by
+// ProgramsI, program.h), the Limits<> f32 normalize/denormalize roundtrip,
+// and setupAudioElement's param->SoundEngine wiring (gen.voice.h:882-1037)
+// — run against a PROBE element that records every engine setter call with
+// the exact (converted) argument values the reference computes, so the
+// repo's transcribed preset tables + effective-config derivation
+// (models/voice_presets.py) are pinned against the reference's own code,
+// including its int truncations (set_freq_xfade, articulative pause,
+// SetSlowParams' int parameters) vs roundings (setEnvelopeCharacTime).
+namespace voice_probe {
+
+using imajuscule::StereoGain;
+using imajuscule::range;
+namespace ae = imajuscule::audio::audioelement;
+
+static void W1(char const* k, double v) {
+  std::printf("W %s %.17g\n", k, v);
+}
+static void W2(char const* k, double a, double b) {
+  std::printf("W %s %.17g %.17g\n", k, a, b);
+}
+
+// All probes print only when their tag is non-null; the engine ctor tags
+// ramp 0 and ramp-spec 0 only (the reference applies identical config to
+// all 3 ramps / all 30 specs — gen.voice.h:946-951, 968-979).
+struct SlowIterProbe {
+  char const* tag = nullptr;
+  void set_n_slow_steps(int32_t n) {
+    if (tag) std::printf("W %s_n_slow_steps %d\n", tag, n);
+  }
+};
+struct WidthProbe {  // band width ctrl (Ctrl over noise iter)
+  SlowIterProbe it;
+  SlowIterProbe& getUnderlyingIter() { return it; }
+};
+struct CenterProbe {  // band center-frequency ctrl
+  char const* tag = nullptr;
+  SlowIterProbe it;
+  SlowIterProbe& getUnderlyingIter() { return it; }
+  void setAngleIncrementsRange(range<float> const& r) {
+    if (tag)
+      std::printf("W %s_range %.17g %.17g\n", tag, double(r.getMin()),
+                  double(r.getMax()));
+  }
+};
+struct BandOscProbe {  // the asym band algo inside the wind Mix
+  char const* tag = nullptr;
+  WidthProbe width;
+  void setWidthRange(range<float> const& r) {
+    if (tag)
+      std::printf("W %s_width_range %.17g %.17g\n", tag, double(r.getMin()),
+                  double(r.getMax()));
+  }
+  WidthProbe& getWidth() { return width; }
+};
+struct BandProbe {  // FreqCtrl_ tuple member: getOsc() + getCtrl()
+  BandOscProbe osc;
+  CenterProbe ctrl;
+  BandOscProbe& getOsc() { return osc; }
+  CenterProbe& getCtrl() { return ctrl; }
+};
+struct MixPad {};  // tuple slots 0 (LP) and 3 (sine): untouched by setup
+struct MixProbe {
+  std::tuple<MixPad, BandProbe, BandProbe, MixPad> t;
+  auto& get() { return t; }
+};
+struct RampOscProbe {
+  MixProbe mix;
+  MixProbe& getOsc() { return mix; }
+};
+struct RampVAProbe {
+  RampOscProbe o;
+  RampOscProbe& getOsc() { return o; }
+};
+struct RampProbe {
+  bool record = false;  // only ramp 0 prints (all 3 get identical calls)
+  RampVAProbe va;
+  RampVAProbe& getVolumeAdjustment() { return va; }
+  void setStereoGain(StereoGain g) {
+    if (record) W2("stereo_gain", g.left(), g.right());
+  }
+};
+struct SpecCtrlProbe {  // wind ramp-spec freq control (ShortTermNoiseAdder)
+  bool record = false;
+  SlowIterProbe it;
+  SlowIterProbe& getUnderlyingIter() { return it; }
+  void set_short_term_noise_rate(float f) {
+    if (record) W1("spec_short_rate", f);
+  }
+  void set_short_term_noise_amplitude(float f) {
+    if (record) W1("spec_short_amp", f);
+  }
+  void setAngleIncrementsRange(range<float> const& r) {
+    if (record) W2("spec_range", r.getMin(), r.getMax());
+  }
+};
+struct FCtrlProbe {
+  SpecCtrlProbe inner;
+  SpecCtrlProbe& get() { return inner; }
+};
+
+struct ProbeEngine {
+  using FPT = float;
+  std::array<RampProbe, 3> ramps;
+  struct Specs {
+    std::array<FCtrlProbe, 30> a;  // RampSpecs capacity, soundengine.h:1035
+  } specs;
+  ProbeEngine() {
+    ramps[0].record = true;
+    auto& mix = ramps[0].va.o.mix;
+    std::get<1>(mix.t).osc.tag = "bp";
+    std::get<1>(mix.t).osc.width.it.tag = "bp_width";
+    std::get<1>(mix.t).ctrl.tag = "bp_center";
+    std::get<1>(mix.t).ctrl.it.tag = "bp_center";
+    std::get<2>(mix.t).osc.tag = "br";
+    std::get<2>(mix.t).osc.width.it.tag = "br_width";
+    std::get<2>(mix.t).ctrl.tag = "br_center";
+    std::get<2>(mix.t).ctrl.it.tag = "br_center";
+    specs.a[0].inner.record = true;
+    specs.a[0].inner.it.tag = "spec_long";
+  }
+  auto& getRamps() { return ramps; }
+  auto& getRampsSpecs() { return specs; }
+  void set_itp(itp::interpolation i) { W1("itp", double(int(i))); }
+  void setEnvelopeCharacTime(int n) { W1("env_charac_time", n); }
+  void set_length_exp(float lo, float hi) { W2("length_exp", lo, hi); }
+  void set_freq_scatter(float f) { W1("freq_scatter", f); }
+  void set_phase_ratio1(float f) { W1("phase_ratio1", f); }
+  void set_phase_ratio2(float f) { W1("phase_ratio2", f); }
+  void setAngleIncrements(float f) { W1("angle_increments", f); }
+  void set_length(float f) { W1("length", f); }
+  void setLoudnessParams(int sr, int low_index, float log_ratio,
+                         float level) {
+    std::printf("W loudness %d %d %.17g %.17g\n", sr, low_index,
+                double(log_ratio), double(level));
+  }
+  void setFiltersOrder(int o) { W1("filters_order", o); }
+  template <typename T>
+  void setGains(T&& gains) {
+    std::printf("W gains");
+    for (float g : gains) std::printf(" %.17g", double(g));
+    std::printf("\n");
+  }
+  bool initialize_sweep(float lo, float hi) {
+    W2("init_sweep", lo, hi);
+    return true;
+  }
+  void set_freq_xfade(int n) { W1("freq_xfade", n); }
+  void set_freq_interpolation(itp::interpolation i) {
+    W1("freq_itp", double(int(i)));
+  }
+  bool initialize_birds(int s, int p, int m, int a, ae::SoundEngineInitPolicy,
+                        imajuscule::audio::FreqXfade x, int pause) {
+    std::printf("W init_birds %d %d %d %d %d %d\n", s, p, m, a,
+                int(static_cast<unsigned char>(x)), pause);
+    return true;
+  }
+  bool initialize_wind(int s, int p, int m, int a,
+                       ae::SoundEngineInitPolicy) {
+    std::printf("W init_wind %d %d %d %d\n", s, p, m, a);
+    return true;
+  }
+  void set_d1(float f) { W1("d1", f); }
+  void set_d2(float f) { W1("d2", f); }
+  void set_har_att(float f) { W1("har_att", f); }
+  bool initialize_robot(int s, int p, int m, int a, ae::SoundEngineInitPolicy,
+                        int pause) {
+    std::printf("W init_robot %d %d %d %d %d\n", s, p, m, a, pause);
+    return true;
+  }
+};
+
+struct ProbeElement {
+  static constexpr int count_channels = 2;
+  ProbeEngine engine;
+  ProbeEngine& getOsc() { return engine; }
+};
+
+struct DummyPD {};
+
+template <imajuscule::audio::voice::Mode M>
+struct VoiceDumper
+    : public imajuscule::audio::voice::ImplBase<M, std::vector<float>,
+                                                DummyPD> {
+  template <typename E>
+  bool setup(float freq, E& e, int sr) {
+    return this->setupAudioElement(freq, e, sr);
+  }
+};
+
+// Mirrors the thread_local auto-seed protocol in setupAudioElement
+// (gen.voice.h:909-925): SEED param 0 -> seed increments per note. The
+// counter is a thread_local INSIDE the ImplBase<MODE,...> member function,
+// so each mode's instantiation counts from 1 independently.
+static int g_expected_seed = 0;
+
+template <imajuscule::audio::voice::Mode M>
+static void dump_voice_mode(int mode_id, int sr, float freq) {
+  g_expected_seed = 0;
+  VoiceDumper<M> v;
+  v.initializeSlow();
+  int const n = v.countPrograms();
+  std::printf("COUNT %d %d\n", mode_id, n);
+  for (int i = 0; i < n; ++i) {
+    auto const& prog = v.getProgram(i);
+    std::printf("NAME %d %d %s\n", mode_id, i, prog.name.c_str());
+    std::printf("NP %d\n", int(prog.params.size()));
+    for (std::size_t j = 0; j < prog.params.size(); ++j)
+      std::printf("PARAM %d %.17g\n", int(j), double(prog.params[j]));
+    v.useProgram(i);
+    int pan_seed;
+    if (M == imajuscule::audio::voice::Mode::SWEEP) {
+      // sweep setup never reseeds (gen.voice.h:906-929 runs only for
+      // MODE != SWEEP); the driver seeds deterministically instead.
+      pan_seed = 999;
+      mersenne<SEEDED::Yes>().seed(static_cast<unsigned>(pan_seed));
+    } else {
+      ++g_expected_seed;  // value<SEED>() is 0 in every factory program
+      if (g_expected_seed > 257) g_expected_seed = 1;
+      pan_seed = g_expected_seed;
+    }
+    {  // pre-print the pan draw (first uniform(-1,1) after seeding)
+      std::mt19937 cpy(static_cast<unsigned>(pan_seed));
+      float const pan =
+          std::uniform_real_distribution<float>{-1.f, 1.f}(cpy);
+      std::printf("PANSEED %d %.17g\n", pan_seed, double(pan));
+    }
+    ProbeElement e;
+    bool const ok = v.setup(freq, e, sr);
+    std::printf("OK %d\n", ok ? 1 : 0);
+  }
+}
+
+static void dump_voice() {
+  using imajuscule::audio::voice::Mode;
+  int sr;
+  double freq;
+  if (std::scanf("%d %lf", &sr, &freq) != 2) std::exit(2);
+  g_expected_seed = 0;
+  dump_voice_mode<Mode::BIRDS>(0, sr, static_cast<float>(freq));
+  dump_voice_mode<Mode::ROBOTS>(1, sr, static_cast<float>(freq));
+  dump_voice_mode<Mode::SWEEP>(2, sr, static_cast<float>(freq));
+  dump_voice_mode<Mode::WIND>(3, sr, static_cast<float>(freq));
+}
+
+}  // namespace voice_probe
+
 int main(int argc, char** argv) {
   if (argc < 2) {
     std::fprintf(stderr,
@@ -1706,6 +1959,8 @@ int main(int argc, char** argv) {
       imajuscule::audio::maxMIDIJitter() =
           DurationNanos{std::strtoull(argv[2], nullptr, 10)};
     run_synthpool<TryAccountForTimeSourceJitter::Yes>();
+  } else if (!std::strcmp(argv[1], "voice")) {
+    voice_probe::dump_voice();
   } else if (!std::strcmp(argv[1], "windctrl")) {
     dump_windctrl();
   } else if (!std::strcmp(argv[1], "seorch")) {

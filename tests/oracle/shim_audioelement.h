@@ -72,6 +72,8 @@ struct maybeAtomic<Atomicity::Yes, T> {
 
 template <typename T>
 struct range {
+  range() = default;
+  range(T m, T M) : min_(m), max_(M) {}
   T min_ = std::numeric_limits<T>::max();
   T max_ = std::numeric_limits<T>::lowest();
   T getAt(T ratio) const { return min_ + ratio * (max_ - min_); }
@@ -197,7 +199,34 @@ struct Filter {
 template <FilterType K>
 double get_inv_square_filter_magnitude(double);
 
-struct enumTraversal {};
+// cpp.algorithms enumTraversal (recovered from usage: constructed with a
+// [begin, end) value range + a value->name lambda returning "?" for holes,
+// soundengine.cpp:4-43; consumers call realValues() to enumerate valid
+// values in order and valToRealValueIndex(val, idx) for the inverse map,
+// gen.voice.h:503-507,927-931,1009-1013).
+struct enumTraversal {
+  enumTraversal() = default;
+  template <typename F>
+  enumTraversal(unsigned int begin, unsigned int end, F namer) {
+    for (unsigned int v = begin; v < end; ++v) {
+      char const* n = namer(static_cast<int>(v));
+      if (n && std::string(n) != "?") values_.push_back(static_cast<int>(v));
+    }
+  }
+  std::vector<int> const& realValues() const { return values_; }
+  bool valToRealValueIndex(int val, int& idx) const {
+    for (std::size_t i = 0; i < values_.size(); ++i) {
+      if (values_[i] == val) {
+        idx = static_cast<int>(i);
+        return true;
+      }
+    }
+    return false;
+  }
+
+ private:
+  std::vector<int> values_;
+};
 
 // easing library (the reference's itp:: from cpp.algorithms). Curve
 // formulas mirror cpp_audio_tpu/utils/interp.py exactly, so the oracle
@@ -324,6 +353,18 @@ namespace itp {
 // whether an int is a valid interpolation enum value (used by
 // SoundEngine::set_itp fallbacks, soundengine.h:841-853)
 constexpr bool intIsReal(int i) { return i >= LINEAR && i <= EASE_INOUT_CIRC; }
+
+// itp::interpolation_traversal() (used by gen.voice.h:503,536-538,890,
+// 1009-1013 to map interpolation enum <-> program param index). The true
+// cpp.algorithms ordering is unavailable; this shim enumerates the shim's
+// own sequential enum (identity index<->value), the same recovered
+// assumption utils/interp.py's Itp numbering rests on (docs/FIDELITY.md).
+inline enumTraversal const& interpolation_traversal() {
+  static enumTraversal t(static_cast<unsigned int>(LINEAR),
+                         static_cast<unsigned int>(EASE_INOUT_CIRC) + 1u,
+                         [](int) -> char const* { return "itp"; });
+  return t;
+}
 }  // namespace itp
 
 // ---- cpp.algorithms surface for soundengine.h ----

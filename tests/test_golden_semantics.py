@@ -204,12 +204,12 @@ FINGERPRINTS = {
     ("birds", "Rhythmic bird"): [-22.44, -23.56, -18.67, -15.54, -8.59, 10.67, 49.42, 55.1, -1.73, -19.33, -29.35, -36.43],
     ("birds", "Slow bird"): [-41.95, -41.31, -38.2, -35.16, -31.87, -24.9, 8.94, 53.64, -20.0, -37.89, -47.19, -53.51],
     ("birds", "BiTone bird"): [-37.2, -34.65, -31.85, -28.08, -21.18, 2.94, 54.72, 56.86, -19.67, -36.25, -45.34, -51.56],
-    ("birds", "Happy bird 1"): [-12.29, -9.38, -5.58, -0.46, 6.17, 16.65, 55.0, 56.56, 14.05, 11.02, 8.8, 7.28],
-    ("birds", "Happy bird 2"): [-9.23, -7.03, -4.86, -2.52, 0.03, 3.77, 55.5, 53.4, 21.82, 9.8, 6.15, 4.19],
+    ("birds", "Happy bird 1"): [-3.41, -1.12, 1.34, 4.41, 8.76, 17.33, 55.01, 56.56, 13.39, 10.27, 8.02, 6.49],
+    ("birds", "Happy bird 2"): [-3.99, -1.80, 0.34, 2.61, 4.99, 8.19, 55.50, 53.40, 20.98, 4.51, -3.40, -9.68],
     ("birds", "Laughing bird"): [-0.77, 1.48, 3.63, 5.94, 8.51, 12.42, 54.72, 54.26, 16.3, 8.67, 4.91, 2.81],
     ("birds", "Talkative bird"): [-0.11, 2.11, 4.32, 6.76, 9.53, 13.16, 55.91, 55.82, 15.83, 10.21, 7.18, 5.36],
     ("robots", "R2D2"): [-9.6, -11.83, 2.47, 7.95, 54.21, 50.19, 5.06, -8.94, -18.95, -27.26, -33.96, -39.06],
-    ("robots", "Communication"): [14.13, 16.52, 19.66, 24.41, 58.53, 56.5, 19.68, 12.48, 8.77, 6.07, 3.94, 2.45],
+    ("robots", "Communication"): [9.64, 12.08, 16.33, 22.38, 58.53, 56.51, 22.58, 17.68, 14.92, 12.63, 10.65, 9.22],
     ("sweep", "Sweep 1"): [75.62, 71.45, 60.46, 41.7, 36.17, 33.1, 30.63, 28.36, 26.2, 24.11, 22.21, 20.8],
     ("sweep", "Fullrange"): [19.96, 17.75, 15.52, 13.37, 11.19, 9.03, 6.85, 4.7, 2.57, 0.5, -1.4, -2.8],
 ("wind", "Medium wind in trees"): [69.99, 70.85, 70.15, 65.4, 63.19, 59.37, 55.07, 50.62, 46.16, 41.37, 37.22, 33.49],

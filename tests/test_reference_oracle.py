@@ -2097,3 +2097,174 @@ class TestScorePlaybackOracle:
         self._compare(oracle, "do re mi fa sol la si", time_unit=95.5,
                       vol=0.8, xfade=201)
         self._compare(oracle, "Do . . mi", time_unit=50.0, xfade=45)
+
+
+class TestVoicePrograms:
+    """gen.voice.h compiled as an oracle: the 27 factory programs
+    (getPrograms(), gen.voice.h:700-810), their name-sorted ordering
+    (ProgramsI, program.h:64-69), the f32 normalized storage produced by
+    make_bird/make_robot/make_sweep/make_*_wind (gen.voice.h:477-699), and
+    every engine value setupAudioElement wires (gen.voice.h:882-1037) — all
+    recorded by a probe element and compared against
+    core/params.voice_program_to_normalized + models/voice_presets.
+    effective_engine_config VALUE-FOR-VALUE (f32 exact, int-conversion
+    exact: freq_xfade/pause/slow-steps truncate, env charac time rounds).
+    """
+
+    SR = 44100
+    FREQ = 293.66
+
+    @pytest.fixture(scope="class")
+    def dump(self, oracle):
+        out = oracle("voice", input_text=f"{self.SR} {self.FREQ}\n",
+                     raw=True)
+        modes: dict[int, list[dict]] = {}
+        cur = None
+        for line in out.splitlines():
+            parts = line.split()
+            if parts[0] == "COUNT":
+                modes.setdefault(int(parts[1]), [])
+            elif parts[0] == "NAME":
+                cur = {"name": " ".join(parts[3:]), "params": [], "w": {}}
+                modes[int(parts[1])].append(cur)
+            elif parts[0] == "NP":
+                cur["np"] = int(parts[1])
+            elif parts[0] == "PARAM":
+                cur["params"].append(float(parts[2]))
+            elif parts[0] == "PANSEED":
+                cur["pan_seed"] = int(parts[1])
+                cur["pan"] = float(parts[2])
+            elif parts[0] == "W":
+                cur["w"].setdefault(parts[1], []).append(
+                    [float(v) for v in parts[2:]])
+            elif parts[0] == "OK":
+                cur["ok"] = int(parts[1])
+        return modes
+
+    MODE_IDS = None  # set below
+
+    def _progs(self, mode_id):
+        from cpp_audio_tpu.models.voice_presets import PROGRAMS, Mode
+        order = [Mode.BIRDS, Mode.ROBOTS, Mode.SWEEP, Mode.WIND]
+        return PROGRAMS[order[mode_id]]
+
+    def test_program_names_sorted_and_counts(self, dump):
+        for mode_id, expect_n in ((0, 9), (1, 2), (2, 2), (3, 14)):
+            progs = self._progs(mode_id)
+            assert len(dump[mode_id]) == expect_n
+            assert [d["name"] for d in dump[mode_id]] == \
+                [p.name for p in progs]
+            assert all(d["ok"] == 1 for d in dump[mode_id])
+
+    def test_normalized_program_arrays_exact(self, dump):
+        """The repo's normalized encoding == the reference's stored
+        program arrays, index for index, as float32."""
+        from cpp_audio_tpu.core.params import (MODE_PARAMS,
+                                               voice_program_to_normalized)
+        for mode_id in range(4):
+            for d, p in zip(dump[mode_id], self._progs(mode_id)):
+                assert d["np"] == len(MODE_PARAMS[p.mode]), p.name
+                got = voice_program_to_normalized(p).values
+                ref = np.array(d["params"])
+                assert got.shape == ref.shape, p.name
+                same = np.float32(got) == np.float32(ref)
+                assert same.all(), (
+                    p.name, [(i, float(got[i]), float(ref[i]))
+                             for i in np.nonzero(~same)[0]])
+
+    def _w1(self, d, key):
+        vals = d["w"][key]
+        flat = {tuple(v) for v in vals}
+        assert len(flat) == 1, (key, vals)  # identical across ramps/specs
+        return vals[0]
+
+    def test_effective_engine_config_exact(self, dump):
+        from cpp_audio_tpu.models.voice_presets import (
+            FreqXfade, Mode, effective_engine_config)
+        xfade_ids = {FreqXfade.NO: 0, FreqXfade.NON_TRIVIAL: 1,
+                     FreqXfade.ALL: 2}
+        f = np.float32
+        for mode_id in range(4):
+            for d, p in zip(dump[mode_id], self._progs(mode_id)):
+                cfg = effective_engine_config(p, self.SR)
+                w = d["w"]
+
+                def one(key):
+                    return self._w1(d, key)
+
+                assert one("itp") == [cfg["itp"]], p.name
+                assert one("env_charac_time") == [cfg["env_charac_time"]], \
+                    p.name
+                le = one("length_exp")
+                assert (f(le[0]), f(le[1])) == \
+                    (f(cfg["length_exp"][0]), f(cfg["length_exp"][1])), p.name
+                assert f(one("length")[0]) == f(cfg["length"]), p.name
+                lsr, lidx, lcomp, llev = one("loudness")
+                assert (lsr, lidx) == (cfg["loudness"][0],
+                                       cfg["loudness"][1]), p.name
+                assert (f(lcomp), f(llev)) == (f(cfg["loudness"][2]),
+                                               f(cfg["loudness"][3])), p.name
+                assert one("filters_order") == [cfg["filters_order"]], p.name
+                assert tuple(f(v) for v in one("gains")) == \
+                    tuple(f(v) for v in cfg["gains"]), p.name
+                # angle increments: freq_to_angle_increment(f32 freq, sr)
+                assert f(one("angle_increments")[0]) == \
+                    f(f(2.0) * f(self.FREQ) / f(self.SR)), p.name
+                # stereo pan law (stereo.h:18-27, double precision) applied
+                # to the replayed mersenne draw
+                import math
+                gl, gr = one("stereo_gain")
+                ang = 0.25 * math.pi * (min(max(d["pan"], -1.0), 1.0) + 1.0)
+                assert abs(gl - math.cos(ang)) < 1e-12, p.name
+                assert abs(gr - math.sin(ang)) < 1e-12, p.name
+
+                if "freq_scatter" in cfg:
+                    assert f(one("freq_scatter")[0]) == \
+                        f(cfg["freq_scatter"]), p.name
+                if "phase_ratio1" in cfg:
+                    assert f(one("phase_ratio1")[0]) == \
+                        f(cfg["phase_ratio1"]), p.name
+                    assert f(one("phase_ratio2")[0]) == \
+                        f(cfg["phase_ratio2"]), p.name
+
+                if p.mode is Mode.BIRDS:
+                    assert one("freq_xfade") == [cfg["freq_xfade"]], p.name
+                    assert one("freq_itp") == [cfg["freq_itp"]], p.name
+                    s, pr, mp, ad, xf, pause = one("init_birds")
+                    ci = cfg["init"]
+                    assert (s, pr, mp, ad) == ci[:4], p.name
+                    assert xf == xfade_ids[ci[4]], p.name
+                    assert pause == ci[5], p.name
+                elif p.mode is Mode.ROBOTS:
+                    assert f(one("d1")[0]) == f(cfg["d1"]), p.name
+                    assert f(one("d2")[0]) == f(cfg["d2"]), p.name
+                    assert f(one("har_att")[0]) == f(cfg["har_att"]), p.name
+                    assert tuple(one("init_robot")) == cfg["init"], p.name
+                elif p.mode is Mode.SWEEP:
+                    lo, hi = one("init_sweep")
+                    assert (f(lo), f(hi)) == (f(cfg["init"][0]),
+                                              f(cfg["init"][1])), p.name
+                else:  # WIND
+                    for key in ("bp_width_range", "br_width_range"):
+                        wl, wh = one(key)
+                        assert (f(wl), f(wh)) == \
+                            (f(cfg["width_range"][0]),
+                             f(cfg["width_range"][1])), (p.name, key)
+                    for key in ("bp_center_range", "br_center_range",
+                                "spec_range"):
+                        rl, rh = one(key)
+                        assert (f(rl), f(rh)) == \
+                            (f(cfg["center_inc_range"][0]),
+                             f(cfg["center_inc_range"][1])), (p.name, key)
+                    for key in ("bp_center_n_slow_steps",
+                                "bp_width_n_slow_steps",
+                                "br_center_n_slow_steps",
+                                "br_width_n_slow_steps",
+                                "spec_long_n_slow_steps"):
+                        assert one(key) == [cfg["n_slow_steps_long"]], \
+                            (p.name, key)
+                    assert f(one("spec_short_rate")[0]) == \
+                        f(cfg["spec_short_rate"]), p.name
+                    assert f(one("spec_short_amp")[0]) == \
+                        f(cfg["spec_short_amp"]), p.name
+                    assert tuple(one("init_wind")) == cfg["init"], p.name

@@ -108,7 +108,11 @@ class TestParamPlumbing:
                     assert back.seconds_slow_iter_long == pytest.approx(
                         p.seconds_slow_iter_long, rel=1e-4)
                 if mode is vp.Mode.SWEEP:
-                    assert back.low_freq == pytest.approx(max(p.low_freq, 10.0))
+                    # unclamped like the reference: sub-10Hz lows round-trip
+                    # (to within f32 cancellation against the [10,10000]
+                    # limit range — the reference's own storage error)
+                    assert back.low_freq == pytest.approx(
+                        p.low_freq, rel=1e-4, abs=10000 * 1.5e-7)
                 if mode is vp.Mode.BIRDS:
                     assert back.xfade_freq == p.xfade_freq
                     assert back.freq_interpolation == p.freq_interpolation
@@ -121,9 +125,15 @@ class TestParamPlumbing:
                 for i, pid in enumerate(order):
                     if params.LIMITS[pid].enum_values is not None:
                         continue
-                    if pid in (params.P.SECONDS_SLOW_ITER_LONG_TERM,
-                               params.P.SECONDS_SLOW_ITER_SHORT_TERM):
-                        continue  # exponent space, may exceed [0,1] like the reference
+                    if pid in params.RAW_STORED or pid in (
+                            params.P.ORDER_FILTERS,
+                            params.P.HARMONIC_ATTENUATION,
+                            params.P.LOW_FREQ, params.P.HIGH_FREQ):
+                        # raw/offset storage or unclamped normalize: the
+                        # reference stores out-of-[0,1] values here
+                        # (negative log-space slow iters, har below its
+                        # 0.5 minimum, sub-10Hz sweep lows)
+                        continue
                     v = norm.values[i]
                     # the reference's normalize doesn't clamp — e.g. Talkative
                     # bird's xfade 0.05 exceeds Limits<XFADE_LENGTH>::M
