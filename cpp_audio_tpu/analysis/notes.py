@@ -111,17 +111,57 @@ def write_bmp(path, gray: np.ndarray) -> None:
             f.write(gray[r].tobytes() + pad)
 
 
-def resynth_deduced(notes: list[DeducedNote], n_samples: int,
-                    sample_rate: int = 44100) -> np.ndarray:
+def resynth_deduced(notes: list[DeducedNote], n_samples: int | None = None,
+                    sample_rate: int = 44100, *,
+                    stride: int = 0) -> np.ndarray:
     """Re-synthesize deduced notes with enveloped sines (include/resynth.hpp:
-    AHDSR 1000/0/1000/10000 frames, sustain 0.7, mono output)."""
+    AHDSR 1000/0/1000/10000 frames, sustain 0.7, mono output; pinned
+    waveform-for-waveform against the compiled reference by
+    tests/test_reference_oracle.py::TestResynthPool).
+
+    The reference releases each voice `stride + end - start` samples after
+    the press (resynth.hpp:97 — one extra analysis stride of sustain);
+    volumes are applied UNCLAMPED as linear targets (DbToMag of the deduced
+    dB amplitude, resynth.hpp:88). With n_samples=None the render drains
+    every envelope like the reference's final `while(!recordFrame())`.
+
+    Oscillator-slot reuse carries PHASE: `SineOscillatorAlgo::
+    forgetPastSignals()` is a no-op (audioelement.h:2388), so a note played
+    on a reused pool slot starts at the stale angle where the previous note
+    froze. A voice steps while RT-active — press through release delay +
+    max(R, 2.5-period floor) release steps + the 17-step Done1->Done2
+    window (audioelement.h:702-756) — and its slot is acquirable from the
+    following frame; the simulation below replays that slot policy and
+    angle accumulation exactly."""
     from ..core.events import Note
     from ..core.voices import schedule_from_notes
     from ..models import sine_synth
     from ..ops import envelopes
 
-    ev = [Note(i + 1, n.start_sample, n.end_sample, n.frequency,
-               min(n.volume, 1.0) * 10.0, 0.0)  # /baseVolume(0.1) net unity
+    R = 10000
+    slots: list[list[float]] = []  # [first_reusable_frame, stale_phase]
+    ordered = sorted(range(len(notes)), key=lambda i: notes[i].start_sample)
+    phases = [0.0] * len(notes)
+    for i in ordered:
+        n = notes[i]
+        press = n.start_sample
+        delay = stride + (n.end_sample - n.start_sample)
+        inc = 2.0 * n.frequency / sample_rate
+        min_change = int(0.5 + 2.5 * (2.0 / max(inc, 1e-12)))
+        steps = delay + max(R, min_change, 1) + 17
+        for slot in slots:
+            if slot[0] <= press:  # first !isEnvelopeRTActive (resynth.hpp:19)
+                break
+        else:
+            slot = [0, 0.0]
+            slots.append(slot)
+        phases[i] = slot[1]
+        slot[0] = press + steps
+        slot[1] = (slot[1] + inc * steps) % 2.0
+
+    ev = [Note(i + 1, n.start_sample, n.end_sample + stride, n.frequency,
+               n.volume * 10.0, 0.0,  # /baseVolume(0.1) net = volume
+               phase=phases[i])
           for i, n in enumerate(notes)]
     cfg = sine_synth.SineSynthConfig(
         sample_rate=sample_rate,
@@ -129,5 +169,8 @@ def resynth_deduced(notes: list[DeducedNote], n_samples: int,
                               sustain=0.7),
         n_channels=1,
     )
+    if n_samples is None:
+        last = max((n.end_sample + stride for n in notes), default=0)
+        n_samples = last + 10000 + 2048  # release + min-change margin
     sch = schedule_from_notes(ev, pad_to=8)
     return sine_synth.render_schedule(sch, n_samples, cfg)

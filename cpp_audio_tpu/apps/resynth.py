@@ -22,6 +22,7 @@
 from __future__ import annotations
 
 import argparse
+import os
 
 from ..analysis import offline_job, resynth
 
@@ -96,6 +97,14 @@ def main(argv=None):
     ap.add_argument("--checkpoint-seconds", type=float, default=5.0,
                     help="audio seconds between snapshots for --checkpoint")
     ap.add_argument("--autotune", action="store_true")
+    ap.add_argument("--deduce", action="store_true",
+                    help="note deduction path (reference main.resynth.cpp): "
+                         "deduce discrete notes, draw a piano-roll BMP next "
+                         "to the output, and re-synthesize them with the "
+                         "enveloped-sine pool (include/resynth.hpp)")
+    ap.add_argument("--min-db-span", type=float, default=-60.0,
+                    help="with --deduce: drop notes more than |span| dB "
+                         "below the loudest (main.resynth.cpp:55-70)")
     ap.add_argument("--live", action="store_true",
                     help="stream through the live duplex pipeline")
     ap.add_argument("--block-size", type=int, default=512,
@@ -210,6 +219,22 @@ def main(argv=None):
                  debug_dir=args.debug_vocoder)
         wavio.write_wav(args.output, np.asarray(out), sr)
         print(f"wrote {args.output} (vocoded)")
+        return 0
+
+    if args.deduce:
+        from ..analysis import notes as notes_mod
+
+        data, sr = wavio.read_wav(args.input)
+        cfg = resynth.ResynthConfig(sample_rate=sr)
+        deduced = notes_mod.deduce_notes(data.mean(axis=1), sr,
+                                         min_db_span=args.min_db_span,
+                                         config=cfg)
+        bmp = os.path.splitext(args.output)[0] + ".notes.bmp"
+        notes_mod.write_bmp(bmp, notes_mod.notes_image(deduced))
+        out = notes_mod.resynth_deduced(deduced, sample_rate=sr,
+                                        stride=cfg.stride)
+        wavio.write_wav(args.output, out, sr)
+        print(f"wrote {args.output} + {bmp} ({len(deduced)} notes)")
         return 0
 
     cfg = resynth.ResynthConfig(use_autotune=args.autotune)

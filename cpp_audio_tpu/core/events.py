@@ -76,6 +76,9 @@ class Note:
     velocity: float
     pan: float = 0.0
     changes: list = field(default_factory=list)
+    # start angle in rad/pi, or None for the schedule's default phase
+    # policy (setPhase, gen.crtp.h:127-156)
+    phase: float | None = None
 
 
 def events_to_notes(events, *, never: int = 2**62) -> list[Note]:

@@ -1896,6 +1896,73 @@ static void dump_voice() {
 
 }  // namespace voice_probe
 
+// Drives the reference's offline note resynthesis (include/resynth.hpp:
+// the enveloped-sine oscillator pool with active-slot reuse, AHDSR
+// 1000/0/1000/10000 frames sustain .7, per-note DbToMag volume targets,
+// frame-unstriding, and the stride + (end - start) delayed release).
+// The WAV surface is shimmed to capture samples in memory; everything
+// else (pool policy, envelope, VolumeAdjusted smoothing, sine) is the
+// reference's own compiled code. stdin: sr stride n, then n x
+// (startFrame endFrame freq amp_db); prints "S <sample>" per frame.
+#include <filesystem>
+
+namespace imajuscule::audio {
+
+// cpp.algorithms WAV surface (recovered from usage in resynth.hpp only;
+// the capture writer stores samples for the driver)
+enum class WaveFormat { IEEE_FLOAT };
+enum class ShimSampleFormat { F64 };
+template <typename T>
+struct AudioSample;
+template <>
+struct AudioSample<double> {
+  static constexpr ShimSampleFormat format = ShimSampleFormat::F64;
+};
+struct CountChannels {
+  explicit CountChannels(int v) : v(v) {}
+  int v;
+};
+struct ShimWavHeader {};
+inline ShimWavHeader pcm(WaveFormat, int, CountChannels, ShimSampleFormat) {
+  return {};
+}
+struct WAVWriter {
+  WAVWriter(std::filesystem::path const&, ShimWavHeader) {}
+  void Initialize() {}
+  void writeSample(double v) { samples().push_back(v); }
+  static std::vector<double>& samples() {
+    static std::vector<double> s;
+    return s;
+  }
+};
+// cpp.algorithms DeducedNote (recovered from resynth.hpp usage and
+// main.resynth.cpp:21-44: frequency/amplitude(dB)/startFrame/endFrame)
+template <typename T>
+struct DeducedNote {
+  T frequency;
+  T amplitude;
+  int startFrame;
+  int endFrame;
+};
+
+}  // namespace imajuscule::audio
+
+#include "resynth.hpp"
+
+static void dump_resynth() {
+  int sr, stride, n;
+  if (std::scanf("%d %d %d", &sr, &stride, &n) != 3) std::exit(2);
+  std::vector<DeducedNote<double>> notes(static_cast<size_t>(n));
+  for (auto& d : notes) {
+    if (std::scanf("%d %d %lf %lf", &d.startFrame, &d.endFrame,
+                   &d.frequency, &d.amplitude) != 4)
+      std::exit(2);
+  }
+  WAVWriter::samples().clear();
+  resynth(notes, stride, sr, "unused.wav");
+  for (double v : WAVWriter::samples()) std::printf("S %.17g\n", v);
+}
+
 int main(int argc, char** argv) {
   if (argc < 2) {
     std::fprintf(stderr,
@@ -1961,6 +2028,8 @@ int main(int argc, char** argv) {
     run_synthpool<TryAccountForTimeSourceJitter::Yes>();
   } else if (!std::strcmp(argv[1], "voice")) {
     voice_probe::dump_voice();
+  } else if (!std::strcmp(argv[1], "resynth")) {
+    dump_resynth();
   } else if (!std::strcmp(argv[1], "windctrl")) {
     dump_windctrl();
   } else if (!std::strcmp(argv[1], "seorch")) {

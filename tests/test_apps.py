@@ -161,6 +161,26 @@ def test_resynth_vocode_cli(tmp_path):
     assert (taps / "vocoded.wav").exists()
 
 
+def test_resynth_deduce_cli(tmp_path):
+    """resynth --deduce: the main.resynth.cpp scheme (deduce notes, draw the
+    piano-roll BMP, re-synthesize via the resynth.hpp pool)."""
+    from cpp_audio_tpu.apps import resynth as app
+
+    sr = 44100
+    t = np.arange(sr) / sr
+    wavio.write_wav(tmp_path / "in.wav",
+                    (0.5 * np.sin(2 * np.pi * 392 * t)).astype(np.float32), sr)
+    assert app.main([str(tmp_path / "in.wav"), str(tmp_path / "out.wav"),
+                     "--deduce"]) == 0
+    d, _ = wavio.read_wav(tmp_path / "out.wav")
+    mono = d.sum(axis=1) if d.ndim > 1 else d
+    spec = np.abs(np.fft.rfft(mono * np.hanning(len(mono))))
+    dom = np.argmax(spec) * sr / len(mono)
+    assert abs(dom - 392.0) < 4.0
+    bmp = (tmp_path / "out.notes.bmp").read_bytes()
+    assert bmp[:2] == b"BM"
+
+
 def test_tune_demo_piece(tmp_path):
     out = tmp_path / "demo.wav"
     assert tune_app.main(["--demo", str(out)]) == 0

@@ -2268,3 +2268,70 @@ class TestVoicePrograms:
                     assert f(one("spec_short_amp")[0]) == \
                         f(cfg["spec_short_amp"]), p.name
                     assert tuple(one("init_wind")) == cfg["init"], p.name
+
+
+class TestResynthPool:
+    """include/resynth.hpp compiled as an oracle: the offline note
+    resynthesis pool (enveloped VolumeAdjusted sines, AHDSR 1000/0/1000/
+    10000 sustain .7, DbToMag volume targets, frame unstriding, the
+    stride + end - start delayed release, oscillator-slot reuse) vs
+    analysis/notes.resynth_deduced. Only the WAV writer is shimmed — the
+    pool policy, envelope, volume smoothing and sine are reference code.
+    """
+
+    def _run(self, oracle, sr, stride, rows):
+        lines = [f"{sr} {stride} {len(rows)}"]
+        lines += [f"{s} {e} {f!r} {db!r}" for (s, e, f, db) in rows]
+        out = oracle("resynth", input_text="\n".join(lines) + "\n", raw=True)
+        ref = np.array([float(l.split()[1]) for l in out.splitlines()
+                        if l.startswith("S ")])
+
+        from cpp_audio_tpu.analysis.notes import DeducedNote, resynth_deduced
+        notes = [
+            DeducedNote(midi_pitch=0.0, frequency=f,
+                        start_sample=s * stride, end_sample=e * stride,
+                        volume=float(10.0 ** (db / 20.0)))
+            for (s, e, f, db) in rows
+        ]
+        got = resynth_deduced(notes, sample_rate=sr, stride=stride)[:, 0]
+        n = min(len(ref), len(got))
+        assert n > stride * max(e for (_, e, _, _) in rows)
+        peak = np.max(np.abs(ref)) or 1.0
+        np.testing.assert_allclose(got[:n], ref[:n], atol=5e-6 * peak,
+                                   rtol=0)
+        # everything past the compared prefix is release tail / silence
+        assert np.max(np.abs(got[n:]), initial=0.0) <= 5e-6 * peak \
+            or len(got) <= n
+
+    def test_single_note(self, oracle):
+        self._run(oracle, 44100, 128, [(2, 40, 440.0, -6.0)])
+
+    def test_overlapping_and_pool_reuse(self, oracle):
+        rows = [
+            (0, 30, 392.0, -10.0),
+            (10, 50, 523.25, -3.0),
+            (160, 200, 261.63, -14.0),  # reuses a released slot
+        ]
+        self._run(oracle, 44100, 128, rows)
+
+    def test_volume_above_unity_unclamped(self, oracle):
+        # +3 dB: the reference applies DbToMag targets unclamped
+        self._run(oracle, 44100, 64, [(0, 60, 330.0, 3.0)])
+
+    def test_low_freq_min_change_floor(self, oracle):
+        # 40 Hz: the 2.5-period anti-crack floor exceeds the xfade
+        self._run(oracle, 44100, 128, [(1, 30, 40.0, -6.0)])
+
+    @pytest.mark.parametrize("seed", [3, 11])
+    def test_randomized_reuse_schedule(self, oracle, seed):
+        # dense random schedules exercise slot scanning + stale-phase carry
+        rng = np.random.default_rng(seed)
+        stride = 64
+        rows, t = [], 0
+        for _ in range(8):
+            t += int(rng.integers(0, 120))
+            dur = int(rng.integers(3, 80))
+            freq = float(rng.uniform(60.0, 2500.0))
+            db = float(rng.uniform(-24.0, 2.0))
+            rows.append((t, t + dur, round(freq, 3), round(db, 3)))
+        self._run(oracle, 44100, stride, rows)
