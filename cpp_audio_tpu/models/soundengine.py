@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import oscillators
+from ..ops import filters, oscillators
 from ..utils import loudness
 from ..utils.convert import freq_to_angle_increment, ms_to_frames
 from ..utils.interp import ease_select
@@ -292,7 +292,7 @@ class SoundEngineScheduler:
 # ---- device renderer ----
 
 def _loudness_lut(low_index: int, log_ratio: float, level: float, sample_rate: int,
-                  n: int = 512):
+                  n: int = 4096):
     """Equal-loudness volume as a dense lookup over log2(increment)."""
     log2_inc = np.linspace(-18.0, 1.0, n)  # inc 4e-6 .. 2 (rad/pi)
     freqs = (2.0**log2_inc) * 0.5 * sample_rate
@@ -393,6 +393,15 @@ def _render_specs(fp, itp_codes, gains, t0, lut, lut_lo, lut_step,
     i0 = idx.astype(jnp.int32)
     fracl = idx - i0
     lvol = lut[i0] * (1.0 - fracl) + lut[i0 + 1] * fracl
+    # the reference LOW-PASSES the loudness target with time constant = the
+    # current period (BaseVolumeAdjusted::step, audioelement.h:1195-1216:
+    # alpha_t = 1 - exp(-pi*inc_t), filter initialized AT the first target) —
+    # a time-varying EMA, solved exactly with the chunked affine scan.
+    # Skipping it costs ~ -74 dB vs the compiled reference engine; with it the
+    # f64 render sits at ~ -97 dB (residual = the reference's f32 loudness).
+    al = 1.0 - jnp.exp(-jnp.asarray(np.pi, wdt) * inc)
+    al = jnp.where(k == 0.0, 1.0, al)
+    lvol = filters.chunked_affine_scan(1.0 - al, al * lvol, axis=-1)
 
     # xfade envelope: linear attack A from k=0, linear release R at rl
     env_a = jnp.clip((k + 1.0) / A, 0.0, 1.0)
@@ -427,9 +436,15 @@ def _render_specs(fp, itp_codes, gains, t0, lut, lut_lo, lut_step,
 def render_program(program: VoiceProgram, base_freq: float, n_samples: int,
                    sample_rate: int = 44100, *, seed: int = 1, velocity: float = 1.0,
                    pan: float | None = None, n_channels: int = 2,
-                   dtype: str = "float32") -> np.ndarray:
-    """Render one SoundEngine note (the `birds` app path) to (n_samples, C)."""
+                   dtype: str = "float32", rng=None) -> np.ndarray:
+    """Render one SoundEngine note (the `birds` app path) to (n_samples, C).
+
+    rng overrides the scheduler's random source (the compiled-reference
+    waveform oracle replays the reference's exact draw sequence through it).
+    """
     sched = SoundEngineScheduler(program, sample_rate, base_freq, seed=seed)
+    if rng is not None:
+        sched.rng = rng
     specs = sched.build_specs()
     if not specs:
         return np.zeros((n_samples, n_channels))

@@ -60,6 +60,73 @@ def linear_recurrence(a, b, y0=0.0, *, axis: int = -1):
     return y
 
 
+def chunked_affine_scan(a, b, y0=0.0, *, axis: int = -1, chunk: int = 64):
+    """Exact y[t] = a[t]*y[t-1] + b[t], compile-light at long L.
+
+    Same recurrence as `linear_recurrence`, but shaped for XLA the way
+    `oscillators.chunked_cumsum` shapes prefix sums: reshape time into
+    (L/chunk, chunk) so the sequential dependency runs only over the chunk
+    axis — an unrolled loop of `chunk` fused elementwise steps, each
+    vectorized over all (batch, L/chunk) lanes at once — then recurse on the
+    per-chunk carries (depth log_chunk L). `lax.associative_scan`'s
+    slice/concat ladder compiles pathologically at L ~ 1e5 and a plain
+    `lax.scan` costs ~0.2 ms per step on TPU regardless of body size; this
+    form compiles in milliseconds and runs as a handful of fused kernels.
+
+    Exact (not closed-form): every output is produced by the literal
+    recurrence; chunk carries re-enter through the within-chunk cumulative
+    coefficient product, so ordering differs from the sequential evaluation
+    only by one product/add association per chunk boundary.
+    """
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    a, b = jnp.broadcast_arrays(a, b)
+    if axis != -1 and axis != b.ndim - 1:
+        a = jnp.moveaxis(a, axis, -1)
+        b = jnp.moveaxis(b, axis, -1)
+    L = b.shape[-1]
+    # fold y0 into the first step: y[0] = a[0]*y0 + b[0]
+    y0 = jnp.asarray(y0, b.dtype)
+    b = jnp.concatenate(
+        [b[..., :1] + a[..., :1] * jnp.expand_dims(y0, -1), b[..., 1:]],
+        axis=-1)
+
+    def scan_flat(a, b):
+        L = b.shape[-1]
+        if L <= 1:
+            return b
+        c = min(chunk, L)
+        pad = (-L) % c
+        if pad:
+            # identity steps: y stays on the previous value
+            a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)],
+                        constant_values=1)
+            b = jnp.pad(b, [(0, 0)] * (b.ndim - 1) + [(0, pad)])
+        nc = (L + pad) // c
+        ac = a.reshape(*a.shape[:-1], nc, c)
+        bc = b.reshape(*b.shape[:-1], nc, c)
+        y, P = bc[..., 0], ac[..., 0]
+        ys, Ps = [y], [P]
+        for t in range(1, c):
+            y = ac[..., t] * y + bc[..., t]
+            P = P * ac[..., t]
+            ys.append(y)
+            Ps.append(P)
+        ylocal = jnp.stack(ys, axis=-1)
+        Ploc = jnp.stack(Ps, axis=-1)
+        # carries: z[k] = A[k]*z[k-1] + B[k] over the chunk axis
+        z = scan_flat(Ploc[..., -1], ylocal[..., -1])
+        carry = jnp.concatenate([jnp.zeros_like(z[..., :1]), z[..., :-1]],
+                                axis=-1)
+        out = ylocal + Ploc * carry[..., None]
+        return out.reshape(*b.shape[:-1], L + pad)[..., :L]
+
+    out = scan_flat(a, b)
+    if axis != -1 and axis != out.ndim - 1:
+        out = jnp.moveaxis(out, -1, axis)
+    return out
+
+
 def onepole_lowpass(x, alpha, y0=0.0, *, axis: int = -1):
     """y[t] = y[t-1] + alpha*(x[t] - y[t-1]); alpha scalar, per-voice or per-sample."""
     x = jnp.asarray(x)

@@ -577,6 +577,70 @@ static void run_soundengine(int sr, double base_freq, double length,
   }
 }
 
+// Full per-sample WAVEFORM render of the reference SoundEngine (BIRDS/
+// ROBOTS/SWEEP): the 3-ramp rotation, AHDSR xfade envelopes
+// (soundengine.h:777-801), LogRamp glides, the per-sample loudness-adjusted
+// volume smoothing (LoudnessVolumeAdjusted over the shim Filter law), and
+// the articulative orchestration — everything models/soundengine.py's
+// batched renderer reassembles. stdin: the run_soundengine surface +
+// xfade_len pr1 pr2 n_steps; prints "V <sample>" per step.
+template <audioelement::SoundEngineMode M>
+static void run_serender(int sr, double base_freq, double length,
+                         double freq_scatter, double d1, double d2,
+                         double har_att, double exp_min, double exp_max,
+                         int itp_, int freq_itp, int xfade_mode,
+                         int freq_xfade, int start, int pre, int minpath,
+                         int addl, int pause, double low, double high,
+                         int xfade_len, double pr1, double pr2,
+                         long n_steps) {
+  using namespace audioelement;
+  SoundEngine<M, 1, Atomicity::No, OracleLogger> eng;
+  eng.set_sample_rate(sr);
+  eng.setAngleIncrements(
+      freq_to_angle_increment(static_cast<float>(base_freq), sr));
+  eng.set_length(static_cast<float>(length));
+  eng.set_freq_scatter(static_cast<float>(freq_scatter));
+  eng.set_d1(static_cast<float>(d1));
+  eng.set_d2(static_cast<float>(d2));
+  eng.set_har_att(static_cast<float>(har_att));
+  eng.set_length_exp(static_cast<float>(exp_min),
+                     static_cast<float>(exp_max));
+  eng.set_itp(static_cast<itp::interpolation>(itp_));
+  eng.set_freq_interpolation(static_cast<itp::interpolation>(freq_itp));
+  eng.set_freq_xfade(freq_xfade);
+  eng.set_phase_ratio1(static_cast<float>(pr1));
+  eng.set_phase_ratio2(static_cast<float>(pr2));
+  eng.setEnvelopeCharacTime(xfade_len);
+  eng.setLoudnessParams(sr, 5, 1.f, 30.f);
+  bool ok = false;
+  if constexpr (M == SoundEngineMode::BIRDS)
+    ok = eng.initialize_birds(start, pre, minpath, addl,
+                              SoundEngineInitPolicy::StartAfresh,
+                              static_cast<FreqXfade>(xfade_mode), pause);
+  else if constexpr (M == SoundEngineMode::ROBOTS)
+    ok = eng.initialize_robot(start, pre, minpath, addl,
+                              SoundEngineInitPolicy::StartAfresh, pause);
+  else
+    ok = eng.initialize_sweep(static_cast<float>(low),
+                              static_cast<float>(high));
+  std::printf("OK %d\n", ok ? 1 : 0);
+  auto& specs = eng.getRampsSpecs();
+  for (unsigned i = 0; i < specs.end; ++i) {
+    auto& c = specs.a[i];
+    std::printf("S %.17g %.17g %.17g %.17g %d\n",
+                double(c.get().getAngleIncrementFrom()),
+                double(c.get().getAngleIncrementTo()),
+                double(c.get().get_duration_in_samples()),
+                double(c.volume()), c.getSilenceFollows() ? 1 : 0);
+  }
+  eng.tryAcquire();
+  eng.onKeyPressed(0);
+  for (long t = 0; t < n_steps; ++t) {
+    eng.step();
+    std::printf("V %.17g\n", double(eng.imag()));
+  }
+}
+
 // Orchestration timing: step the engine per sample and print the sample
 // index at which each spec starts playing (playNextSpec advances
 // ramp_specs.it — soundengine.h:738-803: release scheduled xfade before the
@@ -2032,6 +2096,43 @@ int main(int argc, char** argv) {
     dump_resynth();
   } else if (!std::strcmp(argv[1], "windctrl")) {
     dump_windctrl();
+  } else if (!std::strcmp(argv[1], "serender")) {
+    // mode seed sr base_freq length scatter d1 d2 har emin emax itp fitp
+    // xmode fxf start pre minp addl pause low high xfade_len pr1 pr2
+    // n_steps npre
+    int mode, seed, sr, itp_, fitp, xmode, fxf, start, pre, minp, addl,
+        pause, xfl, npre;
+    long n;
+    double bf, len, sc, d1, d2, har, emin, emax, low, high, pr1, pr2;
+    if (std::scanf("%d %d %d %lf %lf %lf %lf %lf %lf %lf %lf %d %d %d %d "
+                   "%d %d %d %d %d %lf %lf %d %lf %lf %ld %d",
+                   &mode, &seed, &sr, &bf, &len, &sc, &d1, &d2, &har, &emin,
+                   &emax, &itp_, &fitp, &xmode, &fxf, &start, &pre, &minp,
+                   &addl, &pause, &low, &high, &xfl, &pr1, &pr2, &n,
+                   &npre) != 27)
+      return 2;
+    mersenne<SEEDED::Yes>().seed(static_cast<unsigned>(seed));
+    for (int i = 0; i < npre; ++i) {
+      auto cpyf = mersenne<SEEDED::Yes>();
+      cpyf.discard(static_cast<unsigned long long>(i));
+      auto cpyi = cpyf;
+      float const u = std::uniform_real_distribution<float>{0.f, 1.f}(cpyf);
+      int const b = std::uniform_int_distribution<>{0, 1}(cpyi);
+      std::printf("U %d %.17g %d\n", i, double(u), b);
+    }
+    using audioelement::SoundEngineMode;
+    if (mode == 0)
+      run_serender<SoundEngineMode::BIRDS>(
+          sr, bf, len, sc, d1, d2, har, emin, emax, itp_, fitp, xmode, fxf,
+          start, pre, minp, addl, pause, low, high, xfl, pr1, pr2, n);
+    else if (mode == 1)
+      run_serender<SoundEngineMode::ROBOTS>(
+          sr, bf, len, sc, d1, d2, har, emin, emax, itp_, fitp, xmode, fxf,
+          start, pre, minp, addl, pause, low, high, xfl, pr1, pr2, n);
+    else
+      run_serender<SoundEngineMode::SWEEP>(
+          sr, bf, len, sc, d1, d2, har, emin, emax, itp_, fitp, xmode, fxf,
+          start, pre, minp, addl, pause, low, high, xfl, pr1, pr2, n);
   } else if (!std::strcmp(argv[1], "seorch")) {
     // seed sr base_freq length scatter emin emax itp xmode fxf pre minp
     // addl pause xfade_len n_steps

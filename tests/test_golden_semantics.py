@@ -199,19 +199,22 @@ def band_fingerprint(mono: np.ndarray, sr: int = 44100, n_bands: int = 12):
 # width-modulated compensated band-pass; the reference tames it with the
 # master limiter+clamp, out.h:605-648).
 FINGERPRINTS = {
-    ("birds", "Standard & Cute bird"): [-41.2, -39.51, -36.83, -33.93, -29.78, -21.71, 39.06, 56.86, -17.6, -36.08, -46.26, -53.17],
-    ("birds", "Scat bird"): [-26.29, -22.38, -21.08, -16.65, -11.55, 4.73, 55.97, 57.27, -4.53, -21.74, -32.2, -38.55],
-    ("birds", "Rhythmic bird"): [-22.44, -23.56, -18.67, -15.54, -8.59, 10.67, 49.42, 55.1, -1.73, -19.33, -29.35, -36.43],
-    ("birds", "Slow bird"): [-41.95, -41.31, -38.2, -35.16, -31.87, -24.9, 8.94, 53.64, -20.0, -37.89, -47.19, -53.51],
-    ("birds", "BiTone bird"): [-37.2, -34.65, -31.85, -28.08, -21.18, 2.94, 54.72, 56.86, -19.67, -36.25, -45.34, -51.56],
-    ("birds", "Happy bird 1"): [-3.41, -1.12, 1.34, 4.41, 8.76, 17.33, 55.01, 56.56, 13.39, 10.27, 8.02, 6.49],
+    # (regenerated when the period-tracked loudness-volume smoothing landed —
+    # render oracled at -95 dB vs the compiled reference engine,
+    # tests/test_reference_oracle.py::TestSoundEngineWaveformOracle)
+    ("birds", "Standard & Cute bird"): [-40.55, -39.05, -36.45, -33.29, -29.36, -21.61, 39.06, 56.86, -17.68, -36.60, -47.19, -54.36],
+    ("birds", "Scat bird"): [-24.94, -21.55, -20.23, -15.92, -10.89, 4.72, 55.99, 57.29, -4.47, -23.21, -34.07, -41.49],
+    ("birds", "Rhythmic bird"): [-21.05, -22.16, -17.48, -14.79, -8.07, 9.90, 49.43, 55.10, -1.39, -19.77, -30.25, -37.22],
+    ("birds", "Slow bird"): [-41.94, -41.19, -38.24, -35.12, -31.86, -24.86, 8.94, 53.64, -19.99, -37.89, -47.20, -53.51],
+    ("birds", "BiTone bird"): [-37.09, -34.56, -31.90, -28.20, -21.30, 2.93, 54.72, 56.86, -19.67, -36.29, -45.34, -51.56],
+    ("birds", "Happy bird 1"): [-3.41, -1.12, 1.33, 4.41, 8.76, 17.33, 55.00, 56.57, 13.39, 10.27, 8.02, 6.49],
     ("birds", "Happy bird 2"): [-3.99, -1.80, 0.34, 2.61, 4.99, 8.19, 55.50, 53.40, 20.98, 4.51, -3.40, -9.68],
-    ("birds", "Laughing bird"): [-0.77, 1.48, 3.63, 5.94, 8.51, 12.42, 54.72, 54.26, 16.3, 8.67, 4.91, 2.81],
-    ("birds", "Talkative bird"): [-0.11, 2.11, 4.32, 6.76, 9.53, 13.16, 55.91, 55.82, 15.83, 10.21, 7.18, 5.36],
-    ("robots", "R2D2"): [-9.6, -11.83, 2.47, 7.95, 54.21, 50.19, 5.06, -8.94, -18.95, -27.26, -33.96, -39.06],
-    ("robots", "Communication"): [9.64, 12.08, 16.33, 22.38, 58.53, 56.51, 22.58, 17.68, 14.92, 12.63, 10.65, 9.22],
-    ("sweep", "Sweep 1"): [75.62, 71.45, 60.46, 41.7, 36.17, 33.1, 30.63, 28.36, 26.2, 24.11, 22.21, 20.8],
-    ("sweep", "Fullrange"): [19.96, 17.75, 15.52, 13.37, 11.19, 9.03, 6.85, 4.7, 2.57, 0.5, -1.4, -2.8],
+    ("birds", "Laughing bird"): [-0.77, 1.48, 3.63, 5.94, 8.51, 12.42, 54.72, 54.26, 16.30, 8.67, 4.91, 2.81],
+    ("birds", "Talkative bird"): [-0.12, 2.09, 4.31, 6.75, 9.53, 13.18, 55.97, 55.82, 15.83, 10.21, 7.17, 5.36],
+    ("robots", "R2D2"): [-9.60, -11.82, 2.46, 7.95, 54.21, 50.19, 5.06, -8.94, -18.95, -27.25, -33.96, -39.06],
+    ("robots", "Communication"): [9.63, 12.07, 16.32, 22.37, 58.53, 56.51, 22.58, 17.68, 14.93, 12.63, 10.66, 9.22],
+    ("sweep", "Sweep 1"): [75.65, 71.71, 60.63, 41.83, 36.30, 33.24, 30.77, 28.50, 26.34, 24.25, 22.35, 20.94],
+    ("sweep", "Fullrange"): [19.96, 17.75, 15.52, 13.37, 11.19, 9.03, 6.85, 4.70, 2.57, 0.50, -1.40, -2.80],
 ("wind", "Medium wind in trees"): [69.99, 70.85, 70.15, 65.4, 63.19, 59.37, 55.07, 50.62, 46.16, 41.37, 37.22, 33.49],
 ("wind", "Steady wind"): [35.75, 52.42, 62.18, 66.55, 70.49, 68.72, 62.82, 52.79, 39.15, 25.19, 19.38, 17.69],
 ("wind", "Strong wind"): [71.03, 71.23, 71.48, 68.91, 68.97, 66.39, 61.35, 53.37, 41.71, 27.32, 16.96, 14.06],

@@ -264,6 +264,36 @@ class TestFilters:
         for v in range(4):
             np.testing.assert_allclose(y[v], reference_onepole(x[v], 0.3), atol=1e-5)
 
+    @pytest.mark.parametrize("shape,axis", [((257,), -1), ((3, 1000), -1),
+                                            ((100, 4), 0), ((5,), -1),
+                                            ((2, 64), -1)])
+    def test_chunked_affine_scan_exact(self, shape, axis):
+        """chunked_affine_scan == the sequential recurrence (f64 exact up to
+        one re-association per chunk boundary) at lengths spanning multiple
+        recursion levels, non-multiple-of-chunk padding, and leading time
+        axes."""
+        rng = np.random.default_rng(7)
+        a = rng.uniform(0.0, 1.0, shape)
+        b = rng.standard_normal(shape)
+        y = np.asarray(filters.chunked_affine_scan(
+            jnp.array(a), jnp.array(b), y0=0.25, axis=axis, chunk=16))
+        am = np.moveaxis(a, axis, -1).reshape(-1, shape[axis])
+        bm = np.moveaxis(b, axis, -1).reshape(-1, shape[axis])
+        ym = np.moveaxis(y, axis, -1).reshape(-1, shape[axis])
+        for r in range(am.shape[0]):
+            prev = 0.25
+            for t in range(am.shape[1]):
+                prev = am[r, t] * prev + bm[r, t]
+                assert ym[r, t] == pytest.approx(prev, rel=1e-12, abs=1e-12)
+
+    def test_chunked_affine_scan_matches_linear_recurrence(self):
+        rng = np.random.default_rng(8)
+        a = rng.uniform(0.0, 1.0, (4, 300))
+        b = rng.standard_normal((4, 300))
+        y1 = np.asarray(filters.linear_recurrence(jnp.array(a), jnp.array(b)))
+        y2 = np.asarray(filters.chunked_affine_scan(jnp.array(a), jnp.array(b)))
+        np.testing.assert_allclose(y1, y2, atol=1e-10)
+
     def test_cascade_order(self):
         rng = np.random.default_rng(3)
         x = rng.standard_normal(128)

@@ -951,6 +951,103 @@ class TestSoundEngineOracle:
         assert got[: len(presses)] == presses
 
 
+class TestSoundEngineWaveformOracle:
+    """models/soundengine.render_program vs the reference engine's FULL
+    per-sample WAVEFORM (SoundEngine<M>::step via Mix<LoudnessVolumeAdjusted<
+    Sine>>, soundengine.h:240-1124): LogRamp glides, AHDSR xfade envelopes
+    with the 2.5-period anti-crack floor, the per-sample period-tracked
+    loudness-volume smoothing (BaseVolumeAdjusted::step,
+    audioelement.h:1195-1216), aliasing gain, and orchestration — everything
+    the batched closed-form renderer reassembles, under a replayed random
+    sequence. f64 render matches the compiled reference below -85 dB
+    (residual = the reference's own f32 loudness math)."""
+
+    # (id, seed, base_freq, program kwargs) — the oracle line is derived
+    # from effective_engine_config so both sides see the reference's exact
+    # f32 program-storage values
+    CASES = [
+        ("birds", 7, 220.0, dict(
+            mode="BIRDS", pre_tries=2, min_path_length=8, additional_tries=4,
+            interpolation=4, freq_scatter=0.2, length_ms=93.0,
+            articulative_pause_seconds=100 / 44100.0)),
+        ("birds-xfade", 42, 329.6, dict(
+            mode="BIRDS", pre_tries=2, min_path_length=10,
+            additional_tries=4, interpolation=4, freq_scatter=0.1,
+            length_ms=93.0, xfade_freq="NON_TRIVIAL",
+            xfade_seconds=3000 / 44100.0, freq_interpolation=18,
+            articulative_pause_seconds=2205 / 44100.0)),
+        ("robot", 11, 880.0, dict(
+            mode="ROBOTS", min_path_length=9, additional_tries=5,
+            interpolation=4, freq_scatter=0.1, length_ms=70.0, d1=12.0,
+            d2=24.0, harmonic_attenuation=0.6, length_exponent=1.5,
+            length_exponent_scatter=1.0 / 3.0,
+            articulative_pause_seconds=1000 / 44100.0)),
+        ("sweep", 3, 440.0, dict(
+            mode="SWEEP", min_path_length=1, interpolation=0,
+            length_ms=1000.0, length_exponent=0.0, low_freq=100.0,
+            high_freq=2000.0)),
+        ("robot-phase-ratio", 23, 440.0, dict(
+            mode="ROBOTS", min_path_length=6, additional_tries=3,
+            interpolation=4, freq_scatter=0.05, length_ms=120.0, d1=7.0,
+            d2=14.0, harmonic_attenuation=0.5, length_exponent=1.5,
+            length_exponent_scatter=1.0 / 3.0, phase_ratio1=0.3,
+            articulative_pause_seconds=500 / 44100.0)),
+    ]
+
+    @pytest.mark.parametrize("case", CASES, ids=[c[0] for c in CASES])
+    def test_waveform_matches(self, oracle, case):
+        from cpp_audio_tpu.models import soundengine as se
+        from cpp_audio_tpu.models.voice_presets import (
+            FreqXfade, Mode, VoiceProgram, effective_engine_config)
+
+        _, seed, base_freq, kw = case
+        kw = dict(kw)
+        kw["mode"] = Mode[kw["mode"]]
+        if "xfade_freq" in kw:
+            kw["xfade_freq"] = FreqXfade[kw["xfade_freq"]]
+        prog = VoiceProgram(name="oracle", gain=1.0, sine_gain=1.0, **kw)
+        sr = 44100
+        n = 120000
+        eff = effective_engine_config(prog, sr)
+        emin, emax = eff["length_exp"]
+        mode_id = {Mode.BIRDS: 0, Mode.ROBOTS: 1, Mode.SWEEP: 2}[prog.mode]
+        xmode = {FreqXfade.NO: 0, FreqXfade.NON_TRIVIAL: 1,
+                 FreqXfade.ALL: 2}[prog.xfade_freq]
+        pause = (eff["init"][-1]
+                 if prog.mode in (Mode.BIRDS, Mode.ROBOTS) else 0)
+        line = (f"{mode_id} {seed} {sr} {base_freq!r} {eff['length']!r} "
+                f"{eff.get('freq_scatter', 0.0)!r} {prog.d1!r} {prog.d2!r} "
+                f"{min(max(prog.harmonic_attenuation, 0.0), 0.99)!r} "
+                f"{emin!r} {emax!r} {eff['itp']} {prog.freq_interpolation} "
+                f"{xmode} {eff.get('freq_xfade', 6174)} {prog.start_node} "
+                f"{prog.pre_tries} {prog.min_path_length} "
+                f"{prog.additional_tries} {pause} {prog.low_freq!r} "
+                f"{prog.high_freq!r} {eff['env_charac_time']} "
+                f"{eff.get('phase_ratio1', 0.0)!r} "
+                f"{eff.get('phase_ratio2', 0.0)!r} {n} 120")
+        out = oracle("serender", input_text=line + "\n", raw=True)
+        rows, V, ok = [], [], None
+        for l in out.splitlines():
+            p = l.split()
+            if p[0] == "U":
+                rows.append((int(p[1]), float(p[2]), int(p[3])))
+            elif p[0] == "OK":
+                ok = int(p[1])
+            elif p[0] == "V":
+                V.append(float(p[1]))
+        assert ok == 1 and len(V) == n
+        ref = np.array(V)
+
+        got = se.render_program(prog, base_freq, n, sr, velocity=1.0,
+                                pan=0.0, n_channels=1, dtype="float64",
+                                rng=_ReplayRNG(rows))[:, 0]
+        peak = np.abs(ref).max()
+        assert peak > 0
+        rel_rms = np.sqrt(np.mean((got - ref) ** 2)) / peak
+        assert 20 * np.log10(rel_rms + 1e-300) < -85.0, \
+            20 * np.log10(rel_rms + 1e-300)
+
+
 def scalar_wind_ctrl(table, n_slow_long, inc_min, inc_max, amp, ratio,
                      n_steps):
     """Per-step f64 mirror of the reference's WIND control stack
