@@ -50,7 +50,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import oscillators
-from ..ops.filters import linear_recurrence
+from ..ops.filters import chunked_affine_scan, linear_recurrence
 from ..ops.noise import get_noise_tables
 from ..utils.interp import Itp, ease_np
 from .soundengine import _loudness_lut
@@ -199,6 +199,12 @@ def _render_wind(pink, src_offset, inc_main, c1, c2, w1, w2, params, lut,
     i0 = idx.astype(jnp.int32)
     fr = idx - i0
     lvol = lut[i0] * (1.0 - fr) + lut[i0 + 1] * fr
+    # the reference low-passes the loudness target with time constant = the
+    # current period (BaseVolumeAdjusted::step, audioelement.h:1195-1216),
+    # initialized AT the first target — same law as models/soundengine.py
+    a_sine = 1.0 - jnp.exp(-jnp.asarray(np.pi, wdt) * inc_main)
+    a_sine = jnp.where(t == 0.0, 1.0, a_sine)
+    lvol = chunked_affine_scan(1.0 - a_sine, a_sine * lvol)
     y_sine = lvol * oscillators.sine(phase) * oscillators.freq_aliasing_multiplicator(inc_main)
 
     # source noise (BufferIter with randomized start, sound.h:181-233).

@@ -226,8 +226,8 @@ FINGERPRINTS = {
 ("wind", "Light rain"): [23.5, 27.71, 27.97, 33.43, 50.49, 61.29, 66.48, 68.09, 68.77, 68.42, 67.92, 66.96],
 ("wind", "Bubbles"): [11.8, 15.36, 27.41, 49.49, 59.02, 57.7, 53.73, 43.24, 26.76, 1.73, -2.82, -4.48],
 ("wind", "Earth rumbling"): [68.5, 68.79, 62.02, 39.98, 31.49, 28.92, 26.62, 24.42, 22.27, 20.2, 18.3, 16.89],
-("wind", "Sine wind"): [-12.05, -9.48, -6.31, -1.22, 21.13, 42.25, 1.37, -2.77, -5.53, -7.83, -9.81, -11.24],
-("wind", "Kettle whistle pure"): [-16.58, -14.12, -12.34, -7.49, -1.97, 2.34, 9.74, 38.52, 19.63, -9.56, -15.59, -19.16],
+("wind", "Sine wind"): [-12.42, -9.81, -6.59, -1.39, 21.09, 42.25, 1.46, -2.66, -5.41, -7.70, -9.68, -11.11],
+("wind", "Kettle whistle pure"): [-18.98, -16.37, -14.05, -9.45, -3.69, 1.19, 9.27, 38.51, 19.69, -9.60, -17.31, -20.19],
 ("wind", "Kettle whistle mixed"): [-25.75, -21.76, -16.96, -4.49, 22.49, 44.77, 60.14, 66.08, 63.41, 52.38, 34.87, 16.8],
 }
 
