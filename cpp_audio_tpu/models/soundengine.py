@@ -451,7 +451,9 @@ def render_program(program: VoiceProgram, base_freq: float, n_samples: int,
     timeline = sched.timeline(specs)
 
     sr = sample_rate
-    min_dt = sr / 1000.0
+    # AHDSREnvelopeBase's normalizedMinDt: sample_rate/1000 in INTEGER
+    # arithmetic (audioelement.h:863-872)
+    min_dt = sr // 1000
     # bucket the row count so repeated renders (different seeds/programs)
     # reuse compiled kernels: pad to a multiple of 8 with inert rows
     V = len(timeline)
@@ -466,15 +468,15 @@ def render_program(program: VoiceProgram, base_freq: float, n_samples: int,
     t0 = np.zeros(V_pad, np.int32)
     for i, (spec, press, release) in enumerate(timeline):
         D = spec.duration
-        # anti-zipper floor = 2.5 signal periods (audioelement.h:216-225),
-        # taken at the frequency of the relevant envelope phase (attack
-        # happens at from_inc, release at to_inc) and clamped to the spec
-        # duration — a glide starting near 0 Hz would otherwise demand a
-        # ~1e8-sample envelope and a multi-GB render grid
-        min_change_a = np.floor(0.5 + 2.5 * 2.0 / max(spec.from_inc, 1e-9))
-        min_change_r = np.floor(0.5 + 2.5 * 2.0 / max(spec.to_inc, 1e-9))
-        A = min(max(sched.xfade_len, min_dt, min_change_a, 1.0), max(D, 1.0))
-        R = min(max(sched.xfade_len, min_dt, min_change_r, 1.0), max(D, 1.0))
+        # attack/release = max(xfade_len, 1ms) EXACTLY: the engine's ramps
+        # never receive Enveloped::setAngleIncrements, so the 2.5-period
+        # anti-zipper floor (audioelement.h:216-225) stays at its zero
+        # default here — round 2's floor-at-from_inc model diverged -23 dB
+        # on low-frequency notes with short xfades (pinned by the
+        # low-frequency serender oracle case). Elements that DO get
+        # setAngleIncrements (ResynthElement, the carrier) keep the floor.
+        A = max(sched.xfade_len, min_dt, 1.0)
+        R = max(sched.xfade_len, min_dt, 1.0)
         rl = max(release - press, 0)
         act = rl + R
         rows[i] = [spec.from_inc, spec.to_inc, max(D, 1.0), spec.start_sample,

@@ -58,7 +58,7 @@ from .voice_presets import Mode, VoiceProgram
 
 
 def _long_walk_np(table, start: int, n_steps: int, itp_code: int,
-                  T: int) -> np.ndarray:
+                  T: int, prev0: float | None = None) -> np.ndarray:
     """Exact Ctrl<WindFreqIter<SlowIter<AbsIter<noise>>>> walk, segment-
     vectorized (pure-numpy fallback for native/windwalk.cpp; pinned against
     the reference's compiled iterators by tests/test_reference_oracle.py).
@@ -72,9 +72,16 @@ def _long_walk_np(table, start: int, n_steps: int, itp_code: int,
     n_steps = max(1, int(n_steps))
     out = np.empty(T, np.float32)
     k = 0
-    pos = int(start) % m
-    prev = tab[pos]
-    pos = (pos + 1) % m
+    if prev0 is None:
+        pos = int(start) % m
+        prev = tab[pos]
+        pos = (pos + 1) % m
+    else:
+        # the reference's real spec-start state: prev from a DISCARDED
+        # position draw, iterator AT start, unadvanced (playNextSpec's
+        # forgetPastSignals-then-set_sample_rate double init)
+        pos = int(start) % m
+        prev = np.float32(prev0)
     while k < T:
         cur = tab[pos]
         rate = 1 if prev > cur else 3
@@ -93,7 +100,8 @@ def _long_walk_np(table, start: int, n_steps: int, itp_code: int,
 
 
 def _short_walk_np(table, start: int, rate: float,
-                   inc_long: np.ndarray) -> np.ndarray:
+                   inc_long: np.ndarray,
+                   prev0: float | None = None) -> np.ndarray:
     """Exact short-term wobble (ShortTermNoiseAdderCtrl's SlowIter retuned
     per sample, soundengine.h:134-143 + the integer adapt rule,
     audioelement.h:2863-2880). Per-sample data-dependent integer recurrence
@@ -103,8 +111,11 @@ def _short_walk_np(table, start: int, rate: float,
     tab = np.asarray(table, f32)
     m = len(tab)
     pos = int(start) % m
-    prev = tab[pos]
-    pos = (pos + 1) % m
+    if prev0 is None:
+        prev = tab[pos]
+        pos = (pos + 1) % m
+    else:
+        prev = f32(prev0)  # see _long_walk_np
     n_steps = -1
     slow_it = 0
     rate32 = f32(rate)
@@ -136,22 +147,22 @@ def _short_walk_np(table, start: int, rate: float,
 
 
 def wind_long_walk(table, start: int, n_steps: int, itp_code: int,
-                   T: int) -> np.ndarray:
+                   T: int, prev0: float | None = None) -> np.ndarray:
     from .. import native as nat
 
     if nat.available():
         return nat.wind_long_walk(table, start, max(1, int(n_steps)),
-                                  int(itp_code), T)
-    return _long_walk_np(table, start, n_steps, itp_code, T)
+                                  int(itp_code), T, prev0)
+    return _long_walk_np(table, start, n_steps, itp_code, T, prev0)
 
 
-def wind_short_walk(table, start: int, rate: float,
-                    inc_long) -> np.ndarray:
+def wind_short_walk(table, start: int, rate: float, inc_long,
+                    prev0: float | None = None) -> np.ndarray:
     from .. import native as nat
 
     if nat.available():
-        return nat.wind_short_walk(table, start, rate, inc_long)
-    return _short_walk_np(table, start, rate, inc_long)
+        return nat.wind_short_walk(table, start, rate, inc_long, prev0)
+    return _short_walk_np(table, start, rate, inc_long, prev0)
 
 
 def _cascade_dynamic(x, alpha, order, *, kind: str, stage_gain=None):
@@ -225,14 +236,18 @@ def _render_wind(pink, src_offset, inc_main, c1, c2, w1, w2, params, lut,
         a_low = 1.0 - jnp.exp(-jnp.pi * low)
         a_high = 1.0 - jnp.exp(-jnp.pi * high)
         if kind == "bandpass":
-            # compensation (1 + 1/wf^2)^order distributed as sqrt-per-stage
-            # across the 2*order stages (see _cascade_dynamic docstring)
-            g = jnp.sqrt(1.0 + 1.0 / (wf * wf))
-            y = _cascade_dynamic(src, a_high, order, kind="lowpass",
-                                 stage_gain=g)
-            y = _cascade_dynamic(y, a_low, order, kind="highpass",
-                                 stage_gain=g)
-            return y
+            # NO gain compensation: BandPassAlgo_::setCompensation computes
+            # expt<ORDER>(1 + 1/wf^2) with ORDER = VariableOrder for the
+            # wind band filters (audioelement.h:2131) — and VariableOrder
+            # must be 0 for that instantiation to compile (the canonical
+            # by-squaring expt diverges for negative N), so the reference's
+            # variable-order compensation is expt<0> = 1. Round 1/2 applied
+            # the FIXED-order law (1 + 1/wf^2)^order here, overdriving
+            # narrow widths at high orders (pinned by the windrender
+            # oracle; fixed-order band algos keep their compensation in
+            # ops/filters.py).
+            y = _cascade_dynamic(src, a_high, order, kind="lowpass")
+            return _cascade_dynamic(y, a_low, order, kind="highpass")
         # band-reject: LP at low + HP at high (audioelement.h:2186-2241)
         return (_cascade_dynamic(src, a_low, order, kind="lowpass")
                 + _cascade_dynamic(src, a_high, order, kind="highpass"))
@@ -287,13 +302,17 @@ def render_program(program: VoiceProgram, n_samples: int, sample_rate: int = 441
         eff["gains"][0], eff["gains"][1], eff["gains"][2], eff["gains"][3],
         xfade, velocity * p.gain,
     ])
-    offsets = rng.integers(0, len(pink) - 1, 7)
 
     # host-exact control walks (the reference's asymmetric noise iterators;
     # see wind_long_walk/wind_short_walk): main control with short-term
     # wobble, band centers (LINEAR interp — gen.voice.h:361-388 never sets
     # theirs; only the main control gets the program interpolation via
-    # create_wind, soundengine.h:720-736), raw width walks
+    # create_wind, soundengine.h:720-736), raw width walks.
+    # Each walk starts from the reference's spec-start state (pinned by the
+    # windrender oracle): prev from one discarded uniform position draw,
+    # the iterator AT a second draw, unadvanced — playNextSpec runs
+    # forgetPastSignals and then set_sample_rate, whose
+    # BufferIter::set_sample_rate re-draws the position (sound.h:185-190).
     pink32 = np.asarray(pink, np.float32)
     log_lo, log_hi = np.float32(np.log(inc_lo)), np.float32(np.log(inc_hi))
     inv_f = np.float32(inv_approx)
@@ -302,18 +321,32 @@ def render_program(program: VoiceProgram, n_samples: int, sample_rate: int = 441
         return np.exp(log_lo + (log_hi - log_lo) * (walk * inv_f),
                       dtype=np.float32)
 
-    inc_long = exp_map(wind_long_walk(pink32, offsets[0], n_slow_long,
-                                      int(p.interpolation), n_samples))
-    wobble = wind_short_walk(pink32, offsets[1], n_slow_short, inc_long)
+    def walk_start():
+        # BufferIter's draw: uniform_real over [0, size-1) -> int
+        a = int(rng.integers(0, len(pink) - 1))
+        b = int(rng.integers(0, len(pink) - 1))
+        return a, b
+
+    def long_walk(itp_code):
+        a, b = walk_start()
+        return wind_long_walk(pink32, b, n_slow_long, itp_code, n_samples,
+                              prev0=float(np.abs(pink32[a])))
+
+    inc_long = exp_map(long_walk(int(p.interpolation)))
+    a, b = walk_start()
+    wobble = wind_short_walk(pink32, b, n_slow_short, inc_long,
+                             prev0=float(pink32[a]))
     inc_main = inc_long * np.exp2(wobble * np.float32(
         eff["spec_short_amp"]))
     lin = int(Itp.LINEAR)
-    c1 = exp_map(wind_long_walk(pink32, offsets[3], n_slow_long, lin,
-                                n_samples))
-    c2 = exp_map(wind_long_walk(pink32, offsets[5], n_slow_long, lin,
-                                n_samples))
-    w1 = wind_long_walk(pink32, offsets[4], n_slow_long, lin, n_samples)
-    w2 = wind_long_walk(pink32, offsets[6], n_slow_long, lin, n_samples)
+    c1 = exp_map(long_walk(lin))
+    w1 = long_walk(lin)
+    c2 = exp_map(long_walk(lin))
+    w2 = long_walk(lin)
+    # the noise SOURCES are soundBufferWrapperAlgos, all reset to the same
+    # DETERMINISTIC mid-table index by setStartAngle(0)
+    # (audioelement.h:1545-1556): first read at int(size*0.5 + 0.5)
+    src_offset = int(len(pink) * 0.5 + 0.5)
 
     if pan is None:
         pan = float(rng.uniform(-1.0, 1.0))
@@ -328,7 +361,7 @@ def render_program(program: VoiceProgram, n_samples: int, sample_rate: int = 441
     )
     dt = np.dtype(dtype)
     out = _render_wind(
-        jnp.asarray(pink, dt), jnp.asarray(offsets[2], dt),
+        jnp.asarray(pink, dt), jnp.asarray(src_offset, dt),
         jnp.asarray(inc_main, dt), jnp.asarray(c1, dt), jnp.asarray(c2, dt),
         jnp.asarray(w1, dt), jnp.asarray(w2, dt), jnp.asarray(params, dt),
         jnp.asarray(lut, dt), jnp.asarray(lut_lo, dt), jnp.asarray(lut_step, dt),

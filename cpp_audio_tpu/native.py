@@ -80,6 +80,12 @@ def load_library():
     lib.wind_short_walk.argtypes = [_FP, ctypes.c_int, ctypes.c_int,
                                     ctypes.c_float, _FP, ctypes.c_longlong,
                                     _FP]
+    lib.wind_long_walk_from.argtypes = [_FP, ctypes.c_int, ctypes.c_int,
+                                        ctypes.c_float, ctypes.c_int32,
+                                        ctypes.c_int, ctypes.c_longlong, _FP]
+    lib.wind_short_walk_from.argtypes = [_FP, ctypes.c_int, ctypes.c_int,
+                                         ctypes.c_float, ctypes.c_float, _FP,
+                                         ctypes.c_longlong, _FP]
     return lib
 
 
@@ -221,27 +227,46 @@ class RingBuffer:
 
 
 def wind_long_walk(table, start_pos: int, n_slow_steps: int, itp_kind: int,
-                   n_out: int) -> np.ndarray:
+                   n_out: int, prev0: float | None = None) -> np.ndarray:
     """Exact Ctrl<WindFreqIter<SlowIter<AbsIter<noise>>>> per-sample values
-    (native/windwalk.cpp); caller must check available()."""
+    (native/windwalk.cpp); caller must check available().
+
+    prev0: when given, start from the reference's real spec-start state —
+    prev = prev0 (from a discarded position draw) with the iterator AT
+    start_pos, unadvanced (playNextSpec's forgetPastSignals-then-
+    set_sample_rate double init, sound.h:185-190). When None, the classic
+    convention: prev = |table[start_pos]|, iterator at start_pos+1."""
     lib = load_library()
     table = np.ascontiguousarray(table, np.float32)
     out = np.empty(n_out, np.float32)
-    lib.wind_long_walk(table.ctypes.data_as(_FP), len(table), int(start_pos),
-                       int(n_slow_steps), int(itp_kind), n_out,
-                       out.ctypes.data_as(_FP))
+    if prev0 is None:
+        lib.wind_long_walk(table.ctypes.data_as(_FP), len(table),
+                           int(start_pos), int(n_slow_steps), int(itp_kind),
+                           n_out, out.ctypes.data_as(_FP))
+    else:
+        lib.wind_long_walk_from(table.ctypes.data_as(_FP), len(table),
+                                int(start_pos), float(prev0),
+                                int(n_slow_steps), int(itp_kind), n_out,
+                                out.ctypes.data_as(_FP))
     return out
 
 
-def wind_short_walk(table, start_pos: int, rate: float,
-                    inc_long) -> np.ndarray:
+def wind_short_walk(table, start_pos: int, rate: float, inc_long,
+                    prev0: float | None = None) -> np.ndarray:
     """Exact short-term wobble values (SlowIter retuned per sample from the
-    long-term increment, soundengine.h:134-143)."""
+    long-term increment, soundengine.h:134-143). prev0: see wind_long_walk."""
     lib = load_library()
     table = np.ascontiguousarray(table, np.float32)
     inc_long = np.ascontiguousarray(inc_long, np.float32)
     out = np.empty(len(inc_long), np.float32)
-    lib.wind_short_walk(table.ctypes.data_as(_FP), len(table), int(start_pos),
-                        float(rate), inc_long.ctypes.data_as(_FP),
-                        len(inc_long), out.ctypes.data_as(_FP))
+    if prev0 is None:
+        lib.wind_short_walk(table.ctypes.data_as(_FP), len(table),
+                            int(start_pos), float(rate),
+                            inc_long.ctypes.data_as(_FP), len(inc_long),
+                            out.ctypes.data_as(_FP))
+    else:
+        lib.wind_short_walk_from(table.ctypes.data_as(_FP), len(table),
+                                 int(start_pos), float(prev0), float(rate),
+                                 inc_long.ctypes.data_as(_FP), len(inc_long),
+                                 out.ctypes.data_as(_FP))
     return out

@@ -127,6 +127,29 @@ void wind_long_walk(const float* table, int m, int start_pos,
   }
 }
 
+// Like wind_long_walk, but starting from an EXPLICIT (pos, prev) state with
+// slow_it = 0 and no initial advance. This is the reference's real
+// spec-start state: playNextSpec runs forgetPastSignals (position draw ->
+// prev = value there, advance) and THEN set_sample_rate, whose
+// BufferIter::set_sample_rate re-draws a fresh position (sound.h:185-190)
+// without touching prev — the first segment eases from `prev0` toward the
+// table value at `pos`.
+void wind_long_walk_from(const float* table, int m, int pos, float prev0,
+                         int32_t n_slow_steps, int itp_kind, long long n_out,
+                         float* out) {
+  Slow it{table, m, /*use_abs=*/true};
+  it.n_steps = n_slow_steps;
+  it.pos = ((pos % m) + m) % m;
+  it.prev = prev0;
+  it.slow_it = 0;
+  for (long long k = 0; k < n_out; ++k) {
+    int const n = it.diminishing() ? 1 : 3;
+    for (int i = 0; i < n; ++i)
+      if (it.increment()) break;
+    out[k] = it.value(itp_kind);
+  }
+}
+
 // ShortTermNoiseAdderCtrl's wobble values: SlowIter (signed, LINEAR) whose
 // rate is retuned per sample from the long-term increment.
 void wind_short_walk(const float* table, int m, int start_pos, float rate,
@@ -135,6 +158,25 @@ void wind_short_walk(const float* table, int m, int start_pos, float rate,
   it.init(start_pos);
   for (long long k = 0; k < n_out; ++k) {
     // float->int32 overflow is UB in the reference; clamp for absurd ratios
+    float const r = rate / inc_long[k];
+    int32_t const n =
+        r >= 2147483520.f ? 2147483646 : static_cast<int32_t>(r);
+    it.set_n_slow_steps(1 + n);
+    it.increment();
+    out[k] = it.value(0);
+  }
+}
+
+// wind_short_walk from an explicit (pos, prev) state (see
+// wind_long_walk_from).
+void wind_short_walk_from(const float* table, int m, int pos, float prev0,
+                          float rate, const float* inc_long, long long n_out,
+                          float* out) {
+  Slow it{table, m, /*use_abs=*/false};
+  it.pos = ((pos % m) + m) % m;
+  it.prev = prev0;
+  it.slow_it = 0;
+  for (long long k = 0; k < n_out; ++k) {
     float const r = rate / inc_long[k];
     int32_t const n =
         r >= 2147483520.f ? 2147483646 : static_cast<int32_t>(r);

@@ -32,9 +32,16 @@
 
 #include "shim_audioelement.h"       // itp/maybeAtomic/... for audioelement
 #include "shim_crtp.h"               // LocalPairArray etc. for gen.crtp.h
+// The wind-waveform oracle (windrender below) reads iterator positions and
+// slow-counter state buried in private members (BufferIter inside
+// AbsIter/SlowIter/WindFreqIter/Ctrl stacks, ShortTermNoiseAdderCtrl's
+// private wobble iterator). These reference headers contain no #include
+// directives (unity-build style), so opening access here affects only them.
+#define private public
 #include "sound.h"                   // Sound taxonomy + soundBaseVolume
 #include "audioelement.h"            // AHDSR envelope, LogRamp, oscillators
 #include "soundengine.h"             // markov-driven ramp-spec generator
+#undef private
 #include "program.h"                 // Program (used by gen.crtp.h Impl)
 #include "gen.crtp.h"                // ImplCRTP polyphony core
 #include "gen.sine.h"                // SynthImpl + sine::Synth alias
@@ -637,6 +644,161 @@ static void run_serender(int sr, double base_freq, double length,
   eng.onKeyPressed(0);
   for (long t = 0; t < n_steps; ++t) {
     eng.step();
+    std::printf("V %.17g\n", double(eng.imag()));
+  }
+}
+
+// Full per-sample WAVEFORM render of the reference WIND engine:
+// SoundEngine<WIND> with the real MixOf<WIND> (LowPass<pink,VariableOrder> +
+// AsymBandPass<pink> + AsymBandReject<pink> + LoudnessVolumeAdjusted<Sine>,
+// soundengine.h:196-222) over a DRIVER-INJECTED pink table, wired exactly
+// like voice::setupAudioElement does for WIND (gen.voice.h:939-977). The
+// iterator start positions (BufferIter's randomized starts,
+// sound.h:192-207) are read out of the engine after the first spec starts
+// playing and printed as "P <name> <pos>" / "I <name> <idx>", so the Python
+// side replays the same walks without replicating the RNG protocol.
+// stdin: sr order xfade_len inc_lo inc_hi n_slow_long n_short_rate
+//        short_amp wmin wmax g_lp g_bp g_br g_sine loud_idx loud_ratio
+//        loud_level itp seed n_steps n_table <table values...>
+namespace imajuscule::audio {
+// pink-noise table for soundBufferWrapperAlgo<PINK_NOISE>/PinkNoiseIter
+// (sound.h:261-271): DRIVER-INJECTED, like the white table below
+static std::vector<double> g_pink_noise_values{0.0};
+soundBuffer<double> const& getPinkNoise(int) {
+  static soundBuffer<double> b = [] {
+    soundBuffer<double> x(g_pink_noise_values.size(), 0.f);
+    std::copy(g_pink_noise_values.begin(), g_pink_noise_values.end(),
+              x.getBuffer().begin());
+    return x;
+  }();
+  return b;
+}
+float getPinkNoiseAbsMean(int) {
+  double s = 0.0;
+  for (double v : g_pink_noise_values) s += std::abs(v);
+  return static_cast<float>(s / g_pink_noise_values.size());
+}
+}  // namespace imajuscule::audio
+
+static void run_windrender() {
+  using namespace audioelement;
+  int sr, order, xfl, n_slow_long, loud_idx, itp_, seed, n_table;
+  double inc_lo, inc_hi, n_short_rate, short_amp, wmin, wmax, glp, gbp, gbr,
+      gsine, loud_ratio, loud_level;
+  long n_steps;
+  if (std::scanf("%d %d %d %lf %lf %d %lf %lf %lf %lf %lf %lf %lf %lf %d "
+                 "%lf %lf %d %d %ld %d",
+                 &sr, &order, &xfl, &inc_lo, &inc_hi, &n_slow_long,
+                 &n_short_rate, &short_amp, &wmin, &wmax, &glp, &gbp, &gbr,
+                 &gsine, &loud_idx, &loud_ratio, &loud_level, &itp_, &seed,
+                 &n_steps, &n_table) != 21)
+    std::exit(2);
+  g_pink_noise_values.resize(static_cast<std::size_t>(n_table));
+  for (auto& v : g_pink_noise_values)
+    if (std::scanf("%lf", &v) != 1) std::exit(2);
+  mersenne<SEEDED::No>().seed(static_cast<unsigned>(seed));
+
+  SoundEngine<SoundEngineMode::WIND, 1, Atomicity::No, OracleLogger> eng;
+  eng.set_sample_rate(sr);
+  // do_initialize guards on positive length/base_freq even for WIND (whose
+  // markov lambdas use neither) — any positive values work
+  eng.set_length(93.f);
+  eng.setAngleIncrements(freq_to_angle_increment(440.f, sr));
+  // gen.voice.h:939 + :948 + :951-956
+  eng.setFiltersOrder(order);
+  range<float> wr;
+  wr.extend(static_cast<float>(wmin));
+  wr.extend(static_cast<float>(wmax));
+  range<float> ra;
+  ra.extend(static_cast<float>(inc_lo));
+  ra.extend(static_cast<float>(inc_hi));
+  for (auto& r : eng.getRamps()) {
+    auto& mix = r.getVolumeAdjustment().getOsc().getOsc();
+    // SetFilterWidths<WIND> (gen.voice.h:352-357)
+    std::get<1>(mix.get()).getOsc().setWidthRange(wr);
+    std::get<2>(mix.get()).getOsc().setWidthRange(wr);
+    // ConfigureFilters<WIND> (gen.voice.h:369-389)
+    auto& bpf = std::get<1>(mix.get());
+    auto& bpr = std::get<2>(mix.get());
+    bpf.getCtrl().getUnderlyingIter().set_n_slow_steps(n_slow_long);
+    bpf.getCtrl().setAngleIncrementsRange(ra);
+    bpf.getOsc().getWidth().getUnderlyingIter().set_n_slow_steps(
+        n_slow_long);
+    bpr.getCtrl().getUnderlyingIter().set_n_slow_steps(n_slow_long);
+    bpr.getCtrl().setAngleIncrementsRange(ra);
+    bpr.getOsc().getWidth().getUnderlyingIter().set_n_slow_steps(
+        n_slow_long);
+  }
+  eng.setGains(std::array<float, 4>{
+      static_cast<float>(glp), static_cast<float>(gbp),
+      static_cast<float>(gbr), static_cast<float>(gsine)});
+  eng.setLoudnessParams(sr, loud_idx, static_cast<float>(loud_ratio),
+                        static_cast<float>(loud_level));
+  // SetSlowParams<WIND> per spec ctrl (gen.voice.h:334-341,971-977)
+  for (auto& f_control : eng.getRampsSpecs().a) {
+    f_control.get().getUnderlyingIter().set_n_slow_steps(n_slow_long);
+    f_control.get().set_short_term_noise_rate(
+        static_cast<float>(n_short_rate));
+    f_control.get().set_short_term_noise_amplitude(
+        static_cast<float>(short_amp));
+    f_control.get().setAngleIncrementsRange(ra);
+  }
+  eng.set_itp(static_cast<itp::interpolation>(itp_));
+  eng.setEnvelopeCharacTime(xfl);
+  bool const ok = eng.initialize_wind(0, 0, 1, 0,
+                                      SoundEngineInitPolicy::StartAfresh);
+  std::printf("OK %d\n", ok ? 1 : 0);
+  if (!ok) return;
+  eng.tryAcquire();
+  eng.onKeyPressed(0);
+  // play the first (never-releasing) spec without stepping the algos, so
+  // the iterator positions below are the exact post-init starts
+  eng.orchestrate_algos();
+  auto* pressed = eng.get_ramps().keyPressed;
+  if (!pressed) {
+    std::printf("NOPRESS\n");
+    return;
+  }
+  auto& fc = pressed->getVolumeAdjustment().getOsc().getAlgo();
+  auto& mc = fc.getCtrl();  // ShortTermNoiseAdderCtrl
+  // Exact per-walk start state. NB the reference's spec-start protocol
+  // leaves a compound state: playNextSpec runs forgetPastSignals (SlowIter
+  // init: position draw -> prev = value there, ++pos) and THEN
+  // set_sample_rate, whose BufferIter::set_sample_rate re-draws a FRESH
+  // position (sound.h:185-190) without touching the SlowIter's prev — so
+  // the first segment eases from a value at one discarded random position
+  // toward the table value at another, unadvanced position.
+  auto pslow = [](const char* name, auto const& slow) {
+    std::printf("P %s %d %.17g %d %d\n", name, slow.it.getPosition(),
+                double(slow.prev), int(slow.slow_it), int(slow.n_steps));
+  };
+  auto pslow2 = [](const char* name, auto const& slow) {
+    // SlowIter<AbsIter<BufferIter>> variant (one more .it hop)
+    std::printf("P %s %d %.17g %d %d\n", name, slow.it.it.getPosition(),
+                double(slow.prev), int(slow.slow_it), int(slow.n_steps));
+  };
+  pslow2("mainlong", mc.ctrl.ctrl.it.it);
+  pslow("wobble", mc.noise);
+  auto& mix = fc.getOsc();
+  auto& bp = std::get<1>(mix.get());
+  auto& br = std::get<2>(mix.get());
+  pslow2("bpcenter", bp.getCtrl().ctrl.it.it);
+  pslow2("bpwidth", bp.getOsc().getWidth().it.it);
+  pslow2("brcenter", br.getCtrl().ctrl.it.it);
+  pslow2("brwidth", br.getOsc().getWidth().it.it);
+  std::printf("I lp %d\n", std::get<0>(mix.get()).get_element().index);
+  std::printf("I bp %d\n", bp.getOsc().getLP().get_element().index);
+  std::printf("I brlp %d\n", br.getOsc().getLP().get_element().index);
+  std::printf("I brhp %d\n", br.getOsc().getHP().get_element().index);
+  auto& sine = std::get<3>(mix.get());
+  for (long t = 0; t < n_steps; ++t) {
+    eng.step();
+    // C = the main control's per-sample increment as received by the sine
+    // member (FreqCtrl_::step -> Mix::setAngleIncrements), so the test can
+    // pin the control path separately from the audio; W/S = the raw long
+    // walk / wobble values feeding it
+    std::printf("C %.17g W %.17g S %.17g\n", double(sine.angleIncrements()),
+                double(*(mc.ctrl.ctrl.it)), double(*(mc.noise)));
     std::printf("V %.17g\n", double(eng.imag()));
   }
 }
@@ -2096,6 +2258,8 @@ int main(int argc, char** argv) {
     dump_resynth();
   } else if (!std::strcmp(argv[1], "windctrl")) {
     dump_windctrl();
+  } else if (!std::strcmp(argv[1], "windrender")) {
+    run_windrender();
   } else if (!std::strcmp(argv[1], "serender")) {
     // mode seed sr base_freq length scatter d1 d2 har emin emax itp fitp
     // xmode fxf start pre minp addl pause low high xfade_len pr1 pr2

@@ -97,13 +97,20 @@ inline complex<T> polar(T theta) {
   return std::polar(T(1), theta);
 }
 
-// v^N by squaring (compensation (1+w^2)^ORDER, audioelement.h:2131,2244+)
+// v^N by squaring (compensation (1+w^2)^ORDER, audioelement.h:2131,2244+).
+// N must be >= 0: the canonical by-squaring recursion diverges for negative
+// N, which is WHY VariableOrder below must be 0, not a negative sentinel —
+// BandPassAlgo_::setCompensation instantiates expt<ORDER> with
+// ORDER = VariableOrder for the wind band filters (audioelement.h:2131), so
+// a negative VariableOrder could not have compiled in the reference. With
+// VariableOrder = 0 the wind band-pass compensation is expt<0> = 1 (none).
 template <int N, typename T>
 constexpr T expt(T v) {
+  static_assert(N >= 0, "see VariableOrder note above");
   if constexpr (N == 0)
     return T(1);
   else if constexpr (N % 2)
-    return v * expt<N - 1>(v);
+    return v * expt<(N > 0 ? N - 1 : 0)>(v);
   else {
     T h = expt<N / 2>(v);
     return h * h;
@@ -168,6 +175,7 @@ enum class FilterType { LOW_PASS, HIGH_PASS };
 template <typename T, int NDims, FilterType K, int ORDER>
 struct Filter {
   static constexpr int n_stages = ORDER > 0 ? ORDER : 1;
+  Filter() : state(static_cast<std::size_t>(n_stages), T(0)) {}
   void set_sample_rate(int) {}
   void forgetPastSignals() {
     for (auto& s : state) s = T(0);
@@ -178,7 +186,10 @@ struct Filter {
   void initWithFreq(int sample_rate, T freq) {
     initWithAngleIncrement(T(2) * freq / sample_rate);
   }
-  void setFiltersOrder(int) {}
+  // runtime order for ORDER == VariableOrder (FilterAlgo::setFiltersOrder
+  // forwards here, audioelement.h:2066-2068)
+  void setOrder(int n) { state.assign(static_cast<std::size_t>(n), T(0)); }
+  void setFiltersOrder(int n) { setOrder(n); }
   void feed(T const* v) {
     T x = *v;
     for (auto& s : state) {
@@ -192,9 +203,16 @@ struct Filter {
     last = v;
   }
   T const* filtered() const { return &last; }
-  std::array<T, static_cast<std::size_t>(n_stages)> state{};
+  std::vector<T> state;
   T alpha{};
   T last{};
+};
+
+// FilterAlgo's internal precision trait (audioelement.h:2013); the shim
+// keeps the element's own FPT
+template <int ORDER, typename FPT>
+struct InternalFilterFPTFromOrder {
+  using type = FPT;
 };
 template <FilterType K>
 double get_inv_square_filter_magnitude(double);
@@ -394,7 +412,11 @@ constexpr unsigned relevantBits(unsigned v) {
 }
 constexpr unsigned pow2(unsigned n) { return 1u << n; }
 
-constexpr int VariableOrder = -1;  // runtime-order IIR marker
+// runtime-order IIR marker. 0, NOT negative: expt<VariableOrder> is
+// instantiated by the wind band compensation (see expt above), so the
+// reference's sentinel must satisfy expt — order-0 is the only sensible
+// non-colliding value, and it makes variable-order band compensation 1.
+constexpr int VariableOrder = 0;
 
 enum class ExecuteLambdas { Yes, No };
 

@@ -211,24 +211,24 @@ FINGERPRINTS = {
     ("birds", "Happy bird 2"): [-3.99, -1.80, 0.34, 2.61, 4.99, 8.19, 55.50, 53.40, 20.98, 4.51, -3.40, -9.68],
     ("birds", "Laughing bird"): [-0.77, 1.48, 3.63, 5.94, 8.51, 12.42, 54.72, 54.26, 16.30, 8.67, 4.91, 2.81],
     ("birds", "Talkative bird"): [-0.12, 2.09, 4.31, 6.75, 9.53, 13.18, 55.97, 55.82, 15.83, 10.21, 7.17, 5.36],
-    ("robots", "R2D2"): [-9.60, -11.82, 2.46, 7.95, 54.21, 50.19, 5.06, -8.94, -18.95, -27.25, -33.96, -39.06],
+    ("robots", "R2D2"): [-8.12, -5.22, 5.35, 9.00, 54.22, 50.19, 4.85, -10.07, -18.39, -25.84, -32.17, -37.33],
     ("robots", "Communication"): [9.63, 12.07, 16.32, 22.37, 58.53, 56.51, 22.58, 17.68, 14.93, 12.63, 10.66, 9.22],
-    ("sweep", "Sweep 1"): [75.65, 71.71, 60.63, 41.83, 36.30, 33.24, 30.77, 28.50, 26.34, 24.25, 22.35, 20.94],
-    ("sweep", "Fullrange"): [19.96, 17.75, 15.52, 13.37, 11.19, 9.03, 6.85, 4.70, 2.57, 0.50, -1.40, -2.80],
-("wind", "Medium wind in trees"): [69.99, 70.85, 70.15, 65.4, 63.19, 59.37, 55.07, 50.62, 46.16, 41.37, 37.22, 33.49],
-("wind", "Steady wind"): [35.75, 52.42, 62.18, 66.55, 70.49, 68.72, 62.82, 52.79, 39.15, 25.19, 19.38, 17.69],
-("wind", "Strong wind"): [71.03, 71.23, 71.48, 68.91, 68.97, 66.39, 61.35, 53.37, 41.71, 27.32, 16.96, 14.06],
-("wind", "Vinyl cracks"): [5.63, 7.22, 10.17, 12.62, 19.19, 31.94, 49.12, 57.22, 60.5, 60.81, 59.49, 56.55],
-("wind", "Small animal eating"): [22.86, 22.79, 24.79, 27.13, 30.7, 31.69, 32.91, 35.49, 40.43, 47.06, 59.97, 64.62],
-("wind", "Heavy rain in a car"): [24.02, 26.58, 28.85, 31.01, 38.78, 53.57, 62.39, 65.5, 66.81, 66.61, 66.0, 64.63],
-("wind", "Light rain in a car"): [13.6, 16.21, 18.95, 21.03, 24.83, 32.83, 49.58, 57.11, 60.54, 60.83, 59.58, 56.55],
-("wind", "Heavy rain"): [29.27, 43.8, 57.83, 63.56, 68.44, 69.62, 70.23, 70.03, 70.01, 69.57, 69.43, 69.41],
-("wind", "Light rain"): [23.5, 27.71, 27.97, 33.43, 50.49, 61.29, 66.48, 68.09, 68.77, 68.42, 67.92, 66.96],
-("wind", "Bubbles"): [11.8, 15.36, 27.41, 49.49, 59.02, 57.7, 53.73, 43.24, 26.76, 1.73, -2.82, -4.48],
-("wind", "Earth rumbling"): [68.5, 68.79, 62.02, 39.98, 31.49, 28.92, 26.62, 24.42, 22.27, 20.2, 18.3, 16.89],
-("wind", "Sine wind"): [-12.42, -9.81, -6.59, -1.39, 21.09, 42.25, 1.46, -2.66, -5.41, -7.70, -9.68, -11.11],
-("wind", "Kettle whistle pure"): [-18.98, -16.37, -14.05, -9.45, -3.69, 1.19, 9.27, 38.51, 19.69, -9.60, -17.31, -20.19],
-("wind", "Kettle whistle mixed"): [-25.75, -21.76, -16.96, -4.49, 22.49, 44.77, 60.14, 66.08, 63.41, 52.38, 34.87, 16.8],
+    ("sweep", "Sweep 1"): [84.29, 79.80, 68.17, 49.20, 43.67, 40.61, 38.13, 35.87, 33.70, 31.62, 29.72, 28.31],
+    ("sweep", "Fullrange"): [44.04, 41.84, 39.60, 37.46, 35.28, 33.11, 30.94, 28.78, 26.65, 24.58, 22.69, 21.28],
+("wind", "Medium wind in trees"): [50.92, 50.50, 55.22, 59.11, 60.75, 61.31, 60.44, 58.62, 55.21, 51.37, 47.44, 43.86],
+("wind", "Steady wind"): [31.44, 41.63, 53.89, 60.36, 62.63, 61.00, 55.12, 45.42, 31.59, 15.89, 1.79, -3.72],
+("wind", "Strong wind"): [63.61, 62.82, 66.14, 67.81, 68.04, 68.11, 67.90, 67.56, 66.15, 64.07, 61.23, 57.61],
+("wind", "Vinyl cracks"): [-2.12, 0.76, 4.02, 7.47, 13.44, 28.72, 43.40, 50.92, 53.89, 54.30, 53.38, 51.13],
+("wind", "Small animal eating"): [-1.05, -1.37, 1.02, 3.82, 4.69, 9.55, 18.38, 23.85, 31.94, 32.99, 31.43, 27.52],
+("wind", "Heavy rain in a car"): [21.67, 22.17, 25.40, 28.45, 37.47, 51.76, 58.58, 62.05, 62.89, 62.99, 62.54, 61.51],
+("wind", "Light rain in a car"): [8.05, 11.07, 13.76, 16.86, 20.03, 30.97, 44.66, 51.87, 54.36, 54.98, 54.31, 52.49],
+("wind", "Heavy rain"): [25.96, 38.58, 55.02, 62.48, 65.70, 67.05, 67.50, 67.82, 67.49, 67.33, 67.22, 67.20],
+("wind", "Light rain"): [21.25, 21.78, 25.55, 31.67, 46.27, 57.69, 62.83, 65.02, 65.42, 65.35, 64.88, 63.95],
+("wind", "Bubbles"): [-34.36, -28.18, -8.85, 14.70, 22.07, 21.17, 17.59, 12.41, 3.74, -4.47, -16.72, -29.43],
+("wind", "Earth rumbling"): [61.43, 57.62, 51.96, 38.56, 8.68, 1.43, -1.45, -3.88, -6.11, -8.21, -10.13, -11.53],
+("wind", "Sine wind"): [-18.80, -16.59, -14.39, -11.91, -8.85, 33.10, 35.82, -4.06, -15.47, -23.04, -29.62, -35.26],
+("wind", "Kettle whistle pure"): [-20.19, -18.37, -16.12, -11.28, -5.40, -0.87, 7.03, 36.17, 18.30, -11.13, -17.73, -20.14],
+("wind", "Kettle whistle mixed"): [-13.69, -11.54, -9.25, -6.62, 3.69, 25.67, 40.90, 53.29, 49.93, 35.96, 19.04, 2.46],
 }
 
 

@@ -992,6 +992,15 @@ class TestSoundEngineWaveformOracle:
             d2=14.0, harmonic_attenuation=0.5, length_exponent=1.5,
             length_exponent_scatter=1.0 / 3.0, phase_ratio1=0.3,
             articulative_pause_seconds=500 / 44100.0)),
+        # low base freq + short xfade: pins that the engine ramps have NO
+        # 2.5-period anti-zipper floor (nothing calls their Enveloped::
+        # setAngleIncrements) — attack/release = max(xfade, 1ms) exactly.
+        # Round 2's floor-at-from_inc model read -23 dB here.
+        ("birds-low-freq-short-xfade", 7, 30.0, dict(
+            mode="BIRDS", pre_tries=2, min_path_length=8, additional_tries=4,
+            interpolation=4, freq_scatter=0.2, length_ms=93.0,
+            xfade_seconds=441 / 44100.0,
+            articulative_pause_seconds=100 / 44100.0)),
     ]
 
     @pytest.mark.parametrize("case", CASES, ids=[c[0] for c in CASES])
@@ -1046,6 +1055,133 @@ class TestSoundEngineWaveformOracle:
         rel_rms = np.sqrt(np.mean((got - ref) ** 2)) / peak
         assert 20 * np.log10(rel_rms + 1e-300) < -85.0, \
             20 * np.log10(rel_rms + 1e-300)
+
+
+class TestWindWaveformOracle:
+    """models/wind._render_wind + the walk functions vs the compiled
+    reference WIND engine's FULL per-sample waveform: SoundEngine<WIND> with
+    the real MixOf<WIND> (LowPass<pink,VariableOrder> + AsymBandPass +
+    AsymBandReject + LoudnessVolumeAdjusted<Sine>, soundengine.h:196-222)
+    over an injected pink table, wired like gen.voice.h:939-977. The filter
+    law itself is the shim's recovered alpha = 1 - exp(-pi*inc) (a shared
+    assumption, docs/FIDELITY.md); everything AROUND it — the band cascades
+    and their per-sample cutoffs, the width/center/main control walks incl.
+    the spec-start double-init state, the (absence of) variable-order
+    band-pass compensation, the loudness smoothing, gains, attack — is
+    pinned here. f64 render < -85 dB rel RMS (measured ~ -100 to -160 per
+    member)."""
+
+    # (id, order, xfl, inc_lo, inc_hi, n_long, n_short_rate, amp, wmin,
+    #  wmax, gains(lp,bp,br,sine), itp, seed)
+    CASES = [
+        ("mixed", 3, 1301, 0.001, 0.05, 5000, 40000.0, 0.3, 0.1, 2.0,
+         (0.0, 0.7, 0.4, 0.3), 4, 99),
+        ("high-order-bands", 30, 2205, 0.002, 0.02, 2000, 8000.0, 0.0,
+         0.5, 3.0, (0.0, 1.0, 0.6, 0.0), 0, 7),
+        ("sine-wobble", 1, 800, 0.0005, 0.01, 12000, 90000.0, 0.8, 0.1,
+         1.0, (0.0, 0.0, 0.0, 1.0), 9, 41),
+    ]
+
+    @pytest.mark.parametrize("case", CASES, ids=[c[0] for c in CASES])
+    def test_wind_waveform_matches(self, oracle, case):
+        import jax.numpy as jnp
+
+        from cpp_audio_tpu.models import wind as W
+        from cpp_audio_tpu.utils.interp import Itp
+
+        (_, order, xfl, inc_lo, inc_hi, n_long, n_short_rate, amp, wmin,
+         wmax, gains, itp_code, seed) = case
+        sr = 44100
+        N = 40000
+        rng = np.random.default_rng(5)
+        tab = np.round(rng.uniform(-1, 1, 173), 6)
+        line = (f"{sr} {order} {xfl} {inc_lo} {inc_hi} {n_long} "
+                f"{n_short_rate} {amp} {wmin} {wmax} {gains[0]} {gains[1]} "
+                f"{gains[2]} {gains[3]} 5 1.0 30.0 {itp_code} {seed} {N} "
+                f"{len(tab)} " + " ".join(repr(float(v)) for v in tab))
+        out = oracle("windrender", input_text=line + "\n", raw=True)
+        P, I, V, C, ok = {}, {}, [], [], None
+        for l in out.splitlines():
+            w = l.split()
+            if w[0] == "P":
+                P[w[1]] = (int(w[2]), float(w[3]), int(w[4]), int(w[5]))
+            elif w[0] == "I":
+                I[w[1]] = int(w[2])
+            elif w[0] == "C":
+                C.append(float(w[1]))
+            elif w[0] == "V":
+                V.append(float(w[1]))
+            elif w[0] == "OK":
+                ok = int(w[1])
+        assert ok == 1 and len(V) == N
+        ref = np.array(V)
+        # all 4 noise sources share the deterministic mid-table start
+        mid = int(len(tab) * 0.5 + 0.5) - 1
+        assert set(I.values()) == {mid}
+
+        tab32 = np.asarray(tab, np.float32)
+        abs_mean = np.float32(np.abs(tab).sum() / len(tab))
+        inv_f = np.float32(1.0) / (np.float32(2.0) * abs_mean)
+        log_lo = np.float32(np.log(np.float32(inc_lo)))
+        log_hi = np.float32(np.log(np.float32(inc_hi)))
+
+        def exp_map(walk):
+            return np.exp(log_lo + (log_hi - log_lo) * (walk * inv_f),
+                          dtype=np.float32)
+
+        def lw(name, itp):
+            pos, prev, slow_it, _ = P[name]
+            assert slow_it == 0
+            return W.wind_long_walk(tab32, pos, n_long, itp, N, prev0=prev)
+
+        inc_long = exp_map(lw("mainlong", itp_code))
+        pos, prev, slow_it, _ = P["wobble"]
+        assert slow_it == 0
+        wobble = W.wind_short_walk(tab32, pos, n_short_rate, inc_long,
+                                   prev0=prev)
+        inc_main = inc_long * np.exp2(wobble * np.float32(amp))
+        # the main control increment as received by the sine member
+        np.testing.assert_allclose(inc_main, np.array(C), rtol=1e-5)
+        lin = int(Itp.LINEAR)
+        c1, w1 = exp_map(lw("bpcenter", lin)), lw("bpwidth", lin)
+        c2, w2 = exp_map(lw("brcenter", lin)), lw("brwidth", lin)
+
+        params = np.array([wmin, wmax, *gains, xfl, 1.0])
+        lut_lo, lut_step, lut = W._loudness_lut(5, 1.0, 30.0, sr)
+        dt = np.float64
+        got = np.asarray(W._render_wind(
+            jnp.asarray(tab, dt), jnp.asarray(mid + 1, dt),
+            jnp.asarray(inc_main, dt), jnp.asarray(c1, dt),
+            jnp.asarray(c2, dt), jnp.asarray(w1, dt), jnp.asarray(w2, dt),
+            jnp.asarray(params, dt), jnp.asarray(lut, dt),
+            jnp.asarray(lut_lo, dt), jnp.asarray(lut_step, dt),
+            jnp.asarray(np.ones(1), dt),
+            T=N, order=order, dtype="float64", lowpass_mode="mute"))[:, 0]
+        peak = np.abs(ref).max()
+        assert peak > 0
+        rel_rms = np.sqrt(np.mean((got - ref) ** 2)) / peak
+        assert 20 * np.log10(rel_rms + 1e-300) < -85.0, \
+            20 * np.log10(rel_rms + 1e-300)
+
+    def test_walk_fallbacks_match_native(self):
+        """The numpy walk fallbacks agree with native/windwalk.cpp for the
+        new explicit (pos, prev0) start state."""
+        from cpp_audio_tpu import native as nat
+        from cpp_audio_tpu.models.wind import _long_walk_np, _short_walk_np
+
+        if not nat.available():
+            pytest.skip("native lib unavailable")
+        rng = np.random.default_rng(3)
+        tab = rng.uniform(-1, 1, 61).astype(np.float32)
+        inc = rng.uniform(0.001, 0.05, 5000).astype(np.float32)
+        for pos, prev0 in [(0, 0.25), (60, -0.7), (13, 0.0)]:
+            a = nat.wind_long_walk(tab, pos, 40, 4, 5000, prev0=prev0)
+            b = _long_walk_np(tab, pos, 40, 4, 5000, prev0=prev0)
+            # the numpy fallback eases in f64 (native/reference in f32)
+            np.testing.assert_allclose(a, b, atol=2e-6)
+            a = nat.wind_short_walk(tab, pos, 300.0, inc, prev0=prev0)
+            b = _short_walk_np(tab, pos, 300.0, inc, prev0=prev0)
+            np.testing.assert_array_equal(a, b)
 
 
 def scalar_wind_ctrl(table, n_slow_long, inc_min, inc_max, amp, ratio,
