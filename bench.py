@@ -74,7 +74,7 @@ def _subprocess_probe(timeout_s: float = 120.0) -> str | None:
     return f"exit {r.returncode}: {r.stderr.strip()[-500:]}"
 
 
-def _wait_for_backend(tries: int = 12, delay_s: float = 30.0):
+def _wait_for_backend(tries: int = 20, delay_s: float = 45.0):
     """The test rig reaches its TPU through a tunnel that has outage
     windows; retry backend init instead of failing the whole bench run."""
     import jax
