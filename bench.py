@@ -118,9 +118,20 @@ def main():
     import jax
 
     # persist compiled executables across bench invocations (first compile of
-    # the big programs is expensive, especially via remote-compile tunnels)
+    # the big programs is expensive, especially via remote-compile tunnels).
+    # The dir is keyed by a host CPU fingerprint: loading an XLA:CPU AOT
+    # entry cached by a DIFFERENT machine can SIGILL (see tests/conftest.py).
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_bench")
+        import hashlib
+
+        try:
+            with open("/proc/cpuinfo") as f:
+                flags = next((ln for ln in f if ln.startswith("flags")), "")
+            tag = hashlib.sha1(flags.encode()).hexdigest()[:10]
+        except OSError:
+            tag = "nocpuinfo"
+        jax.config.update("jax_compilation_cache_dir",
+                          f"/tmp/jax_cache_bench_{tag}")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass

@@ -26,6 +26,34 @@ jax.config.update("jax_enable_x64", True)
 # segfaults jaxlib's cache writer deep in a full-suite run (reproducible at
 # ~test 280 with an empty cache; standalone files pass) — skipping the
 # near-instant compiles avoids the crash and loses almost no caching value.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+#
+# The cache dir is keyed by a HOST CPU-FEATURE FINGERPRINT: the test rig
+# moves between machines, and loading an XLA:CPU AOT executable compiled on
+# a host with different CPU features SEGFAULTS/SIGILLs inside
+# compilation_cache.get_executable_and_time (cpu_aot_loader warns
+# "+prefer-no-scatter is not supported on the host machine ... could lead
+# to execution errors such as SIGILL" right before the crash). This was the
+# round-2 "xdist worker crash": full-suite runs crashed at whichever test
+# first loaded a stale-machine entry; fresh-cache runs passed.
+
+
+def _machine_cache_dir(base: str) -> str:
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    tag = hashlib.sha1(line.encode()).hexdigest()[:10]
+                    break
+            else:
+                tag = "noflags"
+    except OSError:
+        tag = "nocpuinfo"
+    return f"{base}_{tag}"
+
+
+jax.config.update("jax_compilation_cache_dir",
+                  _machine_cache_dir("/tmp/jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
