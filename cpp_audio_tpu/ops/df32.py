@@ -80,9 +80,24 @@ def to_f64(a):
     return np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
 
 
+def _round_f32(x):
+    """Force `x` to be the f32-ROUNDED value of the expression that computes
+    it. XLA:CPU's LLVM backend contracts/reassociates float expressions
+    inside fused jit graphs (FMA formation and friends), which silently
+    voids the error-free transformations below: `e = b - (s - a)` computed
+    against an un-rounded `s` returns garbage compensation (observed:
+    df32.mul's lo limb doubling under jit while exact in eager mode; HLO
+    optimization_barrier does NOT help — the rewrite happens below HLO).
+    lax.reduce_precision(x, 8, 23) is f32's own format, numerically an
+    identity, but it pins an explicit rounding point the compiler must
+    honor. Verified: the only guard that fixes the jitted repro
+    (two_prod -> fast_two_sum) on XLA:CPU."""
+    return jax.lax.reduce_precision(x, 8, 23)
+
+
 def two_sum(a, b):
     """Knuth: s + e == a + b exactly (6 flops, branch-free)."""
-    s = a + b
+    s = _round_f32(a + b)
     bb = s - a
     e = (a - (s - bb)) + (b - bb)
     return s, e
@@ -90,22 +105,31 @@ def two_sum(a, b):
 
 def fast_two_sum(a, b):
     """Dekker: requires |a| >= |b| (3 flops)."""
-    s = a + b
+    s = _round_f32(a + b)
     e = b - (s - a)
     return s, e
 
 
 def _split(a):
-    """Dekker split: a == x + y with 12-bit mantissas each."""
-    c = _SPLITTER * a
-    x = c - (c - a)
-    y = a - x
+    """Veltkamp split by mantissa masking: a == x + y, x carrying the top 12
+    significand bits and y the low 12, so every cross product in two_prod is
+    exact in f32.
+
+    The classic multiplicative Dekker split (c = (2^12+1)*a; x = c - (c - a))
+    is ALGEBRAICALLY SIMPLIFIED AWAY by XLA inside larger jitted graphs
+    (A - (A - B) => B and product refactoring fire pass-order-dependently,
+    silently collapsing the compensation — observed as the lo limb of
+    df32.mul zeroing under jit while passing in eager mode). Bitwise ops are
+    opaque to the float simplifier, so this split survives any fusion."""
+    u = jax.lax.bitcast_convert_type(jnp.asarray(a, jnp.float32), jnp.uint32)
+    x = jax.lax.bitcast_convert_type(u & np.uint32(0xFFFFF000), jnp.float32)
+    y = a - x  # exact: same exponent window, 12 low bits
     return x, y
 
 
 def two_prod(a, b):
-    """p + e == a * b exactly (Dekker, no FMA)."""
-    p = a * b
+    """p + e == a * b exactly (Dekker split by masking, no FMA)."""
+    p = _round_f32(a * b)
     a1, a2 = _split(a)
     b1, b2 = _split(b)
     e = ((a1 * b1 - p) + a1 * b2 + a2 * b1) + a2 * b2
@@ -280,9 +304,66 @@ def pow10(a):
     return exp(mul(a, _LN10))
 
 
+_LOG10E = _df_const(0.4342944819032518)
+
+
+def log10(a):
+    return mul(log(a), _LOG10E)
+
+
+def floor(a):
+    """Exact df32 floor: correct even when hi + lo straddles an integer that
+    f32 rounding would cross (e.g. true value 12345.999999997)."""
+    fhi = jnp.floor(a[0])
+    d = a[0] - fhi  # exact (Sterbenz: fhi <= a[0] < fhi + 1)
+    rs, re = two_sum(d, a[1])
+    f2 = jnp.floor(rs)
+    # rs landed exactly on an integer but the residual says we're below it
+    f2 = f2 - ((rs == f2) & (re < 0)).astype(f2.dtype)
+    return fast_two_sum(fhi, f2)
+
+
+def mod2(a):
+    """a mod 2 on df32 (for rad/pi phases; result in [0, 2))."""
+    h = scale_pow2(a, np.float32(0.5))
+    f = floor(h)
+    r = sub(a, scale_pow2(f, np.float32(2.0)))
+    # guard f32 edge rounding: fold residuals outside [0, 2) once more
+    over = r[0] >= 2.0
+    under = r[0] < 0.0
+    r = where(over, add_f32(r, np.float32(-2.0)), r)
+    r = where(under, add_f32(r, np.float32(2.0)), r)
+    return r
+
+
+def max_df(a, b):
+    return where(compare_lt(a, b), b, a)
+
+
+def min_df(a, b):
+    return where(compare_lt(a, b), a, b)
+
+
+def abs_df(a):
+    neg_mask = a[0] < 0
+    return (jnp.where(neg_mask, -a[0], a[0]), jnp.where(neg_mask, -a[1], a[1]))
+
+
+def expm1(a):
+    """df32 expm1: exact subtraction of 1 from the df32 exp (the exp result
+    is >= 2^-60 away from 1 only via its own df32 error; for |a| small the
+    cancellation in exp(a) - 1 is error-free on the hi limb)."""
+    e = exp(a)
+    return add(e, (np.float32(-1.0), np.float32(0.0)))
+
+
 def compare_lt(a, b):
     """a < b on df32 (lexicographic on normalized pairs)."""
     return (a[0] < b[0]) | ((a[0] == b[0]) & (a[1] < b[1]))
+
+
+def compare_le(a, b):
+    return (a[0] < b[0]) | ((a[0] == b[0]) & (a[1] <= b[1]))
 
 
 def where(pred, a, b):

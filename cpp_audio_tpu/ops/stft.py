@@ -260,6 +260,127 @@ def _radix_top_select(s2, f2, k: int):
     return out[..., 0], out_db
 
 
+@functools.partial(jax.jit, static_argnames=("sample_rate", "fft_length", "k"))
+def _top_peaks_df(sq_hi, sq_lo, *, sample_rate: int, fft_length: int, k: int):
+    """df32 top-k peak extraction: same pipeline as `_top_peaks`, but QIFFT
+    frequencies and magnitudes are computed in compensated double-f32 from a
+    df32 sqmag spectrum (ops/dfft.stft_sqmag_df32), so they track the host
+    f64 pipeline's values to ~1e-11 relative — the precision that keeps
+    frequency noise (and every downstream tracker decision) inside the
+    -80 dB render budget (see ops/dfft.py).
+
+    Selection (is_peak, top-k ordering) uses f32 scores derived FROM the
+    df32 sqmag: is_peak local-max tests compare df32 pairs exactly; the
+    top-k boundary ordering carries ~5e-7 dB noise (f32 log of an exact
+    sqmag), so a boundary flip needs two interpolated mags within ~1e-6 dB
+    of each other AND of the k-th rank — measured never on the bench
+    campaigns (the raw-f32 pipeline's ~1e-2 dB mag noise flipped peaks every
+    few frames).
+
+    Returns (freq_hi, freq_lo, mag_db_hi, mag_db_lo), each (n_frames, k),
+    frequency-sorted with -inf mag padding.
+    """
+    from . import df32
+
+    F, nb = sq_hi.shape
+    sq = (sq_hi, sq_lo)
+    eps = 1e-30
+
+    def shift(pair, off, fill):
+        if off == -1:
+            return tuple(
+                jnp.concatenate([jnp.full_like(v[:, :1], f), v[:, :-1]], 1)
+                for v, f in zip(pair, fill))
+        return tuple(
+            jnp.concatenate([v[:, 1:], jnp.full_like(v[:, :1], f)], 1)
+            for v, f in zip(pair, fill))
+
+    sq_p = shift(sq, -1, (0.0, 0.0))
+    sq_n = shift(sq, +1, (0.0, 0.0))
+    lane = jnp.arange(nb, dtype=jnp.float32)
+    at_first = lane[None, :] == 0
+    at_last = lane[None, :] == nb - 1
+    gt_prev = df32.compare_lt(sq_p, sq) | at_first
+    ge_next = ~df32.compare_lt(sq, sq_n) | at_last
+    is_peak = gt_prev & ge_next & (sq_hi > eps)
+
+    # f32 selection score: interpolated mag from f32 dbs of the df32 sqmag
+    db32 = 10.0 * jnp.log10(jnp.maximum(sq_hi, eps))
+    prev32 = jnp.where(at_first, -600.0,
+                       jnp.concatenate([db32[:, :1], db32[:, :-1]], 1))
+    nxt32 = jnp.where(at_last, -600.0,
+                      jnp.concatenate([db32[:, 1:], db32[:, -1:]], 1))
+    denom32 = prev32 - 2.0 * db32 + nxt32
+    delta32 = jnp.where(jnp.abs(denom32) > 1e-12,
+                        0.5 * (prev32 - nxt32) / denom32, 0.0)
+    delta32 = jnp.clip(delta32, -0.5, 0.5)
+    mag32 = db32 - 0.25 * (prev32 - nxt32) * delta32
+    score = jnp.where(is_peak, mag32, -jnp.inf)
+
+    # pair-reduce (adjacent bins can't both be peaks), carrying the bin id
+    # and the df32 sqmag triple of each winner
+    chans = [jnp.broadcast_to(lane[None, :], (F, nb)),
+             sq_p[0], sq_p[1], sq_hi, sq_lo, sq_n[0], sq_n[1]]
+    pad = (-nb) % 2
+    if pad:
+        score = jnp.pad(score, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        chans = [jnp.pad(c, ((0, 0), (0, pad))) for c in chans]
+    se, so = score[:, ::2], score[:, 1::2]
+    pick = se >= so
+    s2 = jnp.where(pick, se, so)
+    ch2 = [jnp.where(pick, c[:, ::2], c[:, 1::2]) for c in chans]
+
+    # top-k by score (stable), then re-sort selected lanes by bin index
+    # (== frequency order: peak bins are >= 2 apart, deltas clipped to +-.5)
+    ops = jax.lax.sort((-s2, *ch2), dimension=-1, num_keys=1)
+    top_s = -ops[0][:, :k]
+    top_ch = [o[:, :k] for o in ops[1:]]
+    fin = jnp.isfinite(top_s)
+    key = jnp.where(fin, top_ch[0], jnp.inf)
+    ops2 = jax.lax.sort((key, top_s, *top_ch), dimension=-1, num_keys=1)
+    top_s = ops2[1]
+    bin_i, sp_hi, sp_lo, sc_hi, sc_lo, sn_hi, sn_lo = ops2[2:]
+    fin = jnp.isfinite(top_s)
+
+    # df32 QIFFT at the selected triples
+    def db_df(pair):
+        guarded = df32.where(pair[0] > eps, pair,
+                             (jnp.full_like(pair[0], eps),
+                              jnp.zeros_like(pair[0])))
+        return df32.mul_f32(df32.log10(guarded), np.float32(10.0))
+
+    at0 = bin_i == 0
+    atl = bin_i == nb - 1
+    neg600 = (jnp.full_like(sc_hi, -600.0), jnp.zeros_like(sc_hi))
+    dbp = df32.where(at0, neg600, db_df((sp_hi, sp_lo)))
+    dbc = db_df((sc_hi, sc_lo))
+    dbn = df32.where(atl, neg600, db_df((sn_hi, sn_lo)))
+    denom = df32.add(df32.sub(dbp, df32.scale_pow2(dbc, np.float32(2.0))),
+                     dbn)
+    pmn = df32.sub(dbp, dbn)
+    delta = df32.mul_f32(df32.div(pmn, df32.where(
+        jnp.abs(denom[0]) > 1e-12, denom,
+        (jnp.ones_like(denom[0]), jnp.zeros_like(denom[0])))),
+        np.float32(0.5))
+    delta = df32.where(jnp.abs(denom[0]) > 1e-12, delta,
+                       (jnp.zeros_like(delta[0]), jnp.zeros_like(delta[1])))
+    half = (jnp.full_like(delta[0], 0.5), jnp.zeros_like(delta[0]))
+    delta = df32.min_df(df32.max_df(delta, df32.neg(half)), half)
+    binw_hi, binw_lo = dfft_consts(sample_rate / fft_length)
+    freq = df32.mul(df32.add_f32(delta, bin_i),
+                    (jnp.asarray(binw_hi), jnp.asarray(binw_lo)))
+    corr = df32.mul_f32(df32.mul(pmn, delta), np.float32(0.25))
+    mag = df32.sub(dbc, corr)
+    mag_hi = jnp.where(fin, mag[0], -jnp.inf)
+    mag_lo = jnp.where(fin, mag[1], 0.0)
+    return freq[0], freq[1], mag_hi, mag_lo
+
+
+def dfft_consts(x64: float):
+    hi = np.float32(x64)
+    return hi, np.float32(np.float64(x64) - np.float64(hi))
+
+
 def extract_top_peaks(sqmag, sample_rate: int, fft_length: int, k: int = 127):
     """Device-side top-k peak extraction: returns (freq, mag_db) arrays of
     shape (n_frames, k), frequency-sorted, with -inf mag padding.

@@ -125,3 +125,46 @@ class TestTranscendental:
         db = _rand(4000, -200.0, 40.0, 24)
         assert _rel(df32.pow10(df32.from_f64(db / 20.0)),
                     np.power(10.0, db / 20.0)) < 2.0 ** -42
+
+
+class TestJitComposition:
+    """df32 compensation must survive INSIDE one jitted graph: XLA:CPU's
+    LLVM backend contracts float expressions across fused ops, which voided
+    two_prod/fast_two_sum until ops/df32._round_f32 pinned explicit rounding
+    points (the multiplicative Dekker split was also replaced by a bitmask
+    split). These pin the regression."""
+
+    def test_mul_with_const_pair_jitted(self):
+        import jax
+
+        L10 = (np.float32(0.4342945),
+               np.float32(0.4342944819032518 - np.float64(np.float32(0.4342945))))
+        a = df32.from_f64(np.array([-0.889664848980587]))
+        ref = -0.889664848980587 * 0.4342944819032518
+        j = jax.jit(lambda h, l: df32.mul((h, l), L10))(*a)
+        assert abs(float(df32.to_f64(j)[0]) - ref) < 1e-13
+
+    def test_two_prod_fast_two_sum_jitted(self):
+        import jax
+
+        h = jnp.asarray(np.array([-0.88966485], np.float32))
+        bhi = np.float32(0.4342945)
+        true_e = float(np.float64(np.float32(-0.88966485)) * np.float64(bhi)
+                       - np.float64(np.float32(-0.88966485) * bhi))
+
+        def f(h):
+            p, e = df32.two_prod(h, bhi)
+            return df32.fast_two_sum(p, e)
+
+        s, e2 = jax.jit(f)(h)
+        assert abs(float(e2[0]) - true_e) < 1e-15
+
+    def test_log10_jitted_matches_eager(self):
+        import jax
+
+        vals = 10.0 ** np.random.default_rng(3).uniform(-12, 0, 512)
+        pair = df32.from_f64(vals)
+        eager = df32.to_f64(df32.log10(pair))
+        jit = df32.to_f64(jax.jit(lambda h, l: df32.log10((h, l)))(*pair))
+        assert np.abs(jit - np.log10(vals)).max() < 1e-12
+        assert np.abs(jit - eager).max() < 1e-13
