@@ -89,6 +89,87 @@ def _fused_analyze_vocode(fp, ip, up, gains, codes, window, carrier, edges,
     return freq, mag, mix
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "n", "block_size", "n_blocks", "a_itp", "d_itp", "r_itp",
+    "window_size", "stride", "fft_len", "k", "sample_rate",
+    "mod_window", "voc_stride", "car_fft", "n_mod_frames",
+    "vol_mod", "vol_car", "vol_voc", "use_matmul_dft", "edges_t",
+    "mod_mode", "mod_shape"))
+def _fused_analyze_vocode_df(fp, ip, up, gains, codes, whi, wlo, shi, slo,
+                             carrier, edges, bm_car, rows, *, n: int,
+                             block_size: int, n_blocks: int, a_itp, d_itp,
+                             r_itp, window_size: int, stride: int,
+                             fft_len: int, k: int, sample_rate: int,
+                             mod_window: int, voc_stride: int, car_fft: int,
+                             n_mod_frames: int, vol_mod: float,
+                             vol_car: float, vol_voc: float,
+                             use_matmul_dft: bool = False, edges_t=None,
+                             mod_mode=None, mod_shape: str = "gaussian"):
+    """df32-analysis variant of _fused_analyze_vocode: the synth renders and
+    the vocoder runs in f32 (already ~-130 dB vs f64 —
+    tools/fidelity_budget.py), while the STFT + QIFFT peaks run in
+    compensated double-f32 (ops/dfft.py, ops/stft._top_peaks_df) so the
+    tracker's inputs match the host f64 pipeline to ~1e-11 relative.
+    Returns ((freq_hi, freq_lo, mag_hi, mag_lo), vocoder_mix)."""
+    from ..ops import dfft
+
+    if fp.ndim == 3:
+        out = voicebank.voicebank_blocks_compact_impl(
+            fp, ip, up, gains, codes, block_size=block_size,
+            n_blocks=n_blocks, a_itp=a_itp, d_itp=d_itp, r_itp=r_itp,
+            out_dtype="float32")
+    else:
+        out = voicebank.voicebank_blocks_impl(
+            fp, ip, up, gains, codes, block_size=block_size,
+            n_blocks=n_blocks, a_itp=a_itp, d_itp=d_itp, r_itp=r_itp,
+            out_dtype="float32")
+    mono = out.reshape(-1, out.shape[-1])[:n].sum(axis=1)
+
+    sq = dfft.stft_sqmag_df32_arrays(mono, whi, wlo, shi, slo,
+                                     window_size=window_size, stride=stride,
+                                     fft_length=fft_len)
+    freq4 = stft_ops._top_peaks_df(sq[0], sq[1], sample_rate=sample_rate,
+                                   fft_length=fft_len, k=k)
+
+    amps = vocoder_mod._modulator_band_amps_fast(
+        mono, edges if edges_t is None else edges_t, window=mod_window,
+        stride=voc_stride, n_frames=n_mod_frames, sample_rate=sample_rate,
+        mode=mod_mode, shape=mod_shape)
+    vocoded = vocoder_mod._carrier_vocode(
+        carrier, amps[rows], bm_car, stride=voc_stride, fft_len=car_fft,
+        use_matmul_dft=use_matmul_dft)
+    out_len = vocoded.shape[0]
+    mix = (vol_voc * vocoded + vol_mod * mono[:out_len]
+           + vol_car * carrier[:out_len])
+    return freq4, mix
+
+
+def autotune_device_arrays_df(rconfig):
+    """Numeric autotune tables as df32 (hi, lo) pairs for the df tracker."""
+    from . import autotune as at
+
+    tables = at.autotune_tables(use_autotune=rconfig.use_autotune,
+                                **rconfig.autotune_kwargs)
+
+    def pair(x, shape=None):
+        x64 = np.asarray(x, np.float64) if x is not None else np.zeros(shape)
+        hi = x64.astype(np.float32)
+        lo = (x64 - hi.astype(np.float64)).astype(np.float32)
+        return jnp.asarray(hi), jnp.asarray(lo)
+
+    root = pair(None, ())
+    scale = pair(None, (8,))
+    equid = pair(None, (7,))
+    allowed = pair(None, (0,))
+    if tables["kind"] == "scale":
+        root = pair(tables["root_pitch"])
+        scale = pair(tables["scale"])
+        equid = pair(tables["equidistant"])
+    elif tables["kind"] == "allowed":
+        allowed = pair(np.asarray(tables["allowed"], np.float64))
+    return tables["kind"], (root, scale, equid, allowed)
+
+
 def autotune_device_arrays(rconfig, dtype=jnp.float32):
     """Numeric autotune tables as device arrays for the device tracker:
     (root (), scale (8,), equidistant (7,), allowed (A,)). Dummy zeros for
@@ -290,6 +371,56 @@ def _fused_single_dispatch(fp, ip, up, gains, codes, window, carrier, edges,
     return out[:2], mix, dropped
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "n", "block_size", "n_blocks", "a_itp", "d_itp", "r_itp",
+    "window_size", "stride", "fft_len", "k", "sample_rate",
+    "mod_window", "voc_stride", "car_fft", "n_mod_frames",
+    "vol_mod", "vol_car", "vol_voc", "use_matmul_dft", "edges_t", "mod_mode",
+    "mod_shape", "render_stride", "start_sample") + _TRACKER_STATICS)
+def _fused_single_dispatch_df(fp, ip, up, gains, codes, whi, wlo, shi, slo,
+                              carrier, edges, bm_car, rows,
+                              lp_hi, lp_lo, ls_hi, ls_lo, pan_draws,
+                              phase_draws, at_root_hi, at_root_lo,
+                              at_scale_hi, at_scale_lo, at_equid_hi,
+                              at_equid_lo, at_allowed_hi, at_allowed_lo,
+                              **kw):
+    """The df32-fidelity single-dispatch chain: synth -> df32 STFT/peaks ->
+    df32 tracker -> df-phase render (+ f32 vocoder), one XLA program. The
+    rendered audio matches the host f64 pipeline below -80 dB
+    (tools/fidelity_budget.py) while all arithmetic stays f32 on the VPU."""
+    from . import device_tracker
+
+    freq4, mix = _fused_analyze_vocode_df(
+        fp, ip, up, gains, codes, whi, wlo, shi, slo, carrier, edges,
+        bm_car, rows,
+        **{f: kw[f] for f in (
+            "n", "block_size", "n_blocks", "a_itp", "d_itp", "r_itp",
+            "window_size", "stride", "fft_len", "k", "sample_rate",
+            "mod_window", "voc_stride", "car_fft", "n_mod_frames", "vol_mod",
+            "vol_car", "vol_voc", "use_matmul_dft") if f in kw},
+        edges_t=kw.get("edges_t"), mod_mode=kw.get("mod_mode"),
+        mod_shape=kw.get("mod_shape", "gaussian"))
+    tk = _tracker_call_kwargs(kw, None)
+    tk.pop("autotune_arrays")
+    table, dropped = device_tracker.build_tables_device_df(
+        *freq4, (lp_hi, lp_lo), (ls_hi, ls_lo), pan_draws, phase_draws,
+        autotune_arrays_df=((at_root_hi, at_root_lo),
+                            (at_scale_hi, at_scale_lo),
+                            (at_equid_hi, at_equid_lo),
+                            (at_allowed_hi, at_allowed_lo)), **tk)
+    out = resynth_bank._render_slots(table, stride=kw["render_stride"],
+                                     n_channels=2, dtype="float32",
+                                     channel_major=True)
+    return out[:2], mix, dropped
+
+
+def _df_pair_np(x64):
+    x64 = np.asarray(x64, np.float64)
+    hi = x64.astype(np.float32)
+    return (jnp.asarray(hi),
+            jnp.asarray((x64 - hi.astype(np.float64)).astype(np.float32)))
+
+
 def prepare_offline_chain_device(bank: voicebank.VoiceBank, n_samples: int,
                                  rconfig: resynth_mod.ResynthConfig,
                                  vparams: vocoder_mod.VocoderParams, carrier,
@@ -315,6 +446,9 @@ def prepare_offline_chain_device(bank: voicebank.VoiceBank, n_samples: int,
 
     sr = rconfig.sample_rate
     dtype = rconfig.dtype
+    analysis_df = dtype == "df32"
+    if analysis_df:
+        dtype = "float32"
     args, statics = voicebank.prepare_bank_arrays(bank, n_samples, block_size,
                                                   dtype)
     args, statics = voicebank.compact_block_args(args, statics)
@@ -346,6 +480,43 @@ def prepare_offline_chain_device(bank: voicebank.VoiceBank, n_samples: int,
     pan_draws, phase_draws = draws
 
     import jax
+
+    if analysis_df:
+        # df32-fidelity chain: window + unit-sine scale + ISO loudness +
+        # autotune tables all as (hi, lo) pairs of their f64 values
+        w64 = np.asarray(window, np.float64)
+        scale64 = (2.0 / float(np.sum(w64))) ** 2
+        whi, wlo = _df_pair_np(w64)
+        shi, slo = _df_pair_np(scale64)
+        lp = _df_pair_np(np.asarray(loudness.PITCHES, np.float64))
+        ls = _df_pair_np(np.asarray(loudness.ELVS[li], np.float64))
+        _at_kind, at_p = autotune_device_arrays_df(rconfig)
+        all_args = jax.device_put((
+            *args, whi, wlo, shi, slo, carrier_dev, jnp.asarray(edges, wdt),
+            jnp.asarray(bm_car, wdt), jnp.asarray(rows), lp[0], lp[1],
+            ls[0], ls[1], jnp.asarray(pan_draws, jnp.float32),
+            jnp.asarray(phase_draws, jnp.float32),
+            at_p[0][0], at_p[0][1], at_p[1][0], at_p[1][1],
+            at_p[2][0], at_p[2][1], at_p[3][0], at_p[3][1]))
+        kw = dict(
+            n=n_samples, window_size=rconfig.window_size,
+            stride=rconfig.stride, fft_len=fft_len, k=k, sample_rate=sr,
+            mod_window=W, voc_stride=S, car_fft=car_fft,
+            n_mod_frames=n_mod_frames,
+            vol_mod=float(vparams.volume_modulator),
+            vol_car=float(vparams.volume_carrier),
+            vol_voc=float(vparams.volume_vocoded),
+            use_matmul_dft=stft_ops.use_matmul_dft_default(wdt),
+            edges_t=tuple(float(e) for e in edges), mod_mode=mod_mode,
+            mod_shape=vparams.modulator_window_shape,
+            total_frames=total_frames, render_stride=rcfg.stride,
+            start_sample=rcfg.start_sample,
+            **tracker_config_kwargs(rconfig, rcfg), **statics)
+
+        def step():
+            return _fused_single_dispatch_df(*all_args, **kw)
+
+        return step, n_frames
 
     _at_kind, at_arrays = autotune_device_arrays(rconfig, wdt)
     all_args = jax.device_put((

@@ -1082,3 +1082,845 @@ def build_tables_device(freq, mag_db, loud_pitches, loud_spl, pan_draws,
         return jax.lax.cond(viol, _scan_path,
                             lambda _: (tbl_p, jnp.int32(0)), None)
     return _scan_path(None)
+
+
+# =========================================================================
+# df32 (compensated double-f32) tracker mode
+# =========================================================================
+# The f32 tracker above is the fast serving path; this section re-runs the
+# SAME semantics with every decision quantity and recurrence carried as
+# (hi, lo) df32 pairs (ops/df32.py), fed by df32 STFT peaks
+# (ops/stft._top_peaks_df). Purpose (measured in tools/fidelity_budget.py):
+# the f32 tracker's pitch/threshold comparisons and phase/volume boundary
+# recurrences diverge from the host f64 tracker by enough to flip note
+# decisions (which shifts the sequential RNG draw counters and decorrelates
+# the whole render) and to drift per-voice phases to ~-45 dB. In df32 every
+# decision margin is ~1e-11 relative and boundary phases track f64 to
+# ~1e-9, putting the rendered audio below the -80 dB budget vs the host f64
+# pipeline while staying pure f32 on the VPU.
+#
+# The emitted control table gains a 17th field (_F_INC_LO): the lo limb of
+# the per-row angle increment, consumed by models/resynth_bank._render_slots
+# (df-phase render path). Violation fallbacks route to the f32 scan path
+# with a zero 17th field (fidelity degrades to f32 there; the benched
+# default config never trips it).
+
+from ..ops import df32 as _dfm
+
+_NF_DF = 17
+_F_INC_LO = 16
+
+
+def _dfc(x64: float):
+    """f64 scalar -> (hi, lo) np.float32 constants."""
+    hi = np.float32(x64)
+    return hi, np.float32(np.float64(x64) - np.float64(hi))
+
+
+def _dfc_arr(x64):
+    x64 = np.asarray(x64, np.float64)
+    hi = x64.astype(np.float32)
+    return jnp.asarray(hi), jnp.asarray((x64 - hi.astype(np.float64)
+                                         ).astype(np.float32))
+
+
+def _df_lt(a, b):
+    return (a[0] < b[0]) | ((a[0] == b[0]) & (a[1] < b[1]))
+
+
+def _df_le(a, b):
+    return (a[0] < b[0]) | ((a[0] == b[0]) & (a[1] <= b[1]))
+
+
+def _df_where(m, a, b):
+    return (jnp.where(m, a[0], b[0]), jnp.where(m, a[1], b[1]))
+
+
+def _df_zero_like(h):
+    return (jnp.zeros_like(h), jnp.zeros_like(h))
+
+
+def _df_prefix_incl(pair, axis=-1):
+    """Inclusive df32 prefix sum along `axis` by shift-doubling (log depth)."""
+    hi, lo = pair
+    hi = jnp.moveaxis(hi, axis, -1)
+    lo = jnp.moveaxis(lo, axis, -1)
+    n = hi.shape[-1]
+    s = 1
+    while s < n:
+        zh = jnp.zeros(hi.shape[:-1] + (s,), hi.dtype)
+        sh = jnp.concatenate([zh, hi[..., :-s]], axis=-1)
+        sl = jnp.concatenate([zh, lo[..., :-s]], axis=-1)
+        hi, lo = _dfm.add((hi, lo), (sh, sl))
+        s *= 2
+    return jnp.moveaxis(hi, -1, axis), jnp.moveaxis(lo, -1, axis)
+
+
+def _pitch_of_freq_df(freq):
+    """69 + 12*log2(f/440) in df32."""
+    p = _dfm.mul(_dfm.log2(_dfm.div(freq, (np.float32(440.0), np.float32(0.0)))),
+                 (np.float32(12.0), np.float32(0.0)))
+    return _dfm.add_f32(p, np.float32(69.0))
+
+
+def _freq_of_pitch_df(pitch):
+    """440 * 2^((p-69)/12) in df32."""
+    e = _dfm.div(_dfm.add_f32(pitch, np.float32(-69.0)),
+                 (np.float32(12.0), np.float32(0.0)))
+    return _dfm.mul_f32(_dfm.exp2(e), np.float32(440.0))
+
+
+def _df_max_masked(pair, mask, axis):
+    """Lexicographic df32 max over `axis` where mask (else -inf)."""
+    h = jnp.where(mask, pair[0], -jnp.inf)
+    mh = jnp.max(h, axis=axis)
+    at = mask & (pair[0] == jnp.expand_dims(mh, axis))
+    ml = jnp.max(jnp.where(at, pair[1], -jnp.inf), axis=axis)
+    ml = jnp.where(jnp.isfinite(ml), ml, 0.0)
+    return mh, ml
+
+
+def _df_min_masked(pair, mask, axis):
+    h = jnp.where(mask, pair[0], jnp.inf)
+    mh = jnp.min(h, axis=axis)
+    at = mask & (pair[0] == jnp.expand_dims(mh, axis))
+    ml = jnp.min(jnp.where(at, pair[1], jnp.inf), axis=axis)
+    ml = jnp.where(jnp.isfinite(ml), ml, 0.0)
+    return mh, ml
+
+
+def _harmonize_lanes_df(tp, tv, h: float):
+    """df32 _harmonize_lanes: merge decisions on hi (PITCH_EPSILON = 1e-4 is
+    10^3 above df32 noise), values carried as pairs."""
+    F, k = tp[0].shape
+    h_hi, h_lo = _dfc(h)
+    valid = jnp.isfinite(tp[0])
+    hp = _df_where(valid, _dfm.add(tp, (jnp.full_like(tp[0], h_hi),
+                                        jnp.full_like(tp[0], h_lo))),
+                   (jnp.full_like(tp[0], jnp.inf), jnp.zeros_like(tp[0])))
+    pj = jnp.where(valid, tp[0], FAR)[:, None, :]
+    dist = jnp.abs(pj - jnp.where(valid, hp[0], -FAR)[:, :, None])
+    mind = jnp.min(dist, axis=-1)
+    merge = valid & (mind <= _PITCH_EPSILON)
+    is_min = dist <= mind[..., None]
+    lane = jnp.arange(k)
+    first_j = jnp.min(jnp.where(is_min, lane[None, None, :], k), axis=-1)
+    oh = ((first_j[..., None] == lane[None, None, :]) & merge[..., None]
+          ).astype(jnp.float32)
+    add_hi = jnp.einsum("fij,fi->fj", oh, tv[0],
+                        precision=jax.lax.Precision.HIGHEST)
+    add_lo = jnp.einsum("fij,fi->fj", oh, tv[1],
+                        precision=jax.lax.Precision.HIGHEST)
+    merged_v = _dfm.add(tv, (add_hi, add_lo))
+    new_v = _df_where(valid & ~merge, tv, _df_zero_like(tv[0]))
+    new_p = _df_where(valid & ~merge, hp,
+                      (jnp.full_like(tp[0], jnp.inf), jnp.zeros_like(tp[0])))
+    cat_p = tuple(jnp.concatenate([a, b], axis=-1)
+                  for a, b in zip(tp, new_p))
+    cat_v = tuple(jnp.concatenate([a, b], axis=-1)
+                  for a, b in zip(merged_v, new_v))
+    key = jnp.where(jnp.isfinite(cat_p[0]), cat_p[0], jnp.inf)
+    srt = jax.lax.sort((key, cat_p[1], cat_p[0], cat_v[0], cat_v[1]),
+                       dimension=-1, num_keys=2)
+    return (srt[2], srt[1]), (srt[3], srt[4])
+
+
+def _autotune_lanes_df(tp, tv, at_root, at_scale, at_equid, at_allowed, *,
+                       kind: str, max_pitch: float, tolerance: float):
+    """df32 _autotune_lanes: snap decisions on hi values (grid snapping is
+    coarse), snapped OUTPUT pitches carried as df32 built from the df32
+    grid tables so downstream matching stays f64-grade.
+
+    at_* arrive as ((hi, lo)) pairs from chain.autotune_device_arrays_df."""
+    F, k = tp[0].shape
+    valid = jnp.isfinite(tp[0])
+    p = _df_where(valid, tp, _df_zero_like(tp[0]))
+    if kind == "scale":
+        root = (at_root[0], at_root[1])
+        od_hi = (p[0] - root[0]) / 12.0
+        oct_t = jnp.where(od_hi >= 0, jnp.trunc(od_hi), jnp.trunc(od_hi) - 1.0)
+        rel = _dfm.sub(_dfm.sub(p, (oct_t * 12.0, jnp.zeros_like(oct_t))),
+                       (jnp.broadcast_to(root[0], p[0].shape),
+                        jnp.broadcast_to(root[1], p[0].shape)))
+        idx = jnp.sum(rel[0][..., None] >= at_equid[0][None, None, :], axis=-1)
+        ns = at_scale[0].shape[0]
+        ohs = (idx[..., None] == jnp.arange(ns)[None, None, :]).astype(
+            jnp.float32)
+        prec = jax.lax.Precision.HIGHEST
+        snap = (jnp.einsum("fkj,j->fk", ohs, at_scale[0], precision=prec),
+                jnp.einsum("fkj,j->fk", ohs, at_scale[1], precision=prec))
+        tpn = _dfm.sub(p, _dfm.sub(rel, snap))
+        transform_ok = jnp.ones_like(valid)
+    else:
+        if at_allowed[0].shape[0] == 0:
+            return ((jnp.full_like(tp[0], jnp.inf), jnp.zeros_like(tp[0])),
+                    _df_zero_like(tv[0]))
+        dist = jnp.abs(p[0][..., None] - at_allowed[0][None, None, :])
+        mind = jnp.min(dist, axis=-1)
+        is_c = dist <= mind[..., None]
+        cand_hi = jnp.where(is_c, at_allowed[0][None, None, :], jnp.inf)
+        tp_hi = jnp.min(cand_hi, axis=-1)
+        at_c = is_c & (at_allowed[0][None, None, :] == tp_hi[..., None])
+        tp_lo = jnp.min(jnp.where(at_c, at_allowed[1][None, None, :],
+                                  jnp.inf), axis=-1)
+        tpn = (tp_hi, jnp.where(jnp.isfinite(tp_lo), tp_lo, 0.0))
+        transform_ok = jnp.ones_like(valid)
+    use_tp = (p[0] <= max_pitch) & (tpn[0] <= max_pitch) & transform_ok
+    snapped = _df_where(use_tp, tpn, p)
+    keep = valid & (jnp.abs(_dfm.sub(snapped, p)[0]) <= tolerance)
+    out_p = _df_where(keep, snapped,
+                      (jnp.full_like(tp[0], jnp.inf), jnp.zeros_like(tp[0])))
+    out_v = _df_where(keep, tv, _df_zero_like(tv[0]))
+    srt = jax.lax.sort((out_p[0], out_p[1], out_v[0], out_v[1]),
+                       dimension=-1, num_keys=2)
+    sp = (srt[0], srt[1])
+    sv = (srt[2], srt[3])
+    fin = jnp.isfinite(sp[0])
+    prev = jnp.concatenate([jnp.full_like(sp[0][:, :1], -jnp.inf),
+                            sp[0][:, :-1]], axis=-1)
+    boundary = ~fin | (sp[0] - prev >= _PITCH_EPSILON)
+    gid = jnp.cumsum(boundary.astype(jnp.int32), axis=-1) - 1
+    lane = jnp.arange(sp[0].shape[-1])
+    prec = jax.lax.Precision.HIGHEST
+    oh_g = ((gid[..., None] == lane[None, None, :]) & fin[..., None]
+            ).astype(jnp.float32)
+    gv = (jnp.einsum("fjg,fj->fg", oh_g, sv[0], precision=prec),
+          jnp.einsum("fjg,fj->fg", oh_g, sv[1], precision=prec))
+    in_g = oh_g > 0.5
+    gp = _df_min_masked((sp[0][..., None] * jnp.ones_like(oh_g),
+                         sp[1][..., None] * jnp.ones_like(oh_g)),
+                        in_g[..., :], axis=1)
+    ok = jnp.isfinite(gp[0])
+    return ((gp[0], jnp.where(ok, gp[1], 0.0)),
+            _df_where(ok, gv, _df_zero_like(gv[0])))
+
+
+def _frame_local_df(freq, mag_db, loud_pitches_df, loud_spl_df, at_args, *,
+                    d: float, min_volume: float, pitch_method: int,
+                    volume_method: int, shift_pre: float, shift_post: float,
+                    analysis_volume: float, harmonize_pre: float = 0.0,
+                    harmonize_post: float = 0.0, autotune_kind: str = "off",
+                    autotune_max_pitch: float = 150.0,
+                    autotune_tolerance: float = 100.0):
+    """df32 `_frame_local`: same stage order, every pitch/volume and every
+    comparison carried as (hi, lo) pairs so decisions match the host f64
+    pipeline to ~1e-11 relative. freq/mag_db are df32 pairs (F, k).
+
+    Group volume/pitch sums use df32 PREFIX-SUM DIFFERENCES over the sorted
+    lanes (groups are contiguous) — the one-hot einsum used by the f32 path
+    would round the member sum in f32 accumulate.
+    """
+    prec = jax.lax.Precision.HIGHEST
+    F, k = freq[0].shape
+    valid = jnp.isfinite(mag_db[0]) & (freq[0] > 0) & jnp.isfinite(freq[0])
+    safe_f = _df_where(valid, freq, (jnp.full_like(freq[0], 1.0),
+                                     jnp.zeros_like(freq[0])))
+    pitch = _df_where(valid, _pitch_of_freq_df(safe_f),
+                      (jnp.full_like(freq[0], jnp.inf),
+                       jnp.zeros_like(freq[0])))
+    vol = _df_where(valid,
+                    _dfm.pow10(_dfm.div(mag_db, (np.float32(20.0),
+                                                 np.float32(0.0)))),
+                    _df_zero_like(freq[0]))
+
+    # greedy nearby grouping: df32 compare-all jump counts, then the same
+    # boolean matrix squaring as the f32 path (graph ops are exact)
+    d_hi, d_lo = _dfc(d)
+    pd = _dfm.add(pitch, (jnp.full_like(pitch[0], d_hi),
+                          jnp.full_like(pitch[0], d_lo)))
+    le = _df_le((pitch[0][:, None, :], pitch[1][:, None, :]),
+                (pd[0][:, :, None], pd[1][:, :, None]))
+    nxt = jnp.sum(le & valid[:, None, :], axis=-1)
+    lane = jnp.arange(k)
+    J = (nxt[:, :, None] == lane[None, None, :]).astype(jnp.float32)
+    reach = jnp.zeros((F, k), jnp.float32).at[:, 0].set(1.0)
+    steps = max(1, int(np.ceil(np.log2(k))))
+    for _ in range(steps):
+        reach = jnp.minimum(reach + jnp.einsum("fj,fjl->fl", reach, J), 1.0)
+        J = jnp.minimum(jnp.einsum("fjm,fml->fjl", J, J), 1.0)
+    bound = reach > 0.5
+    gid = jnp.cumsum(bound.astype(jnp.int32), axis=-1) - 1
+
+    # segment sums by df32 prefix difference (groups are contiguous lanes)
+    vz = _df_where(valid, vol, _df_zero_like(vol[0]))
+    pz = _df_where(valid, pitch, _df_zero_like(pitch[0]))
+    pv = _dfm.mul(pz, vz)
+    ps_v = _df_prefix_incl(vz)
+    ps_pv = _df_prefix_incl(pv)
+    is_last = jnp.concatenate(
+        [gid[:, 1:] != gid[:, :-1], jnp.ones((F, 1), bool)], axis=-1)
+    oh_last = ((gid[..., None] == lane[None, None, :]) & is_last[..., None]
+               ).astype(jnp.float32)
+
+    def seg_from_prefix(ps):
+        end = (jnp.einsum("fjg,fj->fg", oh_last, ps[0], precision=prec),
+               jnp.einsum("fjg,fj->fg", oh_last, ps[1], precision=prec))
+        start = tuple(jnp.concatenate([jnp.zeros((F, 1), jnp.float32),
+                                       v[:, :-1]], axis=-1) for v in end)
+        return _dfm.sub(end, start)
+
+    sum_vol = seg_from_prefix(ps_v)
+    sum_pv = seg_from_prefix(ps_pv)
+    count = jnp.einsum(
+        "fjg,fj->fg", (gid[..., None] == lane[None, None, :]).astype(
+            jnp.float32), valid.astype(jnp.float32), precision=prec)
+
+    in_g = (gid[..., None] == lane[None, None, :])  # (F, j, g)
+    big = lambda pair: (pair[0][..., None] + jnp.zeros((1, 1, k), jnp.float32),
+                        pair[1][..., None] + jnp.zeros((1, 1, k), jnp.float32))
+    max_vol = _df_max_masked(big(vol), in_g & valid[:, :, None], axis=1)
+    min_p = _df_min_masked(big(pitch), in_g & valid[:, :, None], axis=1)
+    max_p = _df_max_masked(big(pitch), in_g & valid[:, :, None], axis=1)
+    # first (lowest-pitch) member attaining the group max volume
+    maxv_lane = (jnp.einsum("fjg,fg->fj", in_g.astype(jnp.float32),
+                            max_vol[0], precision=prec),
+                 jnp.einsum("fjg,fg->fj", in_g.astype(jnp.float32),
+                            max_vol[1], precision=prec))
+    is_max = ~_df_lt(vol, maxv_lane)
+    pitch_at_max = _df_min_masked(
+        big(pitch), in_g & (valid & is_max)[:, :, None], axis=1)
+
+    if volume_method == 0:
+        gvol = max_vol
+    else:
+        gvol = sum_vol
+    if pitch_method == 0:
+        gpitch = _dfm.scale_pow2(_dfm.add(min_p, max_p), np.float32(0.5))
+    elif pitch_method == 1:
+        gpitch = pitch_at_max
+    else:
+        denom = _df_where(sum_vol[0] > 1e-30, sum_vol,
+                          (jnp.full_like(sum_vol[0], 1e-30),
+                           jnp.zeros_like(sum_vol[0])))
+        gpitch = _dfm.div(sum_pv, denom)
+    mv_hi, mv_lo = _dfc(min_volume)
+    keep = (~_df_lt(gvol, (jnp.full_like(gvol[0], mv_hi),
+                           jnp.full_like(gvol[0], mv_lo)))) & (count > 0)
+
+    sp_hi, sp_lo = _dfc(shift_pre)
+    keyp = _dfm.add(gpitch, (jnp.full_like(gpitch[0], sp_hi),
+                             jnp.full_like(gpitch[0], sp_lo)))
+    key = _df_where(keep, keyp, (jnp.full_like(gpitch[0], jnp.inf),
+                                 jnp.zeros_like(gpitch[0])))
+    gv = _df_where(keep, gvol, _df_zero_like(gvol[0]))
+    srt = jax.lax.sort((key[0], key[1], gv[0], gv[1]), dimension=-1,
+                       num_keys=2)
+    tpitch = (srt[0], jnp.where(jnp.isfinite(srt[0]), srt[1], 0.0))
+    tvol = (srt[2], srt[3])
+
+    if harmonize_pre:
+        tpitch, tvol = _harmonize_lanes_df(tpitch, tvol, harmonize_pre)
+    if autotune_kind != "off":
+        tpitch, tvol = _autotune_lanes_df(
+            tpitch, tvol, *at_args, kind=autotune_kind,
+            max_pitch=autotune_max_pitch, tolerance=autotune_tolerance)
+    if shift_post:
+        s2h, s2l = _dfc(shift_post)
+        shifted = _dfm.add(tpitch, (jnp.full_like(tpitch[0], s2h),
+                                    jnp.full_like(tpitch[0], s2l)))
+        tpitch = _df_where(jnp.isfinite(tpitch[0]), shifted, tpitch)
+    if harmonize_post:
+        tpitch, tvol = _harmonize_lanes_df(tpitch, tvol, harmonize_post)
+
+    kk = tpitch[0].shape[-1]
+    # perceived-loudness weights in df32 (ISO table interp); order by
+    # (w_hi, w_lo) lexicographic descending, stable
+    lp, ls = loud_pitches_df, loud_spl_df
+    nlp = lp[0].shape[0]
+    x = _df_where(jnp.isfinite(tpitch[0]), tpitch,
+                  (jnp.broadcast_to(lp[0][-1], tpitch[0].shape),
+                   jnp.broadcast_to(lp[1][-1], tpitch[0].shape)))
+    lo_b = (jnp.broadcast_to(lp[0][0], x[0].shape),
+            jnp.broadcast_to(lp[1][0], x[0].shape))
+    hi_b = (jnp.broadcast_to(lp[0][-1], x[0].shape),
+            jnp.broadcast_to(lp[1][-1], x[0].shape))
+    x = _df_where(_df_lt(x, lo_b), lo_b, x)
+    x = _df_where(_df_lt(hi_b, x), hi_b, x)
+    ge = ~_df_lt((x[0][..., None], x[1][..., None]),
+                 (lp[0][None, None, :], lp[1][None, None, :]))
+    seg = jnp.clip(jnp.sum(ge, axis=-1) - 1, 0, nlp - 2)
+    oh_s = (seg[..., None] == jnp.arange(nlp - 1)[None, None, :]).astype(
+        jnp.float32)
+    pick = lambda tab, sl: (
+        jnp.einsum("fks,s->fk", oh_s, tab[0][sl], precision=prec),
+        jnp.einsum("fks,s->fk", oh_s, tab[1][sl], precision=prec))
+    x0 = pick(lp, slice(None, -1))
+    x1 = pick(lp, slice(1, None))
+    y0 = pick(ls, slice(None, -1))
+    y1 = pick(ls, slice(1, None))
+    dx = _dfm.sub(x1, x0)
+    tfr = _df_where(dx[0] > 0,
+                    _dfm.div(_dfm.sub(x, x0),
+                             _df_where(dx[0] > 0, dx,
+                                       (jnp.ones_like(dx[0]),
+                                        jnp.zeros_like(dx[0])))),
+                    _df_zero_like(dx[0]))
+    spl = _dfm.add(y0, _dfm.mul(tfr, _dfm.sub(y1, y0)))
+    w = _dfm.div(tvol, _df_where(spl[0] != 0, spl,
+                                 (jnp.ones_like(spl[0]),
+                                  jnp.zeros_like(spl[0]))))
+    iota = jnp.broadcast_to(jnp.arange(kk, dtype=jnp.int32)[None, :],
+                            (F, kk))
+    osrt = jax.lax.sort((-w[0], -w[1], iota), dimension=-1, num_keys=2)
+    loud_order = osrt[2]
+    av_hi, av_lo = _dfc(analysis_volume)
+    volume = _dfm.mul(tvol, (jnp.full_like(tvol[0], av_hi),
+                             jnp.full_like(tvol[0], av_lo)))
+    return tpitch, volume, loud_order
+
+
+def _match_parallel_df(tp, tvalid, maxd: float, Q: int):
+    """df32 `_match_parallel`: the lb/ub windows come from df32 compares, so
+    boundary ties match the host f64 tracker's decisions."""
+    F, k = tp[0].shape
+    md_hi, md_lo = _dfc(maxd)
+    prev = tuple(jnp.concatenate(
+        [jnp.full((1, k), jnp.inf if i == 0 else 0.0, jnp.float32), v[:-1]],
+        axis=0) for i, v in enumerate(tp))
+    lowd = _dfm.add(tp, (jnp.full_like(tp[0], -md_hi),
+                         jnp.full_like(tp[0], -md_lo)))
+    highd = _dfm.add(tp, (jnp.full_like(tp[0], md_hi),
+                          jnp.full_like(tp[0], md_lo)))
+    pj = (prev[0][:, None, :], prev[1][:, None, :])
+    lb = jnp.sum(_df_lt(pj, (lowd[0][:, :, None], lowd[1][:, :, None])),
+                 axis=-1).astype(jnp.int32)
+    ub = jnp.sum(_df_le(pj, (highd[0][:, :, None], highd[1][:, :, None])),
+                 axis=-1).astype(jnp.int32)
+    ub = jnp.where(tvalid, ub, -1)
+    B = 8
+    nb = k // B
+    lb2 = lb.reshape(F, nb, B)
+    ub2 = ub.reshape(F, nb, B)
+    v = jnp.broadcast_to(jnp.arange(Q + 1, dtype=jnp.int32), (F, nb, Q + 1))
+    for i in range(B):
+        c = jnp.maximum(v, lb2[:, :, i:i + 1])
+        v = c + (c < ub2[:, :, i:i + 1]).astype(jnp.int32)
+    qgrid = jnp.arange(Q + 1, dtype=jnp.int32)
+    x = jnp.zeros((F,), jnp.int32)
+    xs_in = []
+    for b in range(nb):
+        xs_in.append(x)
+        oh_x = (jnp.clip(x, 0, Q)[:, None] == qgrid[None, :]).astype(
+            jnp.float32)
+        x = jnp.round(jnp.einsum("fq,fq->f", oh_x,
+                                 v[:, b, :].astype(jnp.float32))
+                      ).astype(jnp.int32)
+    vv = jnp.stack(xs_in, axis=1)
+    cs_cols, m_cols = [], []
+    for i in range(B):
+        c = jnp.maximum(vv, lb2[:, :, i])
+        m = c < ub2[:, :, i]
+        cs_cols.append(c)
+        m_cols.append(m)
+        vv = c + m.astype(jnp.int32)
+    cs = jnp.stack(cs_cols, axis=-1).reshape(F, k)
+    matched = jnp.stack(m_cols, axis=-1).reshape(F, k)
+    return matched, jnp.where(matched, cs, 0)
+
+
+def _build_tables_parallel_df(tp, vol, loud_order, is_data, pan_draws,
+                              phase_draws, *, S, sr, maxd, max_voices, P, Q,
+                              attack, hold, decay, sustain, release,
+                              stereo_spread, total_frames, t_max, tail_E=16):
+    """df32 frame-parallel tracker: `_build_tables_parallel` with every
+    frequency increment, boundary phase, and volume-filter recurrence
+    carried as (hi, lo) pairs. Emits a (total_frames, P, 17) table — field
+    16 (_F_INC_LO) is the lo limb of the row's angle increment, consumed by
+    the df-phase render path (models/resynth_bank._render_slots)."""
+    F, k = tp[0].shape
+    f32 = jnp.float32
+    cst = lambda x: np.asarray(x, f32)
+    prec = jax.lax.Precision.HIGHEST
+    min_dt = sr / 1000.0
+    has_decay = sustain < 0.999999
+    sus = min(max(sustain, 0.0), 1.0) if has_decay else 1.0
+    atk_p = _dfc(max(attack, min_dt, 1.0))
+    dcy_p = _dfc(max(decay, min_dt, 1.0))
+    rel_p = _dfc(max(release, min_dt, 1.0))
+    hold_eff = cst(max(hold, 0.0))
+    S_f = np.float32(S)
+    PI = _dfc(np.pi)
+
+    tvalid = jnp.isfinite(tp[0]) & is_data[:, None]
+    n_valid = jnp.sum(tvalid.astype(jnp.int32), axis=-1)
+    viol = jnp.any(n_valid > max_voices)
+    viol |= jnp.any(tvalid & ~(vol[0] > 0))
+
+    matched, match_prev = _match_parallel_df(tp, tvalid, maxd, Q)
+    alive = tvalid
+    f_iota = jnp.arange(F, dtype=jnp.int32)[:, None]
+    lane_iota = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None, :],
+                                 (F, k))
+
+    def lane_take(idx_f32, stack):
+        oh = (idx_f32[..., None]
+              == jnp.arange(k, dtype=f32)[None, None, :]).astype(f32)
+        return jnp.einsum("fij,fjc->fic", oh, stack, precision=prec)
+
+    def lane_scatter(idx, vals):
+        oh = (idx[..., None]
+              == jnp.arange(k, dtype=idx.dtype)[None, None, :]).astype(f32)
+        return jnp.einsum("fji,fj->fi", oh, vals.astype(f32), precision=prec)
+
+    fin = lambda a: jnp.where(jnp.isfinite(a), a, 0.0).astype(f32)
+    fin2 = lambda p: (fin(p[0]), fin(p[1]))
+
+    # per-lane df32 values
+    safe_tp = _df_where(jnp.isfinite(tp[0]), tp,
+                        (jnp.full_like(tp[0], 100.0),
+                         jnp.zeros_like(tp[0])))
+    freq = _freq_of_pitch_df(safe_tp)
+    inc_to = _dfm.div(_dfm.scale_pow2(freq, np.float32(2.0)),
+                      (np.float32(sr), np.float32(0.0)))
+    prev_inc = tuple(jnp.concatenate([v[:1], v[:-1]], axis=0)
+                     for v in inc_to)
+    pi_stack = jnp.stack([fin(prev_inc[0]), fin(prev_inc[1])], axis=-1)
+    got_pi = lane_take(match_prev.astype(f32), pi_stack)
+    inc_from = _df_where(matched, (got_pi[..., 0], got_pi[..., 1]), inc_to)
+    same = (inc_to[0] == inc_from[0]) & (inc_to[1] == inc_from[1])
+    guard = lambda p: _df_where(p[0] > 1e-30, p,
+                                (jnp.full_like(p[0], 1e-30),
+                                 jnp.zeros_like(p[0])))
+    ratio = _df_where(same, _df_zero_like(tp[0]),
+                      _dfm.log(_dfm.div(guard(inc_to), guard(inc_from))))
+    # alpha / q / b in df32: m = min(2/S, |inc|); q = exp(-pi*m*S) written
+    # directly (the host's (1-alpha)^S equals it to ~1e-13)
+    two_S = _dfc(2.0 / S)
+    m_inc = _df_where(_df_lt(_dfm.abs_df(inc_to),
+                             (jnp.full_like(tp[0], two_S[0]),
+                              jnp.full_like(tp[0], two_S[1]))),
+                      _dfm.abs_df(inc_to),
+                      (jnp.full_like(tp[0], two_S[0]),
+                       jnp.full_like(tp[0], two_S[1])))
+    pim = _dfm.mul(m_inc, (jnp.full_like(tp[0], PI[0]),
+                           jnp.full_like(tp[0], PI[1])))
+    alpha = _dfm.neg(_dfm.expm1(_dfm.neg(pim)))
+    lq = _dfm.mul_f32(_dfm.neg(pim), S_f)       # log(q)
+    q_loc = _dfm.exp(lq)
+    c_loc = vol
+    b_loc = _dfm.mul(_dfm.neg(_dfm.expm1(lq)), c_loc)   # (1-q)*c
+    # dphi = inc_from*S*(1 + ratio*h(ratio)), h = (expm1(r)/r - 1)/r series
+    rh = ratio[0]
+    h32 = (0.5 + rh * (1.0 / 6.0 + rh * (1.0 / 24.0 + rh * (
+        1.0 / 120.0 + rh * (1.0 / 720.0 + rh * (1.0 / 5040.0 + rh * (
+            1.0 / 40320.0 + rh * (1.0 / 362880.0 + rh / 3628800.0))))))))
+    g_pair = _dfm.mul_f32(ratio, h32.astype(f32))
+    incS = _dfm.mul_f32(inc_from, S_f)
+    dphi = _df_where(same, incS,
+                     _dfm.mul(incS, _dfm.add_f32(g_pair, np.float32(1.0))))
+    dphi_m = _dfm.mod2(dphi)
+
+    # birth-lane values
+    abs_inc = _dfm.abs_df(inc_to)
+    abs_inc = _df_where(abs_inc[0] > 1e-9, abs_inc,
+                        (jnp.full_like(tp[0], 1e-9), jnp.zeros_like(tp[0])))
+    min_change = _dfm.floor(_dfm.add_f32(
+        _dfm.div((jnp.full_like(tp[0], 5.0), jnp.zeros_like(tp[0])),
+                 abs_inc), np.float32(0.5)))
+    bA = lambda base: _dfm.max_df(
+        _dfm.max_df((jnp.full_like(tp[0], base[0]),
+                     jnp.full_like(tp[0], base[1])), min_change),
+        (jnp.ones_like(tp[0]), jnp.zeros_like(tp[0])))
+    A_b = bA(atk_p)
+    D_b = bA(dcy_p) if has_decay else _df_zero_like(tp[0])
+    R_b = bA(rel_p)
+    on_mask = tvalid & ~matched & (vol[0] > 0)
+    on_l = lane_take(loud_order.astype(f32),
+                     on_mask.astype(f32)[..., None])[..., 0] > 0.5
+    r_l = jnp.cumsum(on_l.astype(jnp.int32), axis=-1) - 1
+    rank_p = jnp.round(lane_scatter(loud_order, r_l.astype(f32))
+                       ).astype(jnp.int32)
+    n_ons = jnp.sum(on_l.astype(jnp.int32), axis=-1)
+    base = jnp.cumsum(n_ons) - n_ons
+    draw_idx = base[:, None] + rank_p
+    pools = jnp.stack([pan_draws[:phase_draws.shape[0]],
+                       phase_draws[:pan_draws.shape[0]]], axis=-1)
+    got_draws = pools[jnp.clip(draw_idx, 0, pools.shape[0] - 1)]
+    pan = cst(stereo_spread) * got_draws[..., 0]
+    th = cst(0.25 * np.pi) * (pan + 1.0)
+    gl_b = jnp.cos(th).astype(f32)
+    gr_b = jnp.sin(th).astype(f32)
+    ph0_b = got_draws[..., 1]
+    vol_b = vol
+
+    def roll_down(a, n, pad_block):
+        return jnp.concatenate([pad_block, a[:F - n]], axis=0)
+
+    # chains: pointer doubling with df32 carried phase sum + affine volume
+    prev_stack = jnp.stack([fin(dphi_m[0]), fin(dphi_m[1]),
+                            fin(q_loc[0]), fin(q_loc[1]),
+                            fin(b_loc[0]), fin(b_loc[1])], axis=-1)
+    prev_stack = jnp.concatenate([jnp.zeros((1, k, 6), f32),
+                                  prev_stack[:-1]], axis=0)
+    got = lane_take(match_prev.astype(f32), prev_stack)
+    mf = matched.astype(f32)
+    # channels: 0 done, 1 lane, 2 off, 3-4 sumd, 5-6 Ac, 7-8 Bc,
+    # 9..16 payload [ph0, vol_hi, vol_lo, A, D, R, gl, gr]
+    st = jnp.stack([
+        1.0 - mf,
+        jnp.where(matched, match_prev, lane_iota).astype(f32),
+        mf,
+        mf * got[..., 0], mf * got[..., 1],
+        jnp.where(matched, got[..., 2], 1.0),
+        jnp.where(matched, got[..., 3], 0.0),
+        mf * got[..., 4], mf * got[..., 5],
+        fin(ph0_b), fin(vol_b[0]), fin(vol_b[1]),
+        fin(A_b[0]), fin(D_b[0]), fin(R_b[0]),
+        fin(gl_b), fin(gr_b),
+    ], axis=-1)  # (F, k, 17)
+    identity_pad = jnp.concatenate([
+        jnp.ones((1, k, 1), f32),
+        jnp.arange(k, dtype=f32)[None, :, None],
+        jnp.zeros((1, k, 3), f32),                 # off, sumd pair
+        jnp.ones((1, k, 1), f32),                  # Ac hi
+        jnp.zeros((1, k, 11), f32),                # Ac lo, Bc pair, payload
+    ], axis=-1)
+    step_len = 1
+    while step_len < F:
+        pad = jnp.broadcast_to(identity_pad,
+                               (min(step_len, F), k, st.shape[-1]))
+        rolled = roll_down(st, min(step_len, F), pad)
+        anc = lane_take(st[..., 1], rolled)
+        done = st[..., 0:1] > 0.5
+        lane_n = anc[..., 1]
+        off_n = st[..., 2] + anc[..., 2]
+        sum_n = _dfm.mod2(_dfm.add((st[..., 3], st[..., 4]),
+                                   (anc[..., 3], anc[..., 4])))
+        stAc = (st[..., 5], st[..., 6])
+        Ac_n = _dfm.mul(stAc, (anc[..., 5], anc[..., 6]))
+        Bc_n = _dfm.add(_dfm.mul(stAc, (anc[..., 7], anc[..., 8])),
+                        (st[..., 7], st[..., 8]))
+        comp = jnp.concatenate([
+            jnp.stack([anc[..., 0], lane_n, off_n, sum_n[0], sum_n[1],
+                       Ac_n[0], Ac_n[1], Bc_n[0], Bc_n[1]], axis=-1),
+            anc[..., 9:],
+        ], axis=-1)
+        st = jnp.where(done, st, comp)
+        step_len *= 2
+    off = jnp.round(st[..., 2]).astype(jnp.int32)
+    sumd = (st[..., 3], st[..., 4])
+    Ac = (st[..., 5], st[..., 6])
+    Bc = (st[..., 7], st[..., 8])
+    bf = f_iota - off
+    press = bf.astype(f32) * S_f
+    ph0_n = st[..., 9]
+    vol_n = (st[..., 10], st[..., 11])
+    A_n, D_n, R_n = st[..., 12], st[..., 13], st[..., 14]
+    gl_n, gr_n = st[..., 15], st[..., 16]
+    phase_start = _dfm.mod2(_dfm.add((ph0_n, jnp.zeros_like(ph0_n)), sumd))
+    volb_start = _dfm.add(_dfm.mul(Ac, vol_n), Bc)
+
+    fS = f_iota.astype(f32) * S_f
+    alive_rows = jnp.stack([
+        inc_from[0], ratio[0], phase_start[0], c_loc[0], volb_start[0],
+        alpha[0],
+        fS - press,
+        jnp.maximum(fS - np.float32(FAR), -np.float32(FAR))
+        * jnp.ones_like(press),
+        jnp.full((F, k), sus, f32),
+        A_n, jnp.full((F, k), hold_eff, f32), D_n,
+        jnp.full((F, k), sus, f32), R_n, gl_n, gr_n,
+        inc_from[1],
+    ], axis=-1)  # (F, k, 17)
+    n_alive = jnp.sum(alive.astype(jnp.int32), axis=-1)
+    a_rank = jnp.cumsum(alive.astype(jnp.int32), axis=-1) - 1
+    a_tgt = jnp.where(alive, a_rank, P)
+
+    def slot_scatter(tgt, rows, mask):
+        oh = ((tgt[..., None] == jnp.arange(P, dtype=tgt.dtype)[None, None, :])
+              & mask[..., None]).astype(f32)
+        vals = jnp.where(mask[..., None] & jnp.isfinite(rows), rows, 0.0)
+        contrib = jnp.einsum("fkp,fkc->fpc", oh, vals, precision=prec)
+        return contrib, jnp.sum(oh, axis=1)
+
+    defaults = jnp.asarray([1e-6, 0.0, 0.0, 0.0, 0.0, 0.0, -1e9, 0.0, 0.0,
+                            1.0, 0.0, 0.0, 1.0, 1.0, 0.0, 0.0, 0.0], f32)
+
+    # ---- release tails ----
+    cont_prev = lane_scatter(match_prev, mf) > 0.5
+    has_succ = jnp.concatenate(
+        [cont_prev[1:], jnp.zeros((1, k), jnp.bool_)], axis=0)
+    end = alive & ~has_succ
+    nxt_data = jnp.concatenate(
+        [is_data[1:], jnp.zeros((1,), jnp.bool_)])[:, None]
+    has_off = end & nxt_data
+    rel = jnp.where(has_off, (f_iota.astype(f32) + 1.0) * S_f,
+                    np.float32(FAR))
+    tp_r = rel - 1.0 - press
+    va = jnp.clip((tp_r + 1.0) / A_n, 0.0, 1.0)
+    vd = 1.0 + (sus - 1.0) * jnp.clip((tp_r - A_n - hold_eff + 1.0)
+                                      / jnp.maximum(D_n, 1.0), 0.0, 1.0)
+    top_now = jnp.where(tp_r < A_n, va,
+                        jnp.where(tp_r < A_n + hold_eff, 1.0,
+                                  jnp.where((D_n > 0)
+                                            & (tp_r < A_n + hold_eff + D_n),
+                                            vd, sus)))
+    top_tail = jnp.where(has_off, top_now, sus).astype(f32)
+    f1 = jnp.where(
+        has_off,
+        jnp.minimum(np.int32(total_frames),
+                    f_iota + 1 + jnp.ceil(R_n / S_f).astype(jnp.int32)
+                    + 1),
+        jnp.where(end, np.int32(total_frames), 0))
+    t_need = jnp.where(end, f1 - (f_iota + 1), 0)
+    viol |= jnp.any(t_need > t_max)
+
+    E = min(k, tail_E)
+    n_end = jnp.sum(end.astype(jnp.int32), axis=-1)
+    viol |= jnp.any(n_end > E)
+    e_rank = jnp.cumsum(end.astype(jnp.int32), axis=-1) - 1
+    e_tgt = jnp.where(end, e_rank, E)
+    ph_end = _dfm.mod2(_dfm.add(phase_start, dphi_m))
+    step_m = _dfm.mod2(_dfm.mul_f32(inc_to, S_f))
+    # 20 channels per end lane: [inc pair, ph_end pair, step pair, lq pair,
+    #  volb pair, c pair, alpha, press, rel, top, A, D, R, gl, gr, t_need]
+    end_src = jnp.stack([
+        inc_to[0], inc_to[1], ph_end[0], ph_end[1], step_m[0], step_m[1],
+        lq[0], lq[1], volb_start[0], volb_start[1], c_loc[0], c_loc[1],
+        alpha[0], press, rel, top_tail, A_n, D_n, R_n, gl_n, gr_n,
+        t_need.astype(f32), jnp.ones((F, k), f32),
+    ], axis=-1)  # (F, k, 23) + is_end marker
+    oh_e = ((e_tgt[..., None] == jnp.arange(E, dtype=e_tgt.dtype)
+             [None, None, :]) & end[..., None]).astype(f32)
+    end_c = jnp.einsum(
+        "fke,fkc->fec", oh_e,
+        jnp.where(end[..., None] & jnp.isfinite(end_src), end_src, 0.0),
+        precision=prec)  # (F, E, 23)
+    ch = lambda i: end_c[..., i]
+
+    def shifted_stack(a, fill):
+        ap = jnp.concatenate(
+            [jnp.full((t_max,) + a.shape[1:], fill, a.dtype), a[:F - 1]],
+            axis=0)
+        return jnp.stack([ap[t_max - 1 - t: t_max - 1 - t + F]
+                          for t in range(t_max)], axis=0)  # (t_max, F, E)
+
+    t_iota = jnp.arange(t_max, dtype=f32)[:, None, None]
+    m_all = (shifted_stack(ch(22), 0.0) > 0.5) & (
+        t_iota < shifted_stack(ch(21), 0.0))
+    inc_e = (shifted_stack(ch(0), 0.0), shifted_stack(ch(1), 0.0))
+    ph_e = (shifted_stack(ch(2), 0.0), shifted_stack(ch(3), 0.0))
+    st_e = (shifted_stack(ch(4), 0.0), shifted_stack(ch(5), 0.0))
+    lq_e = (shifted_stack(ch(6), 0.0), shifted_stack(ch(7), 0.0))
+    phase_g = _dfm.mod2(_dfm.add(ph_e, _dfm.mod2(
+        _dfm.mul_f32(st_e, t_iota))))
+    qp = _dfm.exp(_dfm.mul_f32(lq_e, t_iota + 1.0))
+    volb_e = (shifted_stack(ch(8), 0.0), shifted_stack(ch(9), 0.0))
+    c_e = (shifted_stack(ch(10), 0.0), shifted_stack(ch(11), 0.0))
+    one_m_qp = _dfm.neg(_dfm.expm1(_dfm.mul_f32(lq_e, t_iota + 1.0)))
+    volb_g = _dfm.add(_dfm.mul(qp, volb_e), _dfm.mul(one_m_qp, c_e))
+    gS = fS[:, :1][None]
+    zeros_tfe = jnp.zeros((t_max, F, E), f32)
+    rows_all = jnp.stack([
+        inc_e[0], zeros_tfe, phase_g[0], c_e[0], volb_g[0],
+        shifted_stack(ch(12), 0.0),
+        jnp.broadcast_to(gS, (t_max, F, E)) - shifted_stack(ch(13), 0.0),
+        jnp.maximum(gS - shifted_stack(ch(14), np.float32(FAR)),
+                    -np.float32(FAR)),
+        shifted_stack(ch(15), 0.0), shifted_stack(ch(16), 0.0),
+        jnp.full((t_max, F, E), hold_eff, f32), shifted_stack(ch(17), 0.0),
+        jnp.full((t_max, F, E), sus, f32), shifted_stack(ch(18), 0.0),
+        shifted_stack(ch(19), 0.0), shifted_stack(ch(20), 0.0),
+        inc_e[1],
+    ], axis=-1)  # (t_max, F, E, 17)
+    tm = jnp.moveaxis(m_all, 0, 1).reshape(F, t_max * E)
+    t_rank = jnp.cumsum(tm.astype(jnp.int32), axis=-1) - 1 + n_alive[:, None]
+    viol |= jnp.any(n_alive + jnp.sum(tm.astype(jnp.int32), axis=-1) > P)
+    rows_flat = jnp.moveaxis(rows_all, 0, 1).reshape(F, t_max * E, _NF_DF)
+    comb_tgt = jnp.concatenate([a_tgt.astype(jnp.int32),
+                                jnp.where(tm, t_rank, P)], axis=1)
+    comb_rows = jnp.concatenate([alive_rows, rows_flat], axis=1)
+    comb_mask = jnp.concatenate([alive, tm], axis=1)
+    contrib, cover = slot_scatter(comb_tgt, comb_rows, comb_mask)
+    table = contrib + defaults[None, None, :] * (1.0 - cover)[..., None]
+    return table, viol
+
+
+def _prep_lanes_df(freq4, loud_pitches_df, loud_spl_df, at_args, kw):
+    """df32 lane padding + frame-local pipeline + tail-frame padding.
+    freq4 = (freq_hi, freq_lo, mag_hi, mag_lo)."""
+    fh, fl_, mh, ml = freq4
+    F, k = fh.shape
+    if k % 8:
+        padk = 8 - k % 8
+        fh = jnp.pad(fh, ((0, 0), (0, padk)))
+        fl_ = jnp.pad(fl_, ((0, 0), (0, padk)))
+        mh = jnp.pad(mh, ((0, 0), (0, padk)), constant_values=-jnp.inf)
+        ml = jnp.pad(ml, ((0, 0), (0, padk)))
+    tp, vol, loud_order = _frame_local_df(
+        (fh, fl_), (mh, ml), loud_pitches_df, loud_spl_df, at_args,
+        d=kw["nearby_distance"], min_volume=kw["min_volume"],
+        pitch_method=kw["pitch_method"], volume_method=kw["volume_method"],
+        shift_pre=kw["shift_pre"], shift_post=kw["shift_post"],
+        analysis_volume=kw["analysis_volume"],
+        harmonize_pre=kw.get("harmonize_pre", 0.0),
+        harmonize_post=kw.get("harmonize_post", 0.0),
+        autotune_kind=kw.get("autotune_kind", "off"),
+        autotune_max_pitch=kw.get("autotune_max_pitch", 150.0),
+        autotune_tolerance=kw.get("autotune_tolerance", 100.0))
+    k = tp[0].shape[-1]
+    pad = kw["total_frames"] - tp[0].shape[0]
+    if pad > 0:
+        tp = (jnp.pad(tp[0], ((0, pad), (0, 0)), constant_values=jnp.inf),
+              jnp.pad(tp[1], ((0, pad), (0, 0))))
+        vol = tuple(jnp.pad(v, ((0, pad), (0, 0))) for v in vol)
+        loud_order = jnp.pad(loud_order, ((0, pad), (0, 0)))
+    is_data = jnp.arange(kw["total_frames"]) < F
+    return tp, vol, loud_order, is_data, k
+
+
+def build_tables_device_df(freq_hi, freq_lo, mag_hi, mag_lo, loud_pitches_df,
+                           loud_spl_df, pan_draws, phase_draws, *,
+                           autotune_arrays_df=None, _force_scan=False, **kw):
+    """df32 tracker entry: (F, k) df32 peak pairs -> ((total_frames, P, 17)
+    table, dropped), fully on device. The 17-field table routes the render
+    down the df-phase path (_render_slots auto-detects the field count).
+
+    loud_pitches_df/loud_spl_df: ((hi, lo)) pairs of the f64 ISO tables.
+    autotune_arrays_df: ((root), (scale), (equid), (allowed)) df32 pairs.
+    Violation fallbacks (cap drops, slot overflow, long tails) route to the
+    f32 scan state machine with a zero INC_LO field — exact event semantics,
+    f32-grade phases (the benched default config never trips it)."""
+    F = freq_hi.shape[0]
+    if kw["max_voices"] > 127:
+        raise ValueError("device tracker supports max_voices <= 127")
+    if autotune_arrays_df is None:
+        z = lambda *s: (jnp.zeros(s, jnp.float32), jnp.zeros(s, jnp.float32))
+        autotune_arrays_df = (z(), z(8), z(7), z(0))
+    tp, vol, loud_order, is_data, k = _prep_lanes_df(
+        (freq_hi, freq_lo, mag_hi, mag_lo), loud_pitches_df, loud_spl_df,
+        autotune_arrays_df, kw)
+
+    def _scan_path(_):
+        table16, dropped = _scan_tables(tp[0], vol[0], loud_order, is_data,
+                                        pan_draws, phase_draws, kw, k)
+        table17 = jnp.concatenate(
+            [table16, jnp.zeros(table16.shape[:-1] + (1,), table16.dtype)],
+            axis=-1)
+        return table17, dropped
+
+    if kw["min_volume"] > 0 and not _force_scan:
+        sr_f = float(kw["sample_rate"])
+        min_dt = sr_f / 1000.0
+        release_eff = max(float(kw["release"]), min_dt, 1.0)
+        min_change_floor = 2.5 * sr_f / 2.0
+        total_frames = kw["total_frames"]
+        t_max = int(min(total_frames, 32,
+                        np.ceil(max(release_eff, min_change_floor)
+                                / float(kw["stride"])) + 2))
+        t_max = max(t_max, min(total_frames - F, 32), 1)
+        tbl_p, viol = _build_tables_parallel_df(
+            tp, vol, loud_order, is_data,
+            jnp.asarray(pan_draws, jnp.float32),
+            jnp.asarray(phase_draws, jnp.float32),
+            S=float(kw["stride"]), sr=sr_f,
+            maxd=float(kw["max_track_pitches"]),
+            max_voices=int(kw["max_voices"]), P=kw["n_slots"], Q=128,
+            attack=float(kw["attack"]), hold=float(kw["hold"]),
+            decay=float(kw["decay"]), sustain=float(kw["sustain"]),
+            release=float(kw["release"]),
+            stereo_spread=float(kw["stereo_spread"]),
+            total_frames=int(total_frames), t_max=t_max)
+        return jax.lax.cond(viol, _scan_path,
+                            lambda _: (tbl_p, jnp.int32(0)), None)
+    return _scan_path(None)

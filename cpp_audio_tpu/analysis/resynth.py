@@ -321,7 +321,10 @@ def _render_config(config: ResynthConfig) -> resynth_bank.TrackedRenderConfig:
     )
     return resynth_bank.TrackedRenderConfig(
         sample_rate=sr, stride=config.stride, start_sample=config.window_size,
-        ahdsr=ahdsr, dtype=config.dtype,
+        ahdsr=ahdsr,
+        # "df32" = f32 compute with df32 analysis lanes (chain.py); the
+        # render kernel itself runs f32 (df-phase path via the 17-field table)
+        dtype="float32" if config.dtype == "df32" else config.dtype,
     )
 
 

@@ -256,6 +256,12 @@ def _render_slots(table, *, stride: int, n_channels: int, dtype: str,
     wdt = jnp.dtype(dtype)
     S = stride
     k = jnp.arange(S, dtype=wdt)[None, :]
+    # 17-field tables carry the df32 lo limb of the row increment
+    # (analysis/device_tracker._build_tables_parallel_df): the per-sample
+    # phase advance is then computed to ~1e-9 cycles instead of f32's
+    # ~1e-5 at multi-cycle strides — the last ~-85 dB render error term
+    # (tools/fidelity_budget.py case F).
+    df_phase = table.shape[2] >= 17
 
     def one_frame(tab):
         tab = tab.astype(wdt)
@@ -266,11 +272,32 @@ def _render_slots(table, *, stride: int, n_channels: int, dtype: str,
 
         lam = ratio / S
         small = jnp.abs(ratio) < 1e-7
-        adv = jnp.where(
-            small, incf * (k + 1.0),
-            (incf / jnp.where(small, 1.0, lam)) * jnp.expm1(lam * (k + 1.0)),
-        )
-        phases = oscillators.wrap_phase(phb + adv)
+        if df_phase and wdt == jnp.float32:
+            from ..ops import df32 as dfm
+
+            inclo = col(16)
+            # adv = incf*(k+1)*(1 + x*h(x)), x = lam*(k+1): the linear part
+            # runs in df32 mod 2 (it spans up to ~hundreds of cycles); the
+            # glide correction term is small (<= a few cycles) and runs in
+            # f32. h(x) = (expm1(x)/x - 1)/x as a degree-8 series — glide
+            # ratios are bounded by the tracker's max_track_pitches.
+            lin = dfm.mod2(dfm.mul_f32((incf, inclo), k + 1.0))
+            x = lam * (k + 1.0)
+            h32 = (0.5 + x * (1.0 / 6.0 + x * (1.0 / 24.0 + x * (
+                1.0 / 120.0 + x * (1.0 / 720.0 + x * (1.0 / 5040.0 + x * (
+                    1.0 / 40320.0 + x * (1.0 / 362880.0
+                                         + x / 3628800.0))))))))
+            corr = jnp.where(small, 0.0, incf * (k + 1.0) * (x * h32))
+            phases = oscillators.wrap_phase(phb + lin[0] + (lin[1] + corr))
+        else:
+            if df_phase:
+                incf = incf + col(16)  # f64 verification render of a df table
+            adv = jnp.where(
+                small, incf * (k + 1.0),
+                (incf / jnp.where(small, 1.0, lam))
+                * jnp.expm1(lam * (k + 1.0)),
+            )
+            phases = oscillators.wrap_phase(phb + adv)
         # power(1-alpha, k+1) lowers to exp((k+1)*log(1-alpha)) per ELEMENT;
         # the log operand is a per-slot scalar — hoist it so the lane loop
         # pays one exp, not exp+log, per slot-sample

@@ -144,6 +144,27 @@ def rfft_df32(x):
     return df32.add(Ar, Tr), df32.add(Ai, Ti)
 
 
+def stft_sqmag_df32_arrays(signal_f32, whi, wlo, shi, slo, *,
+                           window_size: int, stride: int, fft_length: int):
+    """Jit-friendly df32 STFT sqmag: window and sqmag scale arrive as df32
+    ARRAY operands (hi, lo) so the whole computation can live inside a
+    larger jitted program (the fused offline chain)."""
+    from . import df32
+    from . import stft as stft_ops
+
+    n = signal_f32.shape[0]
+    n_frames = max(0, (n - window_size) // stride + 1)
+    frames = stft_ops.frame_signal(signal_f32, window_size, stride, n_frames)
+    fw = df32.add(df32.two_prod(frames, whi[None, :]),
+                  df32.two_prod(frames, wlo[None, :]))
+    pad = fft_length - window_size
+    if pad:
+        fw = tuple(jnp.pad(v, ((0, 0), (0, pad))) for v in fw)
+    Xr, Xi = rfft_df32(fw)
+    sq = df32.add(df32.mul(Xr, Xr), df32.mul(Xi, Xi))
+    return df32.mul(sq, (shi, slo))
+
+
 def stft_sqmag_df32(signal_f32, window_f64, *, window_size: int, stride: int,
                     fft_length: int, scale_f64: float | None = None):
     """df32 squared-magnitude STFT of an f32 signal.

@@ -57,6 +57,19 @@ def main():
     ref_stereo = np.asarray(host.resynth)
     ref_voc = np.asarray(host.vocoded)
 
+    # ---- G. device df32 chain (the fidelity-at-speed program) ----
+    rdf = resynth.ResynthConfig(sample_rate=sr, analysis_volume=1.0,
+                                dtype="df32")
+    devdf = chain.run_offline_chain_device(bank32, n, rdf, vparams, carrier,
+                                           block_size=cfg.block_size)
+    df_stereo = np.asarray(devdf.resynth)
+    df_voc = np.asarray(devdf.vocoded)
+    mg = min(len(ref_stereo), len(df_stereo))
+    mgv = min(len(ref_voc), len(df_voc))
+    print(f"[G] device df32 chain vs host f64:")
+    print(f"    resynth RMS err: {rms_db(df_stereo[:mg] - ref_stereo[:mg], ref_stereo[:mg]):.1f} dB")
+    print(f"    vocoded RMS err: {rms_db(df_voc[:mgv] - ref_voc[:mgv], ref_voc[:mgv]):.1f} dB")
+
     # ---- B. device f32 chain (the benched program) ----
     r32 = resynth.ResynthConfig(sample_rate=sr, analysis_volume=1.0,
                                 dtype="float32")
