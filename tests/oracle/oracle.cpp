@@ -2137,29 +2137,72 @@ namespace imajuscule::audio {
 // cpp.algorithms WAV surface (recovered from usage in resynth.hpp only;
 // the capture writer stores samples for the driver)
 enum class WaveFormat { IEEE_FLOAT };
-enum class ShimSampleFormat { F64 };
+enum class ShimSampleFormat { F64, F32 };
 template <typename T>
 struct AudioSample;
 template <>
 struct AudioSample<double> {
   static constexpr ShimSampleFormat format = ShimSampleFormat::F64;
 };
+template <>
+struct AudioSample<float> {
+  static constexpr ShimSampleFormat format = ShimSampleFormat::F32;
+};
 struct CountChannels {
   explicit CountChannels(int v) : v(v) {}
   int v;
 };
-struct ShimWavHeader {};
-inline ShimWavHeader pcm(WaveFormat, int, CountChannels, ShimSampleFormat) {
-  return {};
+struct ShimWavHeader {
+  int channels = 1;
+  int sample_rate = 0;
+};
+inline ShimWavHeader pcm(WaveFormat, int sample_rate, CountChannels c,
+                         ShimSampleFormat) {
+  return ShimWavHeader{c.v, sample_rate};
 }
 struct WAVWriter {
-  WAVWriter(std::filesystem::path const&, ShimWavHeader) {}
+  WAVWriter(std::filesystem::path const&, ShimWavHeader h) : header_(h) {}
   void Initialize() {}
   void writeSample(double v) { samples().push_back(v); }
+  int count_channels() const { return header_.channels; }
   static std::vector<double>& samples() {
     static std::vector<double> s;
     return s;
   }
+
+ private:
+  ShimWavHeader header_;
+};
+// Memory-backed WAV reader matching the cpp.algorithms reader surface used
+// by RtResynthOfflineJob (rt.resynth.lib.params.cpp:294-307,370-389): the
+// rtjob driver registers named mono float buffers; "paths" select them.
+struct WAVReader {
+  explicit WAVReader(std::filesystem::path const& p) : name_(p.string()) {}
+  void Initialize() {
+    auto it = registry().find(name_);
+    if (it == registry().end())
+      throw std::runtime_error("WAVReader: unknown buffer " + name_);
+    data_ = &it->second.second;
+    sr_ = it->second.first;
+  }
+  int getSampleRate() const { return sr_; }
+  int countChannels() const { return 1; }
+  bool HasMore() const { return data_ && pos_ < data_->size(); }
+  template <typename T>
+  T ReadAsOneFloat() {
+    return static_cast<T>((*data_)[pos_++]);
+  }
+  static std::map<std::string, std::pair<int, std::vector<float>>>&
+  registry() {
+    static std::map<std::string, std::pair<int, std::vector<float>>> r;
+    return r;
+  }
+
+ private:
+  std::string name_;
+  std::vector<float> const* data_ = nullptr;
+  std::size_t pos_ = 0;
+  int sr_ = 0;
 };
 // cpp.algorithms DeducedNote (recovered from resynth.hpp usage and
 // main.resynth.cpp:21-44: frequency/amplitude(dB)/startFrame/endFrame)
@@ -2187,6 +2230,230 @@ static void dump_resynth() {
   WAVWriter::samples().clear();
   resynth(notes, stride, sr, "unused.wav");
   for (double v : WAVWriter::samples()) std::printf("S %.17g\n", v);
+}
+
+// =========================================================================
+// Assembled offline RtResynth oracle: compiles the reference's OWN
+// RtResynth (source/rt.resynth.lib.cpp) — the offline duplex constructor
+// loop with delayed-output feedback (:1185-1235,1624-1668), the exact step
+// stage order (:1670-1759), synthesize_sounds driving the real 127-voice
+// synth (:265-382), through the stepper + post chain
+// (simple_audio_context.h:69-112, out.h:605-648 reconstruction) — behind
+// shim_rtresynth.h. Two run modes:
+//   analysis_active=0: the reference's own offline ctor verbatim (in which
+//     the analysis step never runs: the PeriodicFFT callback early-returns
+//     on !thread_resynth_active, :1582 — the flag is only set by the
+//     REALTIME init. The shipped offline behavior is vocoder+passthrough
+//     only.)
+//   analysis_active=1: the private-ctor flow with thread_resynth_active
+//     enabled, i.e. the REALTIME pipeline semantics driven sample-by-sample
+//     by the offline loop — the full assembled analysis->synth->stepper
+//     path this oracle exists to pin.
+// =========================================================================
+#include "sound.defines.h"           // SAMPLE (float)
+#include "shim_rtresynth.h"
+
+#define private public
+#include "rt.resynth.lib.pubsub.cpp"     // AudioBufferPubSub/Aggregator
+#include "rt.resynth.lib.locked.data.cpp"  // NonRealtimeAnalysisFrame
+#include "rt.resynth.lib.params.cpp"       // Preset/Postprocessing/OfflineJob
+#include "simple_audio_context.h"          // the real Stepper
+#include "rt.resynth.lib.cpp"              // RtResynth itself
+#undef private
+
+static void run_rtjob(const char* preset_path) {
+  using namespace imajuscule::audio::rtresynth;
+  int sr, n_voice, n_carrier, post, seed_no, seed_yes, npre, analysis_active;
+  if (std::scanf("%d %d %d %d %d %d %d %d", &sr, &n_voice, &n_carrier, &post,
+                 &seed_no, &seed_yes, &npre, &analysis_active) != 8)
+    std::exit(2);
+  {
+    auto& reg = WAVReader::registry();
+    reg.clear();
+    auto& voice = reg["voice"];
+    voice.first = sr;
+    voice.second.resize(static_cast<std::size_t>(n_voice));
+    for (auto& v : voice.second)
+      if (std::scanf("%f", &v) != 1) std::exit(2);
+    auto& carrier = reg["carrier"];
+    carrier.first = sr;
+    carrier.second.resize(static_cast<std::size_t>(n_carrier));
+    for (auto& v : carrier.second)
+      if (std::scanf("%f", &v) != 1) std::exit(2);
+  }
+  WAVWriter::samples().clear();
+
+  // Seed + pre-print the RNG draw streams so the Python side can replay
+  // them (same scheme as serender): pan draws come from mersenne<No>
+  // (ResynthElementInitializer, rt.resynth.lib.cpp:115), start-phase draws
+  // from mersenne<Yes> (gen.crtp.h:152). Each uniform_real_distribution
+  // <float> call consumes one mt19937 output.
+  mersenne<SEEDED::No>().seed(static_cast<unsigned>(seed_no));
+  mersenne<SEEDED::Yes>().seed(static_cast<unsigned>(seed_yes));
+  for (int i = 0; i < npre; ++i) {
+    {
+      auto c = mersenne<SEEDED::No>();
+      c.discard(static_cast<unsigned long long>(i));
+      std::printf("UN %d %.17g\n", i,
+                  double(std::uniform_real_distribution<float>{-1.f, 1.f}(c)));
+    }
+    {
+      auto c = mersenne<SEEDED::Yes>();
+      c.discard(static_cast<unsigned long long>(i));
+      std::printf("US %d %.17g\n", i,
+                  double(std::uniform_real_distribution<float>{-1.f, 1.f}(c)));
+    }
+  }
+
+  RtResynthOfflineJobConfig cfg;
+  cfg.preset_file = preset_path;
+  cfg.post = post ? Postprocessing::Limit : Postprocessing::None;
+  cfg.input_voice_file = n_voice ? "voice" : "";
+  cfg.input_carrier_file = n_carrier ? "carrier" : "";
+  cfg.output_file = "out";
+  RtResynthOfflineJob job(cfg);
+
+  if (!analysis_active) {
+    // the reference's own offline constructor, verbatim (calloc zeroes the
+    // storage so the reference's uninitialized-member reads — e.g. the
+    // vocoder window-size-before-setup UB documented at dump_vocoder — are
+    // deterministically zero)
+    void* mem = std::calloc(1, sizeof(RtResynth));
+    auto* r = new (mem) RtResynth(job);
+    r->~RtResynth();
+    std::free(mem);
+  } else {
+    // the private-ctor flow of RtResynth(job) (rt.resynth.lib.cpp:
+    // 1185-1235) with the analysis step live
+    void* mem = std::calloc(1, sizeof(RtResynth));
+    auto* r = new (mem)
+        RtResynth(RtResynth::Mode::Offline, job.get_samplerate(),
+                  job.getPostprocessing());
+    r->restorePreset(job.getPreset());
+    r->job = &job;
+    r->init();
+    r->thread_resynth_active = true;  // what the realtime analysis thread's
+                                      // existence means to the FFT callback
+    // REFERENCE UB WORKAROUND (documented): init_analysis captures the
+    // LOCAL `local_count_dropped_input_frames` BY REFERENCE in the
+    // PeriodicFFT callback (rt.resynth.lib.cpp:1577), which dangles once
+    // init_analysis returns — garbage dropped-counts push note timestamps
+    // ~INT32_MAX frames into the future and silence the synth. Re-set the
+    // lambdas with the same bodies (:1573-1621) over a driver-owned
+    // counter (0: the offline loop can never drop frames).
+    {
+      static uint64_t dropped_input_frames;
+      dropped_input_frames = 0;
+      double const nanos_per_frame = 1. / static_cast<double>(r->sample_rate);
+      r->periodic_fft.setLambdas(
+          [r]() { return r->getEvenWindowSizeFrames(); },
+          [r]() {
+            return std::max(
+                1, static_cast<int>(0.5f + r->getWindowCenterStrideSeconds() *
+                                               r->sample_rate));
+          },
+          [r, nanos_per_frame](int const window_center_stride,
+                               FrequenciesSqMag<double> const&
+                                   frequencies_sqmag) {
+            if (!r->thread_resynth_active) return;
+            extractLocalMaxFreqsMags(
+                r->sample_rate /
+                    std::decay_t<decltype(r->periodic_fft)>::FftOp::
+                        windowed_signal_stride,
+                frequencies_sqmag, SqMagToDb<double>(), r->freqmags);
+            r->step(
+                r->freqmags,
+                std::optional{TimestampAndSource(
+                    TimeNanos(static_cast<uint64_t>(
+                        (r->analysis_frames_counter + dropped_input_frames) *
+                        nanos_per_frame)),
+                    to_underlying(RtResynth::MidiSource::Analysis))},
+                window_center_stride);
+            r->storeAudioOutputQueueFillRatio(
+                r->output_2_analysis_queue->queue.was_size() /
+                static_cast<float>(
+                    r->output_2_analysis_queue->queue.capacity()));
+            r->storeAudioInputQueueFillRatio(
+                r->input_2_analysis_queue->queue.was_size() /
+                static_cast<float>(
+                    r->input_2_analysis_queue->queue.capacity()));
+          });
+    }
+    RecordF input_f = r->input_func_with_direct_input();
+    PlayF output_f = r->output_func();
+    int zero_since = 0;
+    double const nanoseconds_increment = 1000000000. / r->sample_rate;
+    int64_t frame = 0;
+    // driver guard: the reference's loop condition keeps looping while the
+    // tail is SILENT (`zero_since > sample_rate`, :1233 — inverted tail
+    // logic, documented), which cannot terminate on silent-ending inputs;
+    // cap at inputs + 2 s.
+    int64_t const max_frames =
+        static_cast<int64_t>(std::max(n_voice, n_carrier)) +
+        2 * static_cast<int64_t>(r->sample_rate);
+    do {
+      float voice;
+      job.read_voice(voice);
+      input_f(&voice, 1);
+      r->analyze_until_input_starvation();
+      float output[nAudioOut];
+      output_f(output, 1,
+               TimeNanos{static_cast<uint64_t>(nanoseconds_increment *
+                                               static_cast<double>(frame))});
+      ++frame;
+      job.write_output(output, nAudioOut);
+      double sumAbs{};
+      for (auto o : output) sumAbs += std::abs(o);
+      if (sumAbs < 0.000001) {
+        ++zero_since;
+      } else {
+        zero_since = 0;
+      }
+      if (std::getenv("ORACLE_RTJOB_DEBUG") && frame % 500 == 0) {
+        std::fprintf(stderr,
+                     "dbg frame=%lld fed=%llu step_idx=%lld freqmags=%zu "
+                     "played=%zu rtactive=%d dropped=%d\n",
+                     static_cast<long long>(frame),
+                     static_cast<unsigned long long>(
+                         r->analysis_frames_counter),
+                     static_cast<long long>(r->analysis_frame_idx),
+                     r->freqmags.size(), r->played_pitches.size(),
+                     r->synth.someEnvelopesRTActive() ? 1 : 0,
+                     r->dropped_note_on.load());
+        r->synth.forEachRTActiveElem([](auto& e) {
+          auto& va = e.elem.getOsc();  // VolumeAdjusted (privates opened)
+          std::fprintf(stderr,
+                       "  elem imag0=%.9g inner=%.9g inc=%.9g env=%s "
+                       "vol=%.9g vtgt=%.9g envv=%.9g oscimag=%.9g ang=%.9g\n",
+                       double(e.elem.imag(0)), double(va.imag()),
+                       double(e.elem.angleIncrements()),
+                       toString(e.elem.getEnvelope().getRelaxedState()),
+                       va.volume ? double(*va.volume) : -99.0,
+                       va.volume_target ? double(*va.volume_target) : -99.0,
+                       double(va.osc.env.value()), double(va.osc.algo.imag()),
+                       double(va.osc.algo.angle()));
+          std::fprintf(stderr,
+                       "    env counter=%d ahdCounter=%d hasAhd=%d A=%d "
+                       "minChange=%d\n",
+                       int(va.osc.env.counter), int(va.osc.env.ahdCounter),
+                       va.osc.env.ahdState ? int(get_value(va.osc.env.ahdState))
+                                           : -1,
+                       int(va.osc.env.A),
+                       int(va.osc.env.minChangeDuration));
+        });
+      }
+    } while ((job.has_more_voice() || job.has_more_carrier() ||
+              zero_since > r->sample_rate) &&
+             frame < max_frames);
+    r->thread_resynth_active = false;
+    // no teardown: finalize() spins on compute unregistration that only a
+    // further step() could perform; the process exits via _Exit below
+    // (skipping static destruction with the analysis thread still live)
+  }
+
+  for (double v : WAVWriter::samples()) std::printf("S %.17g\n", v);
+  std::fflush(stdout);
+  std::_Exit(0);
 }
 
 int main(int argc, char** argv) {
@@ -2317,6 +2584,9 @@ int main(int argc, char** argv) {
     run_seorch<audioelement::SoundEngineMode::BIRDS>(
         sr, bf, len, sc, emin, emax, itp_, xmode, fxf, pre, minp, addl,
         pause, xfl, n);
+  } else if (!std::strcmp(argv[1], "rtjob")) {
+    if (argc < 3) return 2;
+    run_rtjob(argv[2]);
   } else if (!std::strcmp(argv[1], "periodicfft")) {
     if (argc < 4) return 2;
     dump_periodicfft(std::atoi(argv[2]), std::atoi(argv[3]));

@@ -398,6 +398,19 @@ void for_each_i(Tuple& t, F&& f) {
   int i = 0;
   std::apply([&](auto&... e) { (f(i++, e), ...); }, t);
 }
+// pairwise iteration over two same-shape tuples (UnityGainMix::
+// synchronizeAngles, audioelement.h:1963-1967)
+template <typename TA, typename TB, typename F, std::size_t... I>
+void for_each_zip_impl(TA& a, TB& b, F&& f, std::index_sequence<I...>) {
+  (f(std::get<I>(a), std::get<I>(b)), ...);
+}
+template <typename TA, typename TB, typename F>
+void for_each_zip(TA& a, TB& b, F&& f) {
+  for_each_zip_impl(
+      a, b, std::forward<F>(f),
+      std::make_index_sequence<std::tuple_size_v<std::remove_const_t<
+          std::remove_reference_t<TA>>>>{});
+}
 
 constexpr bool is_odd(unsigned int v) { return (v & 1u) != 0; }
 constexpr bool is_odd(int v) { return (v & 1) != 0; }

@@ -59,11 +59,15 @@ namespace audio {
 enum class AudioOutPolicy { Slave, MasterGlobalLock, MasterLockFree };
 template <int nOuts, AudioOutPolicy P>
 struct SimpleAudioOutContext;
+// defined in shim_rtresynth.h (no-op lock impl); get() is only
+// instantiated by users of the real SimpleAudioOutContext
+template <AudioOutPolicy P>
+struct AudioLockPolicyImpl;
 template <AudioOutPolicy P>
 struct GlobalAudioLock {
-  static int& get() {
-    static int lock_placeholder;
-    return lock_placeholder;
+  static AudioLockPolicyImpl<P>& get() {
+    static AudioLockPolicyImpl<P> lock_impl;
+    return lock_impl;
   }
 };
 }  // namespace audio
