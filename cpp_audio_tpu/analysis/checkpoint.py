@@ -66,7 +66,10 @@ class _PipelineState:
     out: np.ndarray                # (n, 2) accumulated raw mix (pre-post)
     live: LiveResynth | None       # analysis -> resynthesis leg
     svoc: StreamingVocoder | None  # vocoder leg
-    fb_mono: np.ndarray | None     # analysis-leg mono output (feedback src)
+    fb_mono: np.ndarray | None     # published mono output (feedback source)
+    lim_peak: float = 0.0          # feedback limiter follower state
+    #   (post="limit" feeds back the LIMITED full mix — the published
+    #    post-processed L+R sum, rt.resynth.lib.cpp:1263-1273)
 
 
 def save_checkpoint(path, state: _PipelineState) -> None:
@@ -80,7 +83,8 @@ def save_checkpoint(path, state: _PipelineState) -> None:
         fingerprint=state.fingerprint, pos=state.pos,
         out=state.out[: state.pos].copy(), live=state.live, svoc=state.svoc,
         fb_mono=(None if state.fb_mono is None
-                 else state.fb_mono[: state.pos].copy()))
+                 else state.fb_mono[: state.pos].copy()),
+        lim_peak=getattr(state, "lim_peak", 0.0))
     tmp = f"{path}.tmp"
     with open(tmp, "wb") as f:
         pickle.dump(slim, f, protocol=pickle.HIGHEST_PROTOCOL)
@@ -194,26 +198,53 @@ def run_offline_streaming(preset: ResynthPreset, voice: np.ndarray | None,
         while state.pos < end_seg:
             lo = state.pos
             hi = min(lo + blk, n)
+            r_blk = None
             if state.live is not None:
                 feed = gained[lo:hi]
                 if state.fb_mono is not None:
                     delayed = np.zeros(hi - lo)
-                    src_lo = lo - delay
+                    # effective loop delay is delay + 1: the aggregator
+                    # pairs input[t] with the previous iteration's output
+                    # (see resynth.resynthesize_feedback; rtjob oracle)
+                    src_lo = lo - delay - 1
                     if src_lo + (hi - lo) > 0:
                         a = max(src_lo, 0)
                         delayed[a - src_lo:] = state.fb_mono[a: src_lo
                                                              + (hi - lo)]
-                    feed = np.clip(feed + fb_gain * delayed,
-                                   -max_feedback_level, max_feedback_level)
+                    feed = feed + fb_gain * delayed
+                    if post != "limit":
+                        feed = np.clip(feed, -max_feedback_level,
+                                       max_feedback_level)
                 state.live.feed(feed)
-                r = state.live.pull(hi - lo)
-                state.out[lo:hi] += r
-                if state.fb_mono is not None:
-                    state.fb_mono[lo:hi] = r.sum(axis=1)
+                r_blk = state.live.pull(hi - lo)
+                state.out[lo:hi] += r_blk
+            v_blk = None
             if state.svoc is not None:
-                v = state.svoc.process(gained[lo:hi], carrier[lo:hi])
-                state.out[lo:hi, 0] += preset.vocoder_volume * v
-                state.out[lo:hi, 1] += preset.vocoder_volume * v
+                v_blk = state.svoc.process(gained[lo:hi], carrier[lo:hi])
+                state.out[lo:hi, 0] += preset.vocoder_volume * v_blk
+                state.out[lo:hi, 1] += preset.vocoder_volume * v_blk
+            if state.fb_mono is not None:
+                if post == "limit":
+                    # feed back the published output: the post-processed
+                    # (limited) L+R sum of the FULL mix, all legs included
+                    mix = np.zeros((hi - lo, 2))
+                    if r_blk is not None:
+                        mix += r_blk
+                    if v_blk is not None:
+                        mix[:, 0] += preset.vocoder_volume * v_blk
+                        mix[:, 1] += preset.vocoder_volume * v_blk
+                    if preset.voice_volume != 0.0:
+                        mix[:, 0] += preset.voice_volume * voice[lo:hi]
+                        mix[:, 1] += preset.voice_volume * voice[lo:hi]
+                    if preset.carrier_volume != 0.0:
+                        mix[:, 0] += preset.carrier_volume * carrier[lo:hi]
+                        mix[:, 1] += preset.carrier_volume * carrier[lo:hi]
+                    limited, state.lim_peak = lim.limit_streaming(
+                        mix, getattr(state, "lim_peak", 0.0),
+                        sample_rate=sample_rate)
+                    state.fb_mono[lo:hi] = limited.sum(axis=1)
+                elif r_blk is not None:
+                    state.fb_mono[lo:hi] = r_blk.sum(axis=1)
             state.pos = hi
         if checkpoint_path:
             save_checkpoint(checkpoint_path, state)
@@ -234,7 +265,9 @@ def run_offline_streaming(preset: ResynthPreset, voice: np.ndarray | None,
         out[:n_carrier, 1] += preset.carrier_volume * carrier[:n_carrier]
     if post == "limit":
         out = np.asarray(lim.limit(out, sample_rate=sample_rate))
-    out = np.asarray(lim.clamp_and_guard(out))
+    # NaN hygiene only — no clamp: the reference offline-job post chain has
+    # none (init_post, rt.resynth.lib.cpp:1247-1261; see run_offline)
+    out = np.where(np.isfinite(out), out, 0.0)
     if checkpoint_path:
         try:
             os.remove(checkpoint_path)

@@ -76,8 +76,12 @@ def vocoder_params_from_preset(p: ResynthPreset, sample_rate: int) -> voc.Vocode
 
 def run_offline(preset: ResynthPreset, voice: np.ndarray | None,
                 carrier: np.ndarray | None, sample_rate: int,
-                post: str = "none", dtype: str = "float32") -> np.ndarray:
-    """Run the full chain on mono arrays -> stereo output array."""
+                post: str = "none", dtype: str = "float32",
+                pan_draw_values=None, phase_draw_values=None) -> np.ndarray:
+    """Run the full chain on mono arrays -> stereo output array.
+
+    pan_draw_values / phase_draw_values: oracle-replay RNG streams threaded
+    into ResynthConfig (see that dataclass)."""
     n = max(len(voice) if voice is not None else 0,
             len(carrier) if carrier is not None else 0)
     out = np.zeros((n, 2))
@@ -90,21 +94,10 @@ def run_offline(preset: ResynthPreset, voice: np.ndarray | None,
 
     gained_voice = preset.analysis_input_gain * voice
 
-    if preset.analysis_volume != 0.0:
-        cfg = resynth_config_from_preset(preset, sample_rate)
-        cfg.dtype = dtype
-        if preset.analysis_output_feedback_gain != 0.0:
-            # feedback drones: delayed output mixed into the analyzed stream
-            # (rt.resynth.lib.cpp:1629-1651)
-            r = rs.resynthesize_feedback(
-                gained_voice, cfg,
-                feedback_gain=preset.analysis_output_feedback_gain,
-                delay_seconds=preset.output_delay_seconds)
-        else:
-            r = rs.resynthesize(gained_voice, cfg)
-        m = min(len(r), n)
-        out[:m] += r[:m]
-
+    # non-analysis output legs first: with feedback active they are part of
+    # the published output the delay line feeds back (init_post publishes
+    # the post-processed mono sum of the FULL mix, rt.resynth.lib.cpp:
+    # 1263-1273)
     if preset.vocoder_volume != 0.0 and len(carrier):
         vp = vocoder_params_from_preset(preset, sample_rate)
         v = voc.vocode(gained_voice, carrier, vp)
@@ -119,9 +112,32 @@ def run_offline(preset: ResynthPreset, voice: np.ndarray | None,
         out[: len(carrier), 0] += preset.carrier_volume * carrier
         out[: len(carrier), 1] += preset.carrier_volume * carrier
 
+    if preset.analysis_volume != 0.0:
+        cfg = resynth_config_from_preset(preset, sample_rate)
+        cfg.dtype = dtype
+        cfg.pan_draw_values = pan_draw_values
+        cfg.phase_draw_values = phase_draw_values
+        if preset.analysis_output_feedback_gain != 0.0:
+            # feedback drones: delayed output mixed into the analyzed stream
+            # (rt.resynth.lib.cpp:1629-1651)
+            r = rs.resynthesize_feedback(
+                gained_voice, cfg,
+                feedback_gain=preset.analysis_output_feedback_gain,
+                delay_seconds=preset.output_delay_seconds,
+                post_limit=(post == "limit"), extra_mix=out)
+        else:
+            r = rs.resynthesize(gained_voice, cfg)
+        m = min(len(r), n)
+        out[:m] += r[:m]
+
     if post == "limit":
         out = np.asarray(lim.limit(out, sample_rate=sample_rate))
-    out = np.asarray(lim.clamp_and_guard(out))
+    # NaN hygiene only: the reference post chain has NO clamp in the
+    # offline-job modes (init_post, rt.resynth.lib.cpp:1247-1261 — None is
+    # empty, Limit is limiter-only; out.h:620-646's clamp belongs to the
+    # other engine's post chain) — clamping here broke assembled-oracle
+    # parity whenever the unlimited mix exceeded +-1
+    out = np.where(np.isfinite(out), out, 0.0)
     return out
 
 

@@ -67,6 +67,13 @@ class ResynthConfig:
     max_voices: int = 127
     dtype: str = "float32"
     seed: int = 0
+    # Oracle replay: injected raw draw streams. pan_draw_values are U(-1,1)
+    # pan draws (the reference's mersenne<SEEDED::No> stream consumed by
+    # ResynthElementInitializer, rt.resynth.lib.cpp:116); phase_draw_values
+    # are U(-1,1) start angles in rad/pi (mersenne<SEEDED::Yes>,
+    # gen.crtp.h:152 — stored mod 2). None = numpy RNG from `seed`.
+    pan_draw_values: object = None
+    phase_draw_values: object = None
 
     @property
     def window_size(self) -> int:
@@ -150,11 +157,54 @@ def _make_native_pipe(config: ResynthConfig):
     return pipe
 
 
+class _PanDraws:
+    """Per-note-on raw U(-1,1) pan draw source: injected
+    config.pan_draw_values when present (falling back to the numpy RNG once
+    exhausted), else the numpy RNG seeded by config.seed. Picklable (the
+    checkpoint path snapshots the PitchTracker holding one)."""
+
+    def __init__(self, config: ResynthConfig):
+        self._rng = np.random.default_rng(config.seed)
+        self._vals = (None if config.pan_draw_values is None
+                      else np.asarray(config.pan_draw_values, np.float64))
+        self._i = 0
+
+    def __call__(self) -> float:
+        i = self._i
+        self._i = i + 1
+        if self._vals is not None and i < len(self._vals):
+            return float(self._vals[i])
+        return float(self._rng.uniform(-1.0, 1.0))
+
+
+def _pan_draw_fn(config: ResynthConfig):
+    return _PanDraws(config)
+
+
+def draw_pools(config: ResynthConfig, cap: int):
+    """(pan, phase) draw pools of length `cap` for the batched tracker paths.
+
+    Defaults reproduce the host tracker's numpy RNG; injected
+    config.pan_draw_values / phase_draw_values (oracle replay) override the
+    pool prefix — pan raw U(-1,1), phase mod 2 (rad/pi)."""
+    pan = np.random.default_rng(config.seed).uniform(-1.0, 1.0, cap)
+    phase = np.random.default_rng(0).uniform(0.0, 2.0, cap)
+    if config.pan_draw_values is not None:
+        v = np.asarray(config.pan_draw_values, np.float64)
+        m = min(cap, len(v))
+        pan[:m] = v[:m]
+    if config.phase_draw_values is not None:
+        v = np.mod(np.asarray(config.phase_draw_values, np.float64), 2.0)
+        m = min(cap, len(v))
+        phase[:m] = v[:m]
+    return pan, phase
+
+
 def track_native(peaks_per_frame, config: ResynthConfig):
     """C++ fast path of `track` (native/pitchpipe.cpp). Same event semantics;
     returns (tracked_notes, stats=None, n_dropped)."""
     pipe = _make_native_pipe(config)
-    rng = np.random.default_rng(config.seed)
+    next_pan = _pan_draw_fn(config)
     voices: dict[int, resynth_bank.TrackedNote] = {}
     for frame_idx, freqmags in enumerate(peaks_per_frame):
         if freqmags:
@@ -166,7 +216,7 @@ def track_native(peaks_per_frame, config: ResynthConfig):
         kinds, nids, freqs, vols = pipe.process_frame(fr, mg)
         for k, nid, f, v in zip(kinds, nids, freqs, vols):
             if k == 0:  # note on
-                pan = config.stereo_spread * rng.uniform(-1.0, 1.0)
+                pan = config.stereo_spread * next_pan()
                 voices[nid] = resynth_bank.TrackedNote(
                     frames=[(frame_idx, f, v)], pan=pan)
             elif k == 1:  # change
@@ -204,7 +254,7 @@ class PitchTracker:
         self.autotune_fn = at.mk_autotune_function(
             use_autotune=config.use_autotune, **config.autotune_kwargs
         )
-        self.rng = np.random.default_rng(config.seed)
+        self._next_pan = _pan_draw_fn(config)
         self.played: list[pp.PlayedNote] = []
         self.voices: dict[int, resynth_bank.TrackedNote] = {}
         self.next_noteid = 0
@@ -271,7 +321,7 @@ class PitchTracker:
                     continue
                 self.next_noteid += 1
                 active += 1
-                pan = config.stereo_spread * self.rng.uniform(-1.0, 1.0)
+                pan = config.stereo_spread * self._next_pan()
                 self.voices[self.next_noteid] = resynth_bank.TrackedNote(
                     frames=[(frame_idx, new_freq, volume)], pan=pan
                 )
@@ -320,11 +370,18 @@ def _render_config(config: ResynthConfig) -> resynth_bank.TrackedRenderConfig:
         sustain=config.env_sustain_level,
     )
     return resynth_bank.TrackedRenderConfig(
-        sample_rate=sr, stride=config.stride, start_sample=config.window_size,
+        # control frame f sounds at f*stride + window_size - 1: the offline
+        # duplex loop analyzes the completed window BEFORE rendering that
+        # same sample index, so a note from the window ending at sample W-1
+        # already contributes at W-1 (rt.resynth.lib.cpp:1215-1231; pinned
+        # sample-exactly by the assembled rtjob oracle, tools/rtjob_compare)
+        sample_rate=sr, stride=config.stride,
+        start_sample=config.window_size - 1,
         ahdsr=ahdsr,
         # "df32" = f32 compute with df32 analysis lanes (chain.py); the
         # render kernel itself runs f32 (df-phase path via the 17-field table)
         dtype="float32" if config.dtype == "df32" else config.dtype,
+        phase_draw_values=config.phase_draw_values,
     )
 
 
@@ -344,8 +401,7 @@ def build_tables_native(freq, mag_db, config: ResynthConfig, total_frames: int,
     # frame); pan per note-on (event order, PitchTracker.rng), phase per
     # packed note (_build_slot_tables rng(0))
     cap = n_frames * config.max_voices + 16
-    pan_draws = np.random.default_rng(config.seed).uniform(-1.0, 1.0, cap)
-    phase_draws = np.random.default_rng(0).uniform(0.0, 2.0, cap)
+    pan_draws, phase_draws = draw_pools(config, cap)
     a = rcfg.ahdsr
     table, _n_notes = pipe.run_offline(
         freq, np.asarray(mag_db, np.float64),
@@ -374,6 +430,17 @@ def resynthesize(signal, config: ResynthConfig, *, device_out: bool = False,
     rcfg = _render_config(config)
     if not prefer_native and implementation == "auto":
         implementation = "python"
+    if (implementation == "auto"
+            and config.harmonize_semantics == "reference"
+            and (config.pitch_harmonize_pre_autotune != 0.0
+                 or config.pitch_harmonize_post_autotune != 0.0)):
+        # perf routing: the device kernel DOES implement reference probe
+        # semantics (device_tracker._harmonize_lanes_reference), but as a
+        # sequential lane scan (the probe law is inherently order-dependent,
+        # algo.cpp:318-371); for host-initiated offline jobs the native
+        # tracker is faster for these configs. Explicit
+        # implementation="device" still gets the exact device kernel.
+        implementation = "native"
     if implementation in ("device", "auto"):
         from . import chain
 
@@ -398,7 +465,8 @@ def resynthesize(signal, config: ResynthConfig, *, device_out: bool = False,
 
 def resynthesize_feedback(signal, config: ResynthConfig, *,
                           feedback_gain: float, delay_seconds: float = 1.0,
-                          max_level: float = 4.0) -> np.ndarray:
+                          max_level: float = 4.0, post_limit: bool = False,
+                          extra_mix=None) -> np.ndarray:
     """Resynthesis with delayed-output feedback into the analyzed stream.
 
     Reference (rt.resynth.lib.cpp:1629-1651): the analysis thread sums the
@@ -411,28 +479,63 @@ def resynthesize_feedback(signal, config: ResynthConfig, *,
     one delay-chunk using the previous pass's output, re-runs the batch
     pipeline on the prefix, and keeps the newly-valid chunk.
 
-    max_level hard-limits the feedback accumulation (the reference relies on
-    the master limiter; offline we clamp the summed stream).
+    The fed-back stream is the L+R sum of the POST-PROCESSED output
+    (RtResynth::init_post publishes the mono sum after the post chain,
+    rt.resynth.lib.cpp:1263-1273): with post_limit the master limiter is in
+    the loop (Postprocessing::Limit — the only thing keeping a hot loop
+    bounded), and `extra_mix` carries the other output legs (vocoder,
+    direct voice/carrier) that the published output includes. Without
+    post_limit the reference feeds back the RAW output (Postprocessing::
+    None has no clamp — an unstable gain diverges, for real); offline we
+    clamp the summed analysis stream at max_level instead, a documented
+    repo improvement.
+
+    The effective loop delay is `delay + 1` samples: the analysis aggregator
+    pairs input[t] with the PREVIOUS iteration's published output (the
+    output stream is one sample behind the input stream in the duplex loop),
+    so the analyzed stream is input[t] + gain * output[t - 1 - delay] —
+    pinned by the assembled rtjob oracle (tests/test_rtjob_oracle.py;
+    a tap at exactly `delay` decorrelates at the second feedback
+    generation).
+
+    Returns the resynth leg only (the caller composes legs + final post, as
+    run_offline does; the full-stream limiter equals the in-loop streaming
+    limiter because the follower recurrence is causal).
     """
     sig = np.asarray(signal, np.float64)
     n = len(sig)
     D = max(config.stride, int(0.5 + delay_seconds * config.sample_rate))
     if feedback_gain == 0.0:
         return resynthesize(sig, config)
-    out_mono = np.zeros(n)     # delayed-feedback source (mono mixdown)
+    Deff = D + 1
+    out_mono = np.zeros(n)     # delayed-feedback source (L+R sum, out.h:1268)
     summed = np.array(sig)
-    result = None
+    extra = None
+    if extra_mix is not None:
+        extra = np.zeros((n, 2))
+        m0 = min(n, len(extra_mix))
+        extra[:m0] = np.asarray(extra_mix)[:m0]
     for start in range(0, n, D):
         end = min(start + D, n)
         delayed = np.zeros(end - start)
-        src_lo = start - D
+        src_lo = start - Deff
         if src_lo + (end - start) > 0:
             lo = max(src_lo, 0)
             delayed[lo - src_lo:] = out_mono[lo: src_lo + (end - start)]
-        summed[start:end] = np.clip(sig[start:end] + feedback_gain * delayed,
-                                    -max_level, max_level)
-        result = resynthesize(summed[:end], config)
-        m = np.asarray(result).sum(axis=1)
+        blk = sig[start:end] + feedback_gain * delayed
+        if not post_limit:
+            blk = np.clip(blk, -max_level, max_level)
+        summed[start:end] = blk
+        result = np.array(resynthesize(summed[:end], config))
+        if extra is not None:
+            m2 = min(len(result), n)
+            result[:m2] += extra[:m2]
+        if post_limit:
+            from ..ops import limiter as lim
+
+            result, _p = lim.limit_streaming(result,
+                                             sample_rate=config.sample_rate)
+        m = result.sum(axis=1)
         out_mono[:min(len(m), n)] = m[:n]
     full = resynthesize(summed, config)
     return np.asarray(full)

@@ -289,21 +289,25 @@ class LiveResynth:
         self.stats.note_off += st.note_off
         self.stats.dropped_note_on += st.dropped
 
-        # diff tracker voices -> synth events at end_sample
+        # diff tracker voices -> synth events at the window's LAST sample:
+        # the duplex loop analyzes a completed window before rendering that
+        # same sample index, so the events already sound at end_sample - 1
+        # (rt.resynth.lib.cpp:1215-1231; assembled rtjob oracle)
+        t_ev = end_sample - 1
         frame = st.frame_idx
         for nid, tn in self.tracker.voices.items():
             last_f, freq, vol = tn.frames[-1]
             if nid not in self._live:
                 if last_f == frame:
                     if self.synth.on_event(events.Event(
-                            events.EventType.NOTE_ON, end_sample, nid,
+                            events.EventType.NOTE_ON, t_ev, nid,
                             freq, vol, tn.pan)):
                         self._live[nid] = frame
             elif tn.release_frame <= frame:
-                self.synth.on_event(events.mk_note_off(end_sample, nid))
+                self.synth.on_event(events.mk_note_off(t_ev, nid))
                 self._live.pop(nid, None)
             elif last_f == frame:
-                self.synth.on_event(events.mk_note_change(end_sample, nid,
+                self.synth.on_event(events.mk_note_change(t_ev, nid,
                                                           freq, vol))
                 self._live[nid] = frame
 

@@ -87,6 +87,10 @@ class TrackedRenderConfig:
     n_channels: int = 2
     n_slots: int = 128              # polyphony (reference: 127 voices)
     dtype: str = "float32"
+    # oracle replay: start angles in rad/pi consumed per packed note in
+    # note-on order (mersenne<SEEDED::Yes> stream, gen.crtp.h:152);
+    # None = numpy RNG(0)
+    phase_draw_values: object = None
 
     def __post_init__(self):
         if self.ahdsr is None:
@@ -146,6 +150,9 @@ def _build_slot_tables(notes: list[TrackedNote], n_frames: int,
     slot_free_at = np.zeros(P, dtype=np.int64)  # frame at which slot is free
     order = np.argsort([w[0] for w in wins], kind="stable")
     rng = np.random.default_rng(0)
+    phase_vals = (None if config.phase_draw_values is None
+                  else np.asarray(config.phase_draw_values, np.float64))
+    phase_i = 0
     FAR = 1e12
 
     def env_pressed(tp, A, H, D, sus):
@@ -176,7 +183,11 @@ def _build_slot_tables(notes: list[TrackedNote], n_frames: int,
         gl, gr = np.cos(th), np.sin(th)
 
         # control trail across the note's frames
-        phase = rng.uniform(0.0, 2.0)  # DefaultStartPhase::Random
+        if phase_vals is not None and phase_i < len(phase_vals):
+            phase = float(phase_vals[phase_i]) % 2.0
+        else:
+            phase = rng.uniform(0.0, 2.0)  # DefaultStartPhase::Random
+        phase_i += 1
         i = 0
         cur_f, cur_v = note.frames[0][1], note.frames[0][2]
         prev_inc = 2.0 * cur_f / sr

@@ -55,3 +55,44 @@ def clamp_and_guard(x, limit_val: float = 1.0):
     x = jnp.asarray(x)
     x = jnp.where(jnp.isfinite(x), x, 0.0)
     return jnp.clip(x, -limit_val, limit_val)
+
+
+def _peak_follower_np(x_abs, release: float, p0: float = 0.0) -> np.ndarray:
+    """numpy peak_follower with an initial state, for host block streaming.
+
+    Closed form per chunk: p[t] = max(max_{u<=t} x[u]*r^(t-u), p0*r^(t+1))
+    = r^t * max(runmax(x[u]*r^-u), p0*r); chunks bound the r^-u exponent.
+    """
+    x_abs = np.asarray(x_abs, np.float64)
+    n = len(x_abs)
+    out = np.empty(n)
+    logr = np.log(release) if release > 0 else -np.inf
+    ch = max(64, min(4096, int(30.0 / max(-logr, 1e-12))))
+    p = float(p0)
+    for s in range(0, n, ch):
+        e = min(s + ch, n)
+        t = np.arange(e - s)
+        winv = np.exp(-logr * t)                       # r^-t, bounded
+        run = np.maximum.accumulate(x_abs[s:e] * winv)
+        out[s:e] = np.exp(logr * t) * np.maximum(run, p * release)
+        p = out[e - 1]
+    return out
+
+
+def limit_streaming(x, p0: float = 0.0, *, ceiling: float = 1.0,
+                    release_ms: float = 50.0, sample_rate: int = 44100):
+    """Block-streaming `limit`: same law, carried follower state.
+
+    Returns (limited_block, p_last). Feeding consecutive blocks with the
+    carried p reproduces `limit` over the concatenation exactly (the
+    follower recurrence is causal)."""
+    x = np.asarray(x, np.float64)
+    if len(x) == 0:
+        return x.copy(), float(p0)
+    release = float(np.exp(-1.0 / (release_ms * 1e-3 * sample_rate)))
+    x_abs = np.max(np.abs(x), axis=-1) if x.ndim == 2 else np.abs(x)
+    p = _peak_follower_np(x_abs, release, p0)
+    gain = np.minimum(1.0, ceiling / np.maximum(p, 1e-12))
+    if x.ndim == 2:
+        gain = gain[:, None]
+    return x * gain, float(p[-1])

@@ -57,3 +57,50 @@ jax.config.update("jax_compilation_cache_dir",
                   _machine_cache_dir("/tmp/jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+# ---------------------------------------------------------------------------
+# compiled-reference oracle (shared by test_reference_oracle.py and
+# test_rtjob_oracle.py): builds tests/oracle/oracle.cpp, which #includes the
+# reference's own headers from /root/reference (read-only) behind the shims.
+# ---------------------------------------------------------------------------
+import subprocess  # noqa: E402
+from pathlib import Path  # noqa: E402
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+_REF = Path("/root/reference")
+_ORACLE_DIR = Path(__file__).parent / "oracle"
+
+
+@pytest.fixture(scope="session")
+def oracle(tmp_path_factory):
+    exe = tmp_path_factory.mktemp("oracle") / "oracle"
+    subprocess.run(
+        # -fpermissive: request.h/channel.h use the `using X = X<...>`
+        # member-alias pattern that GCC rejects as changes-meaning by default
+        ["g++", "-std=c++17", "-O1", "-DNDEBUG", "-fpermissive",
+         "-I", str(_ORACLE_DIR),
+         "-I", str(_REF / "include"), "-I", str(_REF / "source"),
+         str(_ORACLE_DIR / "oracle.cpp"), "-o", str(exe)],
+        check=True, capture_output=True)
+
+    def run(*args, input_text=None, raw=False, env=None):
+        run_env = None
+        if env:
+            run_env = dict(os.environ)
+            run_env.update(env)
+        out = subprocess.run([str(exe), *args], check=True, input=input_text,
+                             capture_output=True, text=True,
+                             env=run_env).stdout
+        if raw:
+            return out
+        table: dict[str, list[list[float]]] = {}
+        for line in out.splitlines():
+            key, *vals = line.split()
+            table.setdefault(key, []).append([float(v) for v in vals])
+        return {k: np.array(v) for k, v in table.items()}
+
+    run.exe = exe
+    return run

@@ -2263,6 +2263,10 @@ static void dump_resynth() {
 
 static void run_rtjob(const char* preset_path) {
   using namespace imajuscule::audio::rtresynth;
+  // the assembled pin uses the repo's resynth-analysis calibration
+  // (amplitude law) for the shimmed findFrequenciesSqMag — see
+  // shim_vocoder.h shim_sqmag_norm_mode
+  imajuscule::shim_sqmag_norm_mode() = 1;
   int sr, n_voice, n_carrier, post, seed_no, seed_yes, npre, analysis_active;
   if (std::scanf("%d %d %d %d %d %d %d %d", &sr, &n_voice, &n_carrier, &post,
                  &seed_no, &seed_yes, &npre, &analysis_active) != 8)
@@ -2304,6 +2308,9 @@ static void run_rtjob(const char* preset_path) {
                   double(std::uniform_real_distribution<float>{-1.f, 1.f}(c)));
     }
   }
+
+  if (std::getenv("ORACLE_TRACE_RNG"))
+    mersenne_trace() = true;  // pre-print used copies; live draws from here
 
   RtResynthOfflineJobConfig cfg;
   cfg.preset_file = preset_path;
@@ -2361,6 +2368,48 @@ static void run_rtjob(const char* preset_path) {
                     std::decay_t<decltype(r->periodic_fft)>::FftOp::
                         windowed_signal_stride,
                 frequencies_sqmag, SqMagToDb<double>(), r->freqmags);
+            // diagnostic taps for Python-side stage comparison: the peaks
+            // fed to step(), and the post-step played-note state (the
+            // consumer diffs states into events)
+            if (std::getenv("ORACLE_RTJOB_TAPS")) {
+              static int64_t tap_frame = 0;
+              for (auto const& fm : r->freqmags)
+                std::printf("PK %lld %.17g %.17g\n",
+                            static_cast<long long>(tap_frame),
+                            double(fm.freq), double(fm.mag_db));
+              struct AfterStep {
+                RtResynth* r;
+                int64_t frame;
+                ~AfterStep() {
+                  for (auto const& pn : r->played_pitches)
+                    std::printf("NT %lld %lld %.17g %.17g %.17g\n",
+                                static_cast<long long>(frame),
+                                static_cast<long long>(pn.noteid.noteid),
+                                pn.midi_pitch.get(), double(pn.cur_freq),
+                                double(pn.cur_velocity));
+                }
+              };
+              AfterStep after{r, tap_frame};
+              ++tap_frame;
+              r->step(
+                  r->freqmags,
+                  std::optional{TimestampAndSource(
+                      TimeNanos(static_cast<uint64_t>(
+                          (r->analysis_frames_counter +
+                           dropped_input_frames) *
+                          nanos_per_frame)),
+                      to_underlying(RtResynth::MidiSource::Analysis))},
+                  window_center_stride);
+              r->storeAudioOutputQueueFillRatio(
+                  r->output_2_analysis_queue->queue.was_size() /
+                  static_cast<float>(
+                      r->output_2_analysis_queue->queue.capacity()));
+              r->storeAudioInputQueueFillRatio(
+                  r->input_2_analysis_queue->queue.was_size() /
+                  static_cast<float>(
+                      r->input_2_analysis_queue->queue.capacity()));
+              return;
+            }
             r->step(
                 r->freqmags,
                 std::optional{TimestampAndSource(

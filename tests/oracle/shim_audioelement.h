@@ -10,6 +10,7 @@
 
 #include <cfloat>
 #include <complex>
+#include <cstdio>
 #include <map>
 #include <memory>
 #include <random>
@@ -146,9 +147,28 @@ std::vector<T> getLoudnessCompensationFIRCoefficients(int sample_rate,
 }  // namespace audio::loudness
 
 enum class SEEDED { Yes, No };
+// diagnostic: when enabled (rtjob sets it after pre-printing the draw
+// streams), every engine draw prints "RD <stream> <index>" so the Python
+// side can see exactly which consumer used which draw
+inline bool& mersenne_trace() {
+  static bool b = false;
+  return b;
+}
 template <SEEDED S>
-inline std::mt19937& mersenne() {
-  static std::mt19937 engine{std::mt19937::default_seed};
+struct TracedMt19937 : std::mt19937 {
+  using std::mt19937::mt19937;
+  result_type operator()() {
+    result_type v = std::mt19937::operator()();
+    if (mersenne_trace()) {
+      static unsigned long long count = 0;
+      std::printf("RD %d %llu\n", static_cast<int>(S), count++);
+    }
+    return v;
+  }
+};
+template <SEEDED S>
+inline TracedMt19937<S>& mersenne() {
+  static TracedMt19937<S> engine{std::mt19937::default_seed};
   return engine;
 }
 

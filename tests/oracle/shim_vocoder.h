@@ -171,9 +171,24 @@ struct RealFBins_ {
 };
 }  // namespace fft
 
-// windowed sqmag spectrum; scale per analysis/vocoder._modulator_band_amps:
-// sq = |fft(w x)|^2 * (2/sqrt(fft_len*sum(w^2)))^2 (unit in-band sine ->
-// band amp 1 regardless of window shape / pow2 padding)
+// Absolute sqmag calibration is a RECOVERED assumption (cpp.algorithms'
+// normalize_window is in the unavailable sibling repo; docs/FIDELITY.md
+// carries the caveat). Two self-consistent candidate laws exist and the
+// repo itself uses one per consumer, so the shim makes it selectable:
+//   mode 0 (default): band-ENERGY calibration,
+//       sq = |fft(w x)|^2 * (2/sqrt(fft_len*sum(w^2)))^2
+//     -> a unit in-band sine sums to band amplitude 1 under the vocoder's
+//        sqrt-of-sum aggregation (analysis/vocoder._modulator_band_amps);
+//     keeps the FFTModulator/FFTCarrier oracle pins sample-exact.
+//   mode 1: AMPLITUDE calibration, sq = |fft(w x)|^2 * (2/sum(w))^2
+//     -> the peak sqmag of a unit sine is 1 (the law the repo's resynth
+//        analysis uses: unity analyze->resynthesize round trip); the
+//        assembled rtjob driver selects this mode.
+inline int& shim_sqmag_norm_mode() {
+  static int mode = 0;
+  return mode;
+}
+
 template <typename Tag, typename It, typename V1, typename V2, typename T>
 void findFrequenciesSqMag(It it, It end, int stride, V1 const& half_window,
                           int zero_padding_factor, V2& work_signal,
@@ -184,6 +199,7 @@ void findFrequenciesSqMag(It it, It end, int stride, V1 const& half_window,
   int const fft_len = get_fft_length_for(w, zero_padding_factor);
   work_signal.clear();
   double sum_w2 = 0.0;
+  double sum_w = 0.0;
   int i = 0;
   for (; it != end; it += stride, ++i) {
     double const win = (i < half) ? half_window[static_cast<std::size_t>(
@@ -191,13 +207,17 @@ void findFrequenciesSqMag(It it, It end, int stride, V1 const& half_window,
                                   : half_window[static_cast<std::size_t>(
                                         i - half)];
     sum_w2 += win * win;
+    sum_w += win;
     work_signal.push_back(*it * win);
   }
   work_freqs.assign(static_cast<std::size_t>(fft_len), {});
   for (int j = 0; j < static_cast<int>(work_signal.size()); ++j)
     work_freqs[static_cast<std::size_t>(j)] = work_signal[static_cast<std::size_t>(j)];
   shim_fft_inplace(work_freqs.data(), fft_len, false);
-  double const s = 2.0 / std::sqrt(static_cast<double>(fft_len) * sum_w2);
+  double const s =
+      shim_sqmag_norm_mode() == 1
+          ? 2.0 / sum_w
+          : 2.0 / std::sqrt(static_cast<double>(fft_len) * sum_w2);
   out.fft_length = fft_len;
   out.frequencies_sqmag.clear();
   for (int k = 0; k <= fft_len / 2; ++k)

@@ -30,30 +30,9 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-@pytest.fixture(scope="session")
-def oracle(tmp_path_factory):
-    exe = tmp_path_factory.mktemp("oracle") / "oracle"
-    subprocess.run(
-        # -fpermissive: request.h/channel.h use the `using X = X<...>`
-        # member-alias pattern that GCC rejects as changes-meaning by default
-        ["g++", "-std=c++17", "-O1", "-DNDEBUG", "-fpermissive",
-         "-I", str(ORACLE_DIR),
-         "-I", str(REF / "include"), "-I", str(REF / "source"),
-         str(ORACLE_DIR / "oracle.cpp"), "-o", str(exe)],
-        check=True, capture_output=True)
-
-    def run(*args, input_text=None, raw=False):
-        out = subprocess.run([str(exe), *args], check=True, input=input_text,
-                             capture_output=True, text=True).stdout
-        if raw:
-            return out
-        table: dict[str, list[list[float]]] = {}
-        for line in out.splitlines():
-            key, *vals = line.split()
-            table.setdefault(key, []).append([float(v) for v in vals])
-        return {k: np.array(v) for k, v in table.items()}
-
-    return run
+# the session-scoped `oracle` fixture (compiles tests/oracle/oracle.cpp
+# against /root/reference) lives in conftest.py — it is shared with
+# test_rtjob_oracle.py
 
 
 @pytest.mark.parametrize("stretch", [1.0, 1.02])

@@ -17,12 +17,13 @@ import sys
 
 import numpy as np
 
-import jax
+import sys as _sys
+from pathlib import Path as _Path
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+_sys.path.insert(0, str(_Path(__file__).resolve().parent))
+import toolenv  # noqa: E402
+
+toolenv.setup_cpu()
 
 import jax.numpy as jnp  # noqa: E402
 

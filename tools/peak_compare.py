@@ -8,7 +8,9 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+import pathlib as _p; import sys as _s; _s.path.insert(0, str(_p.Path(__file__).resolve().parent))
+import toolenv
+jax.config.update("jax_compilation_cache_dir", toolenv.machine_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 import jax.numpy as jnp  # noqa: E402
