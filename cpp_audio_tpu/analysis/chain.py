@@ -205,6 +205,7 @@ def tracker_config_kwargs(rconfig, rcfg) -> dict:
     return dict(
         harmonize_pre=rconfig.pitch_harmonize_pre_autotune,
         harmonize_post=rconfig.pitch_harmonize_post_autotune,
+        harmonize_semantics=rconfig.harmonize_semantics,
         autotune_kind=at_kind,
         autotune_max_pitch=rconfig.autotune_max_pitch,
         autotune_tolerance=rconfig.autotune_tolerance_pitches,
@@ -309,7 +310,7 @@ _TRACKER_STATICS = (
     "max_track_pitches", "pitch_method", "volume_method", "analysis_volume",
     "shift_pre", "shift_post", "stereo_spread", "attack", "hold", "decay",
     "sustain", "release", "harmonize_pre", "harmonize_post", "autotune_kind",
-    "autotune_max_pitch", "autotune_tolerance")
+    "autotune_max_pitch", "autotune_tolerance", "harmonize_semantics")
 
 
 def _tracker_call_kwargs(kw, at_arrays):
@@ -475,8 +476,7 @@ def prepare_offline_chain_device(bank: voicebank.VoiceBank, n_samples: int,
     li = loudness.phons_to_index(60.0)
     if draws is None:
         cap = n_frames * rconfig.max_voices + 16
-        draws = (np.random.default_rng(rconfig.seed).uniform(-1.0, 1.0, cap),
-                 np.random.default_rng(0).uniform(0.0, 2.0, cap))
+        draws = resynth_mod.draw_pools(rconfig, cap)
     pan_draws, phase_draws = draws
 
     import jax
@@ -630,8 +630,7 @@ def resynthesize_signal_device(signal, rconfig) -> "jnp.ndarray":
     a = rcfg.ahdsr
     li = loudness.phons_to_index(60.0)
     cap = n_frames * rconfig.max_voices + 16
-    pan = np.random.default_rng(rconfig.seed).uniform(-1.0, 1.0, cap)
-    phase = np.random.default_rng(0).uniform(0.0, 2.0, cap)
+    pan, phase = resynth_mod.draw_pools(rconfig, cap)
     wdt = jnp.float32 if rconfig.dtype == "float32" else jnp.float64
     _at_kind, at_arrays = autotune_device_arrays(rconfig, wdt)
     stereo, _dropped = _fused_resynth_from_signal(
@@ -710,8 +709,7 @@ def prepare_offline_chain_device_batch(banks, n_samples: int,
     li = loudness.phons_to_index(60.0)
     if draws is None:
         cap = n_frames * rconfig.max_voices + 16
-        draws = (np.random.default_rng(rconfig.seed).uniform(-1.0, 1.0, cap),
-                 np.random.default_rng(0).uniform(0.0, 2.0, cap))
+        draws = resynth_mod.draw_pools(rconfig, cap)
     pan_draws = jnp.asarray(draws[0], jnp.float32)
     phase_draws = jnp.asarray(draws[1], jnp.float32)
     window_dev = jnp.asarray(window, wdt)

@@ -106,6 +106,86 @@ def _harmonize_lanes(tpitch, tvol, h: float):
     return out_p, out_v
 
 
+def _harmonize_lanes_reference(tpitch, tvol, h: float):
+    """Device harmonize_pitches with the reference's PROBE-EXACT semantics
+    (rt.resynth.lib.algo.cpp:318-371): for each original pitch i (in
+    ascending order), probe the GROWING vector with std::lower_bound's exact
+    midpoint sequence + the find_closest_pitch neighbor comparison
+    (rt.resynth.lib.autotune.cpp:189-218), merging the copy's volume into
+    the probed element when within PITCH_EPSILON, else appending it. The
+    appends break lower_bound's sorted precondition, so the probe can MISS
+    a true-closest original — duplicate eps-equal pitches survive, and a
+    copy reads its source's CURRENT volume (post-merge aliasing). Matches
+    analysis/pitch.harmonize_pitches(semantics="reference") exactly.
+
+    Sequential by construction (each probe sees earlier appends): a
+    lax.scan over the k original lanes with a fixed-iteration binary
+    search; all dynamic indexing is one-hot compare+sum (gathers run
+    near-scalar on TPU). ~k sequential steps — used only when a config
+    selects reference-semantics harmonize; the batched merged-intent
+    `_harmonize_lanes` remains the default kernel.
+
+    (F, k) sorted pitches (+inf pad) -> (F, 2k) sorted, stable (the
+    reference merge_sort_step of the two sorted runs == a stable sort).
+    """
+    F, k = tpitch.shape
+    fdt = tpitch.dtype
+    n2 = 2 * k
+    valid = jnp.isfinite(tpitch)
+    sz = jnp.sum(valid, axis=-1).astype(jnp.int32)          # (F,)
+    ap0 = jnp.concatenate(
+        [jnp.where(valid, tpitch, jnp.inf),
+         jnp.full((F, k), jnp.inf, fdt)], axis=-1)
+    av0 = jnp.concatenate(
+        [jnp.where(valid, tvol, 0.0).astype(fdt),
+         jnp.zeros((F, k), fdt)], axis=-1)
+    lanes = jnp.arange(n2)
+    n_iter = int(np.ceil(np.log2(n2 + 1)))
+
+    def gather(arr, idx):  # (F, n2), (F,) -> (F,): one-hot compare+sum
+        return jnp.sum(jnp.where(lanes[None, :] == idx[:, None], arr, 0.0),
+                       axis=-1)
+
+    def body(carry, i):
+        ap, av, cnt = carry
+        active = i < sz                                    # (F,)
+        idx_i = jnp.full((F,), i, jnp.int32)
+        hp = gather(ap, idx_i) + h
+        # std::lower_bound midpoint trace over [0, cnt)
+        lo = jnp.zeros((F,), jnp.int32)
+        hi = cnt
+        for _ in range(n_iter):
+            cond = lo < hi
+            mid = (lo + hi) // 2
+            less = gather(ap, mid) < hp
+            lo = jnp.where(cond & less, mid + 1, lo)
+            hi = jnp.where(cond & ~less, mid, hi)
+        # find_closest_pitch neighbor comparison (f32/f64 per lane dtype)
+        at_end = lo >= cnt
+        at_beg = lo == 0
+        d_lo = jnp.abs(hp - gather(ap, jnp.minimum(lo, cnt - 1)))
+        d_prev = jnp.abs(hp - gather(ap, jnp.maximum(lo - 1, 0)))
+        idx = jnp.where(at_end, cnt - 1,
+                        jnp.where(at_beg, 0,
+                                  jnp.where(d_lo < d_prev, lo, lo - 1)))
+        merge = (jnp.abs(gather(ap, idx) - hp) <= _PITCH_EPSILON) & active
+        append = (~merge) & active
+        pvol = gather(av, idx_i)   # CURRENT volume (post-merge aliasing)
+        oh_idx = lanes[None, :] == idx[:, None]
+        av = av + jnp.where(merge[:, None] & oh_idx, pvol[:, None], 0.0)
+        oh_cnt = lanes[None, :] == cnt[:, None]
+        ap = jnp.where(append[:, None] & oh_cnt, hp[:, None], ap)
+        av = jnp.where(append[:, None] & oh_cnt, pvol[:, None], av)
+        cnt = cnt + append.astype(jnp.int32)
+        return (ap, av, cnt), None
+
+    (ap, av, _cnt), _ = jax.lax.scan(body, (ap0, av0, sz),
+                                     jnp.arange(k, dtype=jnp.int32))
+    key = jnp.where(jnp.isfinite(ap), ap, jnp.inf)
+    _, out_p, out_v = jax.lax.sort((key, ap, av), dimension=-1, num_keys=1)
+    return out_p, out_v
+
+
 def _autotune_lanes(tpitch, tvol, at_root, at_scale, at_equid, at_allowed, *,
                     kind: str, max_pitch: float, tolerance: float):
     """Device autotune_pitches (rt.resynth.lib.algo.cpp:191-229 +
@@ -161,7 +241,8 @@ def _autotune_lanes(tpitch, tvol, at_root, at_scale, at_equid, at_allowed, *,
 @functools.partial(jax.jit, static_argnames=(
     "d", "min_volume", "pitch_method", "volume_method", "shift_pre",
     "shift_post", "analysis_volume", "harmonize_pre", "harmonize_post",
-    "autotune_kind", "autotune_max_pitch", "autotune_tolerance"))
+    "autotune_kind", "autotune_max_pitch", "autotune_tolerance",
+    "harmonize_semantics"))
 def _frame_local(freq, mag_db, loud_pitches, loud_spl, at_root, at_scale,
                  at_equid, at_allowed, *, d: float,
                  min_volume: float, pitch_method: int, volume_method: int,
@@ -169,7 +250,8 @@ def _frame_local(freq, mag_db, loud_pitches, loud_spl, at_root, at_scale,
                  harmonize_pre: float = 0.0, harmonize_post: float = 0.0,
                  autotune_kind: str = "off",
                  autotune_max_pitch: float = 150.0,
-                 autotune_tolerance: float = 100.0):
+                 autotune_tolerance: float = 100.0,
+                 harmonize_semantics: str = "merged"):
     """Batched frame-local pipeline: peaks -> (tuned pitch, volume, order),
     running the reference stage order shift(pre) -> harmonize(pre) ->
     autotune -> shift(post) -> harmonize(post)
@@ -237,8 +319,10 @@ def _frame_local(freq, mag_db, loud_pitches, loud_spl, at_root, at_scale,
     key = jnp.where(keep, gpitch + shift_pre, jnp.inf)
     tpitch, tvol = jax.lax.sort((key, jnp.where(keep, gvol, 0.0)),
                                 dimension=-1, num_keys=1)
+    hfn = (_harmonize_lanes_reference if harmonize_semantics == "reference"
+           else _harmonize_lanes)
     if harmonize_pre:
-        tpitch, tvol = _harmonize_lanes(tpitch, tvol, harmonize_pre)
+        tpitch, tvol = hfn(tpitch, tvol, harmonize_pre)
     if autotune_kind != "off":
         tpitch, tvol = _autotune_lanes(
             tpitch, tvol, at_root, at_scale, at_equid, at_allowed,
@@ -247,7 +331,7 @@ def _frame_local(freq, mag_db, loud_pitches, loud_spl, at_root, at_scale,
     if shift_post:
         tpitch = jnp.where(jnp.isfinite(tpitch), tpitch + shift_post, tpitch)
     if harmonize_post:
-        tpitch, tvol = _harmonize_lanes(tpitch, tvol, harmonize_post)
+        tpitch, tvol = hfn(tpitch, tvol, harmonize_post)
 
     # perceived-loudness order (60 phon): stable descending vol/loudness.
     # interp over the 29-point ISO table via compare-all + one-hot matmul
@@ -901,7 +985,8 @@ def _prep_lanes(freq, mag_db, loud_pitches, loud_spl, at_args, kw):
         harmonize_post=kw.get("harmonize_post", 0.0),
         autotune_kind=kw.get("autotune_kind", "off"),
         autotune_max_pitch=kw.get("autotune_max_pitch", 150.0),
-        autotune_tolerance=kw.get("autotune_tolerance", 100.0))
+        autotune_tolerance=kw.get("autotune_tolerance", 100.0),
+        harmonize_semantics=kw.get("harmonize_semantics", "merged"))
     k = tpitch.shape[-1]  # harmonize stages double the lane count
     # extend through the render tail (no analysis data there: no events,
     # recurrences keep running — matches the host packer's f1 windows)
@@ -1045,6 +1130,7 @@ def build_tables_device(freq, mag_db, loud_pitches, loud_spl, pan_draws,
                         autotune_max_pitch: float = 150.0,
                         autotune_tolerance: float = 100.0,
                         autotune_arrays=None,
+                        harmonize_semantics: str = "merged",
                         _force_scan: bool = False):
     """(F, k) device peak arrays -> ((total_frames, n_slots, 16) table,
     dropped-NoteOn count), entirely on device (jit-traceable).
@@ -1066,7 +1152,8 @@ def build_tables_device(freq, mag_db, loud_pitches, loud_spl, pan_draws,
         sustain=sustain, release=release,
         harmonize_pre=harmonize_pre, harmonize_post=harmonize_post,
         autotune_kind=autotune_kind, autotune_max_pitch=autotune_max_pitch,
-        autotune_tolerance=autotune_tolerance)
+        autotune_tolerance=autotune_tolerance,
+        harmonize_semantics=harmonize_semantics)
     tpitch, volume, loud_order, is_data, k = _prep_lanes(
         freq, mag_db, loud_pitches, loud_spl, autotune_arrays, kw)
 
@@ -1225,6 +1312,77 @@ def _harmonize_lanes_df(tp, tv, h: float):
     return (srt[2], srt[1]), (srt[3], srt[4])
 
 
+def _harmonize_lanes_reference_df(tp, tv, h: float):
+    """df32 `_harmonize_lanes_reference`: the std::lower_bound probe trace +
+    merge decisions run on hi components (PITCH_EPSILON = 1e-4 is 10^3
+    above df32 noise, same convention as _harmonize_lanes_df); pitch and
+    volume values are carried and accumulated as (hi, lo) pairs."""
+    F, k = tp[0].shape
+    n2 = 2 * k
+    h_hi, h_lo = _dfc(h)
+    valid = jnp.isfinite(tp[0])
+    inf = jnp.full((F, k), jnp.inf, tp[0].dtype)
+    zero = jnp.zeros((F, k), tp[0].dtype)
+    sz = jnp.sum(valid, axis=-1).astype(jnp.int32)
+    ap0 = (jnp.concatenate([jnp.where(valid, tp[0], jnp.inf), inf], -1),
+           jnp.concatenate([jnp.where(valid, tp[1], 0.0), zero], -1))
+    av0 = (jnp.concatenate([jnp.where(valid, tv[0], 0.0), zero], -1),
+           jnp.concatenate([jnp.where(valid, tv[1], 0.0), zero], -1))
+    lanes = jnp.arange(n2)
+    n_iter = int(np.ceil(np.log2(n2 + 1)))
+
+    def gather(arr, idx):
+        return jnp.sum(jnp.where(lanes[None, :] == idx[:, None], arr, 0.0),
+                       axis=-1)
+
+    def gather_df(pair, idx):
+        return gather(pair[0], idx), gather(pair[1], idx)
+
+    def body(carry, i):
+        ap, av, cnt = carry
+        active = i < sz
+        idx_i = jnp.full((F,), i, jnp.int32)
+        pi = gather_df(ap, idx_i)
+        hp = _dfm.add(pi, (jnp.full_like(pi[0], h_hi),
+                           jnp.full_like(pi[1], h_lo)))
+        lo = jnp.zeros((F,), jnp.int32)
+        hi = cnt
+        for _ in range(n_iter):
+            cond = lo < hi
+            mid = (lo + hi) // 2
+            less = gather(ap[0], mid) < hp[0]
+            lo = jnp.where(cond & less, mid + 1, lo)
+            hi = jnp.where(cond & ~less, mid, hi)
+        at_end = lo >= cnt
+        at_beg = lo == 0
+        d_lo = jnp.abs(hp[0] - gather(ap[0], jnp.minimum(lo, cnt - 1)))
+        d_prev = jnp.abs(hp[0] - gather(ap[0], jnp.maximum(lo - 1, 0)))
+        idx = jnp.where(at_end, cnt - 1,
+                        jnp.where(at_beg, 0,
+                                  jnp.where(d_lo < d_prev, lo, lo - 1)))
+        merge = (jnp.abs(gather(ap[0], idx) - hp[0]) <= _PITCH_EPSILON) \
+            & active
+        append = (~merge) & active
+        pvol = gather_df(av, idx_i)
+        oh_m = merge[:, None] & (lanes[None, :] == idx[:, None])
+        av = _dfm.add(av, (jnp.where(oh_m, pvol[0][:, None], 0.0),
+                           jnp.where(oh_m, pvol[1][:, None], 0.0)))
+        oh_c = append[:, None] & (lanes[None, :] == cnt[:, None])
+        ap = (jnp.where(oh_c, hp[0][:, None], ap[0]),
+              jnp.where(oh_c, hp[1][:, None], ap[1]))
+        av = (jnp.where(oh_c, pvol[0][:, None], av[0]),
+              jnp.where(oh_c, pvol[1][:, None], av[1]))
+        cnt = cnt + append.astype(jnp.int32)
+        return (ap, av, cnt), None
+
+    (ap, av, _cnt), _ = jax.lax.scan(body, (ap0, av0, sz),
+                                     jnp.arange(k, dtype=jnp.int32))
+    key = jnp.where(jnp.isfinite(ap[0]), ap[0], jnp.inf)
+    srt = jax.lax.sort((key, ap[1], ap[0], av[0], av[1]), dimension=-1,
+                       num_keys=2)
+    return (srt[2], srt[1]), (srt[3], srt[4])
+
+
 def _autotune_lanes_df(tp, tv, at_root, at_scale, at_equid, at_allowed, *,
                        kind: str, max_pitch: float, tolerance: float):
     """df32 _autotune_lanes: snap decisions on hi values (grid snapping is
@@ -1301,7 +1459,8 @@ def _frame_local_df(freq, mag_db, loud_pitches_df, loud_spl_df, at_args, *,
                     analysis_volume: float, harmonize_pre: float = 0.0,
                     harmonize_post: float = 0.0, autotune_kind: str = "off",
                     autotune_max_pitch: float = 150.0,
-                    autotune_tolerance: float = 100.0):
+                    autotune_tolerance: float = 100.0,
+                    harmonize_semantics: str = "merged"):
     """df32 `_frame_local`: same stage order, every pitch/volume and every
     comparison carried as (hi, lo) pairs so decisions match the host f64
     pipeline to ~1e-11 relative. freq/mag_db are df32 pairs (F, k).
@@ -1408,8 +1567,10 @@ def _frame_local_df(freq, mag_db, loud_pitches_df, loud_spl_df, at_args, *,
     tpitch = (srt[0], jnp.where(jnp.isfinite(srt[0]), srt[1], 0.0))
     tvol = (srt[2], srt[3])
 
+    hfn_df = (_harmonize_lanes_reference_df
+              if harmonize_semantics == "reference" else _harmonize_lanes_df)
     if harmonize_pre:
-        tpitch, tvol = _harmonize_lanes_df(tpitch, tvol, harmonize_pre)
+        tpitch, tvol = hfn_df(tpitch, tvol, harmonize_pre)
     if autotune_kind != "off":
         tpitch, tvol = _autotune_lanes_df(
             tpitch, tvol, *at_args, kind=autotune_kind,
@@ -1420,7 +1581,7 @@ def _frame_local_df(freq, mag_db, loud_pitches_df, loud_spl_df, at_args, *,
                                     jnp.full_like(tpitch[0], s2l)))
         tpitch = _df_where(jnp.isfinite(tpitch[0]), shifted, tpitch)
     if harmonize_post:
-        tpitch, tvol = _harmonize_lanes_df(tpitch, tvol, harmonize_post)
+        tpitch, tvol = hfn_df(tpitch, tvol, harmonize_post)
 
     kk = tpitch[0].shape[-1]
     # perceived-loudness weights in df32 (ISO table interp); order by
@@ -1857,7 +2018,8 @@ def _prep_lanes_df(freq4, loud_pitches_df, loud_spl_df, at_args, kw):
         harmonize_post=kw.get("harmonize_post", 0.0),
         autotune_kind=kw.get("autotune_kind", "off"),
         autotune_max_pitch=kw.get("autotune_max_pitch", 150.0),
-        autotune_tolerance=kw.get("autotune_tolerance", 100.0))
+        autotune_tolerance=kw.get("autotune_tolerance", 100.0),
+        harmonize_semantics=kw.get("harmonize_semantics", "merged"))
     k = tp[0].shape[-1]
     pad = kw["total_frames"] - tp[0].shape[0]
     if pad > 0:

@@ -398,11 +398,11 @@ def test_device_tracker_random_configs_f64_exact(seed):
         env_decay_seconds=float(rng.uniform(0.0, 0.02)),
         env_sustain_level=float(rng.uniform(0.3, 1.0)),
         env_release_seconds=float(rng.uniform(0.0, 0.1)),
-        # the device kernel computes the intent ("merged") harmonize
-        # semantics; the host replicates it when asked (the "reference"
-        # probe-miss duplicates are covered by the oracle + the targeted
-        # test below)
-        harmonize_semantics="merged",
+        # reference probe semantics (the config default): the device
+        # kernel's sequential probe scan must reproduce the host's
+        # duplicate-producing lower_bound law exactly
+        # (device_tracker._harmonize_lanes_reference)
+        harmonize_semantics="reference",
     )
     rcfg = resynth._render_config(cfg)
     F = 40
