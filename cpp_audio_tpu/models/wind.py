@@ -189,6 +189,124 @@ def _cascade_dynamic(x, alpha, order, *, kind: str, stage_gain=None):
     return jax.lax.fori_loop(0, order, body, x)
 
 
+def wind_long_walk_segments(table, start: int, n_steps: int, T: int,
+                            prev0: float | None = None):
+    """Segment decomposition of the long walk for DEVICE expansion: the
+    same iterator trace as _long_walk_np, but emitting one row per table
+    segment instead of T samples. Returns (starts, prevs, curs, rates)
+    numpy arrays (int32/f32/f32/f32); segment i covers samples
+    [starts[i], starts[i+1]) (open-ended at T) with
+        v(j) = prev + (cur - prev) * ease(min(j*rate, n)/n),  j = 1..len
+    and the segment-completing sample reading exactly `cur`
+    (audioelement.h:2934-2974 WindFreqIter; kills the audio-rate
+    host->device control transfers, docs/PERF_NOTES.md backlog)."""
+    tab = np.abs(np.asarray(table, np.float32))
+    m = len(tab)
+    n_steps = max(1, int(n_steps))
+    starts, prevs, curs, rates = [], [], [], []
+    k = 0
+    if prev0 is None:
+        pos = int(start) % m
+        prev = tab[pos]
+        pos = (pos + 1) % m
+    else:
+        pos = int(start) % m
+        prev = np.float32(prev0)
+    while k < T:
+        cur = tab[pos]
+        rate = 1 if prev > cur else 3
+        seg = -(-n_steps // rate)
+        starts.append(k)
+        prevs.append(prev)
+        curs.append(cur)
+        rates.append(rate)
+        k += min(seg, T - k)
+        prev = cur
+        pos = (pos + 1) % m
+    return (np.asarray(starts, np.int32), np.asarray(prevs, np.float32),
+            np.asarray(curs, np.float32), np.asarray(rates, np.float32))
+
+
+def _copy_scan(vals, flag):
+    """Piecewise-constant forward fill: vals at flagged positions propagate
+    to every later position (associative, arithmetic-free — exact)."""
+    def combine(a, b):
+        va, fa = a
+        vb, fb = b
+        return jnp.where(fb, vb, va), fa | fb
+
+    out, _ = jax.lax.associative_scan(combine, (vals, flag))
+    return out
+
+
+def _expand_long_walk_dev(starts, prevs, curs, rates, *, n_steps: int,
+                          itp_code: int, T: int):
+    """(n_seg,) segment tables -> (T,) f32 walk values, entirely on device.
+
+    Scatter the per-segment params at their start samples (mode="drop"
+    ignores the inert padding rows at index T), forward-fill with the exact
+    copy-scan, then evaluate the eased interpolation elementwise. f32; the
+    curves match utils/interp ease curves (ease(1) is forced to `cur`
+    exactly, as the host walk does)."""
+    from ..utils.interp import _CURVES
+
+    flag = jnp.zeros(T, bool).at[starts].set(True, mode="drop")
+
+    def put(v):
+        return jnp.zeros(T, jnp.float32).at[starts].set(
+            jnp.asarray(v, jnp.float32), mode="drop")
+
+    prev_t = _copy_scan(put(prevs), flag)
+    cur_t = _copy_scan(put(curs), flag)
+    rate_t = _copy_scan(put(rates), flag)
+    s0 = jnp.zeros(T, jnp.int32).at[starts].set(starts, mode="drop")
+    seg_start = _copy_scan(s0, flag)
+    t = jnp.arange(T, dtype=jnp.int32)
+    j = (t - seg_start + 1).astype(jnp.float32)
+    x = jnp.minimum(j * rate_t, float(n_steps)) / float(n_steps)
+    e = _CURVES[Itp(itp_code)](x)
+    v = prev_t + (cur_t - prev_t) * e
+    return jnp.where(x >= 1.0, cur_t, v)
+
+
+@functools.partial(jax.jit, static_argnames=("T", "order", "dtype",
+                                             "lowpass_mode", "n_steps",
+                                             "itp_main"))
+def _render_wind_seg(pink, src_offset, seg_main, seg_c1, seg_c2, seg_w1,
+                     seg_w2, logmap, params, lut, lut_lo, lut_step, gains, *,
+                     T: int, order: int, dtype: str, n_steps: int,
+                     itp_main: int, lowpass_mode: str = "control"):
+    """`_render_wind` with DEVICE-EXPANDED control walks: each seg_* is the
+    (starts, prevs, curs, rates) tuple from wind_long_walk_segments (KBs
+    instead of 5 audio-rate arrays — the ~50 MB/render host->device
+    transfer the PERF_NOTES backlog flagged). Only valid when the
+    short-term wobble amplitude is 0 (then inc_main == exp-mapped long
+    walk; nonzero-wobble programs use the host walk path).
+
+    logmap = (log_lo, log_hi, inv_f) of the exponential frequency map
+    (SoundEngineFreqCtrl, soundengine.h:48-104)."""
+    log_lo, log_hi, inv_f = (logmap[i] for i in range(3))
+
+    def exp_map(walk):
+        return jnp.exp(log_lo + (log_hi - log_lo) * (walk * inv_f)
+                       ).astype(jnp.float32)
+
+    lin = int(Itp.LINEAR)
+
+    def expand(seg, code):
+        return _expand_long_walk_dev(*seg, n_steps=n_steps, itp_code=code,
+                                     T=T)
+
+    inc_main = exp_map(expand(seg_main, itp_main))
+    c1 = exp_map(expand(seg_c1, lin))
+    c2 = exp_map(expand(seg_c2, lin))
+    w1 = expand(seg_w1, lin)
+    w2 = expand(seg_w2, lin)
+    return _wind_mix(pink, src_offset, inc_main, c1, c2, w1, w2, params,
+                     lut, lut_lo, lut_step, gains, T=T, order=order,
+                     dtype=dtype, lowpass_mode=lowpass_mode)
+
+
 @functools.partial(jax.jit, static_argnames=("T", "order", "dtype",
                                              "lowpass_mode"))
 def _render_wind(pink, src_offset, inc_main, c1, c2, w1, w2, params, lut,
@@ -198,6 +316,16 @@ def _render_wind(pink, src_offset, inc_main, c1, c2, w1, w2, params, lut,
     increments incl. the short-term wobble), c1/c2 (band center increments),
     w1/w2 (raw width walk values) — all (T,), computed by wind_long_walk /
     wind_short_walk with the reference's iterator semantics."""
+    return _wind_mix(pink, src_offset, inc_main, c1, c2, w1, w2, params,
+                     lut, lut_lo, lut_step, gains, T=T, order=order,
+                     dtype=dtype, lowpass_mode=lowpass_mode)
+
+
+def _wind_mix(pink, src_offset, inc_main, c1, c2, w1, w2, params, lut,
+              lut_lo, lut_step, gains, *, T: int, order: int, dtype: str,
+              lowpass_mode: str = "control"):
+    """Shared mix body (see _render_wind; _render_wind_seg expands its
+    controls on device first)."""
     wdt = jnp.dtype(dtype)
     t = jnp.arange(T, dtype=wdt)
     (w_min, w_max, lp_gain, bp_gain, br_gain, sine_gain,
@@ -271,12 +399,21 @@ def _render_wind(pink, src_offset, inc_main, c1, c2, w1, w2, params, lut,
 def render_program(program: VoiceProgram, n_samples: int, sample_rate: int = 44100,
                    *, seed: int = 1, velocity: float = 1.0, pan: float | None = None,
                    n_channels: int = 2, dtype: str = "float32",
-                   lowpass_mode: str = "control") -> np.ndarray:
+                   lowpass_mode: str = "control",
+                   device_controls: bool = False) -> np.ndarray:
     """Render a WIND program to (n_samples, C).
 
     lowpass_mode: "control" (default; LP member tracks the main control
     frequency), "mute" or "bypass" (the two plausible reference defaults —
-    see module docstring)."""
+    see module docstring).
+
+    device_controls: expand the control walks ON DEVICE from per-segment
+    tables (KBs) instead of shipping 5 audio-rate arrays (~50 MB per 60 s
+    render) — the serving path for TPU rigs where host->device bandwidth
+    matters. Requires a zero short-wobble amplitude (all factory WIND
+    programs with spec_short_amp == 0; others fall back to host walks).
+    Device easing runs in f32 (host walks interpolate in f64): walk values
+    match to ~1e-7 relative, pinned by tests/test_wind_noise.py."""
     p = program
     assert p.mode is Mode.WIND
     rng = np.random.default_rng(seed)
@@ -332,17 +469,50 @@ def render_program(program: VoiceProgram, n_samples: int, sample_rate: int = 441
         return wind_long_walk(pink32, b, n_slow_long, itp_code, n_samples,
                               prev0=float(np.abs(pink32[a])))
 
-    inc_long = exp_map(long_walk(int(p.interpolation)))
-    a, b = walk_start()
-    wobble = wind_short_walk(pink32, b, n_slow_short, inc_long,
-                             prev0=float(pink32[a]))
-    inc_main = inc_long * np.exp2(wobble * np.float32(
-        eff["spec_short_amp"]))
-    lin = int(Itp.LINEAR)
-    c1 = exp_map(long_walk(lin))
-    w1 = long_walk(lin)
-    c2 = exp_map(long_walk(lin))
-    w2 = long_walk(lin)
+    def long_segs():
+        a, b = walk_start()
+        return wind_long_walk_segments(pink32, b, n_slow_long, n_samples,
+                                       prev0=float(np.abs(pink32[a])))
+
+    use_seg = device_controls and float(eff["spec_short_amp"]) == 0.0
+    seg_tabs = None
+    if use_seg:
+        # same rng draw ORDER as the host-walk path (main, wobble, c1, w1,
+        # c2, w2 — then pan below); wobble draws are consumed even though
+        # amp == 0 makes inc_main == inc_long exactly
+        seg_main = long_segs()
+        walk_start()
+        seg_c1 = long_segs()
+        seg_w1 = long_segs()
+        seg_c2 = long_segs()
+        seg_w2 = long_segs()
+
+        def pad_seg(seg):
+            s, pv, cu, ra = seg
+            ns = len(s)
+            cap = max(1024, 1 << int(np.ceil(np.log2(max(ns, 1)))))
+            pad = cap - ns
+            # padding rows scatter at index n_samples -> mode="drop"
+            return (np.concatenate([s, np.full(pad, n_samples, np.int32)]),
+                    np.concatenate([pv, np.zeros(pad, np.float32)]),
+                    np.concatenate([cu, np.zeros(pad, np.float32)]),
+                    np.concatenate([ra, np.ones(pad, np.float32)]))
+
+        seg_tabs = tuple(pad_seg(s5)
+                         for s5 in (seg_main, seg_c1, seg_c2, seg_w1,
+                                    seg_w2))
+    else:
+        inc_long = exp_map(long_walk(int(p.interpolation)))
+        a, b = walk_start()
+        wobble = wind_short_walk(pink32, b, n_slow_short, inc_long,
+                                 prev0=float(pink32[a]))
+        inc_main = inc_long * np.exp2(wobble * np.float32(
+            eff["spec_short_amp"]))
+        lin = int(Itp.LINEAR)
+        c1 = exp_map(long_walk(lin))
+        w1 = long_walk(lin)
+        c2 = exp_map(long_walk(lin))
+        w2 = long_walk(lin)
     # the noise SOURCES are soundBufferWrapperAlgos, all reset to the same
     # DETERMINISTIC mid-table index by setStartAngle(0)
     # (audioelement.h:1545-1556): first read at int(size*0.5 + 0.5)
@@ -360,6 +530,23 @@ def render_program(program: VoiceProgram, n_samples: int, sample_rate: int = 441
         sample_rate,
     )
     dt = np.dtype(dtype)
+    if use_seg:
+        logmap = np.array([log_lo, log_hi, inv_f], np.float32)
+        out = _render_wind_seg(
+            jnp.asarray(pink, dt), jnp.asarray(src_offset, dt),
+            tuple(map(jnp.asarray, seg_tabs[0])),
+            tuple(map(jnp.asarray, seg_tabs[1])),
+            tuple(map(jnp.asarray, seg_tabs[2])),
+            tuple(map(jnp.asarray, seg_tabs[3])),
+            tuple(map(jnp.asarray, seg_tabs[4])),
+            jnp.asarray(logmap), jnp.asarray(params, dt),
+            jnp.asarray(lut, dt), jnp.asarray(lut_lo, dt),
+            jnp.asarray(lut_step, dt), jnp.asarray(gains, dt),
+            T=n_samples, order=int(p.filter_order), dtype=dtype,
+            n_steps=n_slow_long, itp_main=int(p.interpolation),
+            lowpass_mode=lowpass_mode,
+        )
+        return np.asarray(out)
     out = _render_wind(
         jnp.asarray(pink, dt), jnp.asarray(src_offset, dt),
         jnp.asarray(inc_main, dt), jnp.asarray(c1, dt), jnp.asarray(c2, dt),

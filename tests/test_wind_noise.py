@@ -121,3 +121,34 @@ class TestWind:
         # mute drops the LP contribution entirely: ctl - mute is the LP leg
         lp_leg = ctl - mute
         assert np.max(np.abs(lp_leg)) > 0
+
+
+class TestDeviceControlExpansion:
+    """device_controls=True expands the control walks ON DEVICE from
+    per-segment tables (wind.wind_long_walk_segments ->
+    wind._expand_long_walk_dev) instead of shipping audio-rate arrays.
+    The expansion must reproduce the host walk exactly."""
+
+    def test_walk_expansion_matches_host_exactly(self):
+        import jax.numpy as jnp
+
+        tables = wind.get_noise_tables(44100)
+        pink = np.asarray(tables["pink"], np.float32)
+        for n_steps, itp, T in ((12, 0, 60000), (997, 8, 60000)):
+            host = wind.wind_long_walk(pink, 1234, n_steps, itp, T,
+                                       prev0=0.37)
+            seg = wind.wind_long_walk_segments(pink, 1234, n_steps, T,
+                                               prev0=0.37)
+            dev = np.asarray(wind._expand_long_walk_dev(
+                jnp.asarray(seg[0]), jnp.asarray(seg[1]),
+                jnp.asarray(seg[2]), jnp.asarray(seg[3]),
+                n_steps=n_steps, itp_code=itp, T=T))
+            np.testing.assert_array_equal(dev, host)
+
+    def test_render_device_controls_parity(self):
+        p = vp.get_program(vp.Mode.WIND, "Heavy rain")
+        a = wind.render_program(p, 24000, seed=5)
+        b = wind.render_program(p, 24000, seed=5, device_controls=True)
+        ref = max(float(np.sqrt((a ** 2).mean())), 1e-12)
+        err = float(np.sqrt(((a - b) ** 2).mean())) / ref
+        assert err < 1e-5, f"device-controls render diverges: {err:.2e}"
