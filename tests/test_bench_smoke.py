@@ -67,3 +67,46 @@ def test_bench_workload_path_runs():
 
     freq, mag = jax.block_until_ready(stft_step(sig_dev))
     assert freq.shape[0] == n_frames
+
+
+def test_bench_new_rows_paths_run():
+    """The round-4 bench additions: df32 headline candidate, the fidelity
+    helper script, and the slope-timing helper — same program shapes on CPU
+    at tiny durations."""
+    import py_compile
+    from pathlib import Path
+
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+    from cpp_audio_tpu.analysis import chain, resynth, vocoder
+    from cpp_audio_tpu.models import sine_synth
+
+    repo = Path(bench.__file__).resolve().parent
+    py_compile.compile(str(repo / "tools" / "bench_fidelity_host.py"),
+                       doraise=True)
+
+    sr = 44100
+    n = int(sr * 2.0)  # make_synth_workload needs n*0.5 >= sr
+    sch, cfg = bench.make_synth_workload(sr, n)
+    bank = sine_synth.bank_from_schedule(sch, cfg)
+    rdf = resynth.ResynthConfig(sample_rate=sr, analysis_volume=1.0,
+                                dtype="df32")
+    vparams = vocoder.VocoderParams(sample_rate=sr)
+    carrier = np.sign(np.sin(2 * np.pi * 110.0 * np.arange(n) / sr))
+    carrier_dev = jax.device_put(jnp.asarray(carrier, jnp.float32))
+    draws = bench._mk_draws(rdf, n, jax)
+    step, _ = chain.prepare_offline_chain_device(
+        bank, n, rdf, vparams, carrier_dev, block_size=cfg.block_size,
+        draws=draws)
+
+    def sync(out):
+        stereo, mix, dropped = out
+        return float(jnp.sum(stereo[-1]) + jnp.sum(mix[-1]) + dropped)
+
+    per = bench._slope_time(step, sync, k_lo=1, k_hi=2, reps=1)
+    assert per > 0
+    # the 127-voice workload constructor used by the breadth row
+    sch127, _ = bench.make_synth_workload(sr, n, n_voices=127)
+    assert len(sch127.notes) if hasattr(sch127, "notes") else True
