@@ -206,6 +206,7 @@ def tracker_config_kwargs(rconfig, rcfg) -> dict:
         harmonize_pre=rconfig.pitch_harmonize_pre_autotune,
         harmonize_post=rconfig.pitch_harmonize_post_autotune,
         harmonize_semantics=rconfig.harmonize_semantics,
+        draw_indexing=rconfig.draw_indexing,
         autotune_kind=at_kind,
         autotune_max_pitch=rconfig.autotune_max_pitch,
         autotune_tolerance=rconfig.autotune_tolerance_pitches,
@@ -291,7 +292,7 @@ def run_offline_chain(bank: voicebank.VoiceBank, n_samples: int,
     mag_h = np.asarray(mag)
     n_frames = int(freq_h.shape[0])
     rcfg = resynth_mod._render_config(rconfig)
-    if nat.available():
+    if nat.available() and rconfig.draw_indexing != "stable":
         table = resynth_mod.build_tables_native(freq_h, mag_h, rconfig,
                                                 n_frames + 8, rcfg)
         stereo = resynth_bank.render_table(table, rcfg, device_out=True)
@@ -310,7 +311,8 @@ _TRACKER_STATICS = (
     "max_track_pitches", "pitch_method", "volume_method", "analysis_volume",
     "shift_pre", "shift_post", "stereo_spread", "attack", "hold", "decay",
     "sustain", "release", "harmonize_pre", "harmonize_post", "autotune_kind",
-    "autotune_max_pitch", "autotune_tolerance", "harmonize_semantics")
+    "autotune_max_pitch", "autotune_tolerance", "harmonize_semantics",
+    "draw_indexing")
 
 
 def _tracker_call_kwargs(kw, at_arrays):
@@ -330,6 +332,8 @@ def _tracker_call_kwargs(kw, at_arrays):
         autotune_kind=kw["autotune_kind"],
         autotune_max_pitch=kw["autotune_max_pitch"],
         autotune_tolerance=kw["autotune_tolerance"],
+        harmonize_semantics=kw.get("harmonize_semantics", "merged"),
+        draw_indexing=kw.get("draw_indexing", "sequential"),
         autotune_arrays=at_arrays)
 
 
@@ -544,6 +548,55 @@ def prepare_offline_chain_device(bank: voicebank.VoiceBank, n_samples: int,
         return _fused_single_dispatch(*all_args, **kw)
 
     return step, n_frames
+
+
+def df32_analysis_peaks(bank: voicebank.VoiceBank, n_samples: int,
+                        rconfig: resynth_mod.ResynthConfig,
+                        vparams: vocoder_mod.VocoderParams, carrier,
+                        *, block_size: int = 1 << 15):
+    """The df32 chain's ANALYSIS stage alone: synth -> df32 STFT -> df32
+    peaks, returning (freq, mag_db) as (n_frames, k) f64 numpy arrays
+    (hi + lo recombined). Used by bench.py's same-peaks fidelity row: these
+    exact peaks feed the host f64 tracker+renderer so the comparison
+    isolates tracking+rendering numerics from backend-chaotic noise-floor
+    local-maxima churn (see tools/bench_fidelity_host.py)."""
+    sr = rconfig.sample_rate
+    args, statics = voicebank.prepare_bank_arrays(bank, n_samples,
+                                                  block_size, "float32")
+    args, statics = voicebank.compact_block_args(args, statics)
+    window = stft_ops.gaussian_window(rconfig.window_size, sigmas=4.0)
+    fft_len = stft_ops.fft_length_for(rconfig.window_size)
+    k = rconfig.max_voices + 1
+    S = vparams.stride
+    W = vparams.modulator_window
+    car_fft = stft_ops.fft_length_for(2 * S)
+    edges = vparams.band_freqs()
+    bm_car = vocoder_mod._band_matrix(edges, car_fft // 2 + 1, sr / car_fft)
+    n_mod_frames = max(0, (n_samples - W) // S + 1)
+    n_car_frames = max(0, (n_samples - 2 * S) // S + 1)
+    offset = max(0, -(-(W - 2 * S) // S))
+    rows = np.clip(np.arange(n_car_frames) - offset, 0,
+                   max(n_mod_frames - 1, 0))
+    w64 = np.asarray(window, np.float64)
+    scale64 = (2.0 / float(np.sum(w64))) ** 2
+    whi, wlo = _df_pair_np(w64)
+    shi, slo = _df_pair_np(scale64)
+    freq4, _mix = _fused_analyze_vocode_df(
+        *args, whi, wlo, shi, slo,
+        jnp.asarray(carrier, jnp.float32)[:n_samples],
+        jnp.asarray(edges, jnp.float32), jnp.asarray(bm_car, jnp.float32),
+        jnp.asarray(rows),
+        n=n_samples, window_size=rconfig.window_size, stride=rconfig.stride,
+        fft_len=fft_len, k=k, sample_rate=sr, mod_window=W, voc_stride=S,
+        car_fft=car_fft, n_mod_frames=n_mod_frames,
+        vol_mod=float(vparams.volume_modulator),
+        vol_car=float(vparams.volume_carrier),
+        vol_voc=float(vparams.volume_vocoded),
+        use_matmul_dft=stft_ops.use_matmul_dft_default(jnp.float32),
+        edges_t=tuple(float(e) for e in edges),
+        mod_shape=vparams.modulator_window_shape, **statics)
+    fh, fl, mh, ml = (np.asarray(x, np.float64) for x in freq4)
+    return fh + fl, mh + ml
 
 
 def run_offline_chain_device(bank: voicebank.VoiceBank, n_samples: int,

@@ -95,7 +95,8 @@ def _harmonize_lanes(tpitch, tvol, h: float):
     first_j = jnp.min(jnp.where(is_min, lane[None, None, :], k), axis=-1)
     oh = ((first_j[..., None] == lane[None, None, :]) & merge[..., None]
           ).astype(fdt)
-    vol_add = jnp.einsum("fij,fi->fj", oh, tvol)
+    vol_add = jnp.einsum("fij,fi->fj", oh, tvol,
+                         precision=jax.lax.Precision.HIGHEST)
     new_vol = jnp.where(valid & ~merge, tvol, 0.0)
     new_pitch = jnp.where(valid & ~merge, hp, jnp.inf)
     cat_p = jnp.concatenate([tpitch, new_pitch], axis=-1)
@@ -206,7 +207,8 @@ def _autotune_lanes(tpitch, tvol, at_root, at_scale, at_equid, at_allowed, *,
         idx = jnp.sum(rel[..., None] >= at_equid[None, None, :], axis=-1)
         oh = (idx[..., None] == jnp.arange(at_scale.shape[0])[None, None, :]
               ).astype(fdt)
-        snap = jnp.einsum("fkj,j->fk", oh, at_scale)
+        snap = jnp.einsum("fkj,j->fk", oh, at_scale,
+                          precision=jax.lax.Precision.HIGHEST)
         tp = p - (rel - snap)
         transform_ok = jnp.ones_like(valid)
     else:  # "allowed": closest element of a sorted list, ties -> lower
@@ -233,7 +235,8 @@ def _autotune_lanes(tpitch, tvol, at_root, at_scale, at_equid, at_allowed, *,
     lane = jnp.arange(sp.shape[-1])
     oh_g = ((gid[..., None] == lane[None, None, :]) & fin[..., None]
             ).astype(fdt)
-    gvol = jnp.einsum("fjg,fj->fg", oh_g, sv)
+    gvol = jnp.einsum("fjg,fj->fg", oh_g, sv,
+                      precision=jax.lax.Precision.HIGHEST)
     gp = jnp.min(jnp.where((oh_g > 0.5), sp[..., None], jnp.inf), axis=1)
     return gp, jnp.where(jnp.isfinite(gp), gvol, 0.0)
 
@@ -287,7 +290,8 @@ def _frame_local(freq, mag_db, loud_pitches, loud_spl, at_root, at_scale,
     pz = jnp.where(valid, pitch, 0.0)
     oh_g = (gid[:, :, None] == lane[None, None, :]).astype(jnp.float32)
     sums = jnp.einsum("fjg,fjc->fgc", oh_g,
-                      jnp.stack([vol, pz * vol, valid.astype(fdt)], axis=-1))
+                      jnp.stack([vol, pz * vol, valid.astype(fdt)], axis=-1),
+                      precision=jax.lax.Precision.HIGHEST)
     sum_vol, sum_pv, count = sums[..., 0], sums[..., 1], sums[..., 2]
     in_g = oh_g > 0.5  # (F, j, g) membership
     max_vol = jnp.max(jnp.where(in_g, vol[:, :, None], 0.0), axis=1)
@@ -296,7 +300,8 @@ def _frame_local(freq, mag_db, loud_pitches, loud_spl, at_root, at_scale,
     max_p = jnp.max(jnp.where(in_g & valid[:, :, None],
                               pitch[:, :, None], -jnp.inf), axis=1)
     # first (lowest-pitch) element attaining the group max volume
-    maxv_of_lane = jnp.einsum("fjg,fg->fj", oh_g, max_vol)
+    maxv_of_lane = jnp.einsum("fjg,fg->fj", oh_g, max_vol,
+                              precision=jax.lax.Precision.HIGHEST)
     is_max = vol >= maxv_of_lane
     pitch_at_max = jnp.min(
         jnp.where(in_g & (valid & is_max)[:, :, None],
@@ -342,10 +347,11 @@ def _frame_local(freq, mag_db, loud_pitches, loud_spl, at_root, at_scale,
     seg = jnp.clip(jnp.sum(x[..., None] >= loud_pitches[None, None, :],
                            axis=-1) - 1, 0, nlp - 2)  # (F, k) segment idx
     oh_s = (seg[..., None] == jnp.arange(nlp - 1)[None, None, :]).astype(fdt)
-    x0 = jnp.einsum("fks,s->fk", oh_s, loud_pitches[:-1])
-    x1 = jnp.einsum("fks,s->fk", oh_s, loud_pitches[1:])
-    y0 = jnp.einsum("fks,s->fk", oh_s, loud_spl[:-1])
-    y1 = jnp.einsum("fks,s->fk", oh_s, loud_spl[1:])
+    P_ = jax.lax.Precision.HIGHEST  # values must survive (bf16 default)
+    x0 = jnp.einsum("fks,s->fk", oh_s, loud_pitches[:-1], precision=P_)
+    x1 = jnp.einsum("fks,s->fk", oh_s, loud_pitches[1:], precision=P_)
+    y0 = jnp.einsum("fks,s->fk", oh_s, loud_spl[:-1], precision=P_)
+    y1 = jnp.einsum("fks,s->fk", oh_s, loud_spl[1:], precision=P_)
     tfr = jnp.where(x1 > x0, (x - x0) / jnp.maximum(x1 - x0, 1e-30), 0.0)
     spl = y0 + tfr * (y1 - y0)
     w = tvol / spl
@@ -361,7 +367,8 @@ def _track_step(carry, xs, *, k: int, P: int, Q: int, statics):
      st_gl, st_gr, st_phase, st_volb, st_previnc, st_curinc, st_curvol) = st
     tpitch, volume, loud_order, f_idx, is_data = xs
     (S, sr, maxd, max_voices, attack, hold, decay, sustain, release,
-     stereo_spread, total_frames, pan_draws, phase_draws) = statics
+     stereo_spread, total_frames, pan_draws, phase_draws,
+     stable_draws) = statics
     wdt = tpitch.dtype  # f32 serving / f64 verification (see module doc)
     fS = f_idx.astype(wdt) * np.asarray(S, wdt)
     min_dt = sr / 1000.0
@@ -480,11 +487,24 @@ def _track_step(carry, xs, *, k: int, P: int, Q: int, statics):
     on_pitch_l = tpitch[loud_order]
     on_vol_l = volume[loud_order]
     on_inc_l = (2.0 * _freq_of_pitch(on_pitch_l) / sr).astype(wdt)
+    if stable_draws:
+        # position-keyed draws (ResynthConfig.draw_indexing="stable"):
+        # index = frame * max_voices + accepted-on rank. A flipped note
+        # decision then perturbs ONLY that note's pan/phase instead of
+        # shifting every later note's sequential draw (which decorrelates
+        # the whole remaining render — the f32-vs-f64 and TPU-vs-CPU
+        # cascade measured in round 4, docs/PERF_NOTES.md).
+        base_idx = f_idx.astype(jnp.int32) * np.int32(max_voices)
+        pan_idx = base_idx + r_alloc_l
+        phase_idx = base_idx + r_alloc_l
+    else:
+        pan_idx = pan_ctr + r_alloc_l
+        phase_idx = phase_ctr + r_slot_l
     pan_l = stereo_spread * pan_draws[
-        jnp.clip(pan_ctr + r_alloc_l, 0, pan_draws.shape[0] - 1)]
+        jnp.clip(pan_idx, 0, pan_draws.shape[0] - 1)]
     th_l = (0.25 * np.pi) * (pan_l + 1.0)
     phase0_l = phase_draws[
-        jnp.clip(phase_ctr + r_slot_l, 0, phase_draws.shape[0] - 1)]
+        jnp.clip(phase_idx, 0, phase_draws.shape[0] - 1)]
     min_change_l = jnp.floor(0.5 + 2.5 * 2.0 / jnp.maximum(jnp.abs(on_inc_l), 1e-9))
     A_l = jnp.maximum(jnp.maximum(np.asarray(max(attack, min_dt, 1.0), wdt),
                                   min_change_l), 1.0)
@@ -657,7 +677,8 @@ def _match_parallel(tpitch, tvalid, maxd, Q: int):
 def _build_tables_parallel(tpitch, volume, loud_order, is_data, pan_draws,
                            phase_draws, *, S, sr, maxd, max_voices, P, Q,
                            attack, hold, decay, sustain, release,
-                           stereo_spread, total_frames, t_max, tail_E=16):
+                           stereo_spread, total_frames, t_max, tail_E=16,
+                           stable_draws: bool = False):
     """Frame-PARALLEL tracker: same table as the `_track_step` scan, built
     from batched (F, k) array ops (no per-frame scan).
 
@@ -745,7 +766,12 @@ def _build_tables_parallel(tpitch, volume, loud_order, is_data, pan_draws,
     rank_p = jnp.round(lane_scatter(loud_order, r_l.astype(f32))
                        ).astype(jnp.int32)
     n_ons = jnp.sum(on_l.astype(jnp.int32), axis=-1)
-    base = jnp.cumsum(n_ons) - n_ons
+    if stable_draws:
+        # position-keyed: frame * max_voices + on-rank (see _track_step)
+        base = jnp.arange(tpitch.shape[0], dtype=jnp.int32) \
+            * np.int32(max_voices)
+    else:
+        base = jnp.cumsum(n_ons) - n_ons
     draw_idx = base[:, None] + rank_p
     # one 2-wide gather instead of two: general gathers on TPU pay per
     # INDEX, not per element, and both pools share draw_idx
@@ -1026,7 +1052,8 @@ def _parallel_tables(tpitch, volume, loud_order, is_data, pan_draws,
         decay=float(kw["decay"]), sustain=float(kw["sustain"]),
         release=float(kw["release"]),
         stereo_spread=float(kw["stereo_spread"]),
-        total_frames=int(total_frames), t_max=t_max)
+        total_frames=int(total_frames), t_max=t_max,
+        stable_draws=kw.get("draw_indexing", "sequential") == "stable")
 
 
 def _scan_tables(tpitch, volume, loud_order, is_data, pan_draws,
@@ -1041,7 +1068,8 @@ def _scan_tables(tpitch, volume, loud_order, is_data, pan_draws,
                float(kw["sustain"]), float(kw["release"]),
                float(kw["stereo_spread"]), int(total_frames),
                jnp.asarray(pan_draws, tpitch.dtype),
-               jnp.asarray(phase_draws, tpitch.dtype))
+               jnp.asarray(phase_draws, tpitch.dtype),
+               kw.get("draw_indexing", "sequential") == "stable")
     carry0 = _scan_carry0(P, Q, tpitch.dtype)
     step = functools.partial(_track_step, k=k, P=P, Q=Q, statics=statics)
     xs = (tpitch, volume, loud_order,
@@ -1131,6 +1159,7 @@ def build_tables_device(freq, mag_db, loud_pitches, loud_spl, pan_draws,
                         autotune_tolerance: float = 100.0,
                         autotune_arrays=None,
                         harmonize_semantics: str = "merged",
+                        draw_indexing: str = "sequential",
                         _force_scan: bool = False):
     """(F, k) device peak arrays -> ((total_frames, n_slots, 16) table,
     dropped-NoteOn count), entirely on device (jit-traceable).
@@ -1153,7 +1182,8 @@ def build_tables_device(freq, mag_db, loud_pitches, loud_spl, pan_draws,
         harmonize_pre=harmonize_pre, harmonize_post=harmonize_post,
         autotune_kind=autotune_kind, autotune_max_pitch=autotune_max_pitch,
         autotune_tolerance=autotune_tolerance,
-        harmonize_semantics=harmonize_semantics)
+        harmonize_semantics=harmonize_semantics,
+        draw_indexing=draw_indexing)
     tpitch, volume, loud_order, is_data, k = _prep_lanes(
         freq, mag_db, loud_pitches, loud_spl, autotune_arrays, kw)
 
@@ -1682,7 +1712,8 @@ def _match_parallel_df(tp, tvalid, maxd: float, Q: int):
 def _build_tables_parallel_df(tp, vol, loud_order, is_data, pan_draws,
                               phase_draws, *, S, sr, maxd, max_voices, P, Q,
                               attack, hold, decay, sustain, release,
-                              stereo_spread, total_frames, t_max, tail_E=16):
+                              stereo_spread, total_frames, t_max, tail_E=16,
+                              stable_draws: bool = False):
     """df32 frame-parallel tracker: `_build_tables_parallel` with every
     frequency increment, boundary phase, and volume-filter recurrence
     carried as (hi, lo) pairs. Emits a (total_frames, P, 17) table — field
@@ -1792,7 +1823,12 @@ def _build_tables_parallel_df(tp, vol, loud_order, is_data, pan_draws,
     rank_p = jnp.round(lane_scatter(loud_order, r_l.astype(f32))
                        ).astype(jnp.int32)
     n_ons = jnp.sum(on_l.astype(jnp.int32), axis=-1)
-    base = jnp.cumsum(n_ons) - n_ons
+    if stable_draws:
+        # position-keyed: frame * max_voices + on-rank (see _track_step)
+        base = jnp.arange(tp[0].shape[0], dtype=jnp.int32) \
+            * np.int32(max_voices)
+    else:
+        base = jnp.cumsum(n_ons) - n_ons
     draw_idx = base[:, None] + rank_p
     pools = jnp.stack([pan_draws[:phase_draws.shape[0]],
                        phase_draws[:pan_draws.shape[0]]], axis=-1)
@@ -2082,7 +2118,9 @@ def build_tables_device_df(freq_hi, freq_lo, mag_hi, mag_lo, loud_pitches_df,
             decay=float(kw["decay"]), sustain=float(kw["sustain"]),
             release=float(kw["release"]),
             stereo_spread=float(kw["stereo_spread"]),
-            total_frames=int(total_frames), t_max=t_max)
+            total_frames=int(total_frames), t_max=t_max,
+            stable_draws=kw.get("draw_indexing",
+                                "sequential") == "stable")
         return jax.lax.cond(viol, _scan_path,
                             lambda _: (tbl_p, jnp.int32(0)), None)
     return _scan_path(None)

@@ -67,6 +67,15 @@ class ResynthConfig:
     max_voices: int = 127
     dtype: str = "float32"
     seed: int = 0
+    # Draw-index policy for pan/phase pools. "sequential" consumes draws in
+    # the reference's RNG order (pan per accepted NoteOn, phase per packed
+    # slot) — bit-faithful, but ONE flipped note decision shifts every
+    # later note's draws and decorrelates the remaining render (measured
+    # ~0 dB f32-TPU vs f64-host on dense workloads). "stable" keys both
+    # pools by (frame * max_voices + accepted-on rank): a flipped decision
+    # perturbs only its own note. Supported by the python host tracker and
+    # the device tracker (native C++ is sequential-only).
+    draw_indexing: str = "sequential"
     # Oracle replay: injected raw draw streams. pan_draw_values are U(-1,1)
     # pan draws (the reference's mersenne<SEEDED::No> stream consumed by
     # ResynthElementInitializer, rt.resynth.lib.cpp:116); phase_draw_values
@@ -181,6 +190,24 @@ def _pan_draw_fn(config: ResynthConfig):
     return _PanDraws(config)
 
 
+class _LazyPool:
+    """Indexed access into the numpy-RNG draw pool (grown lazily): pool[i]
+    equals `default_rng(seed).uniform(lo, hi, cap)[i]` for any cap > i —
+    the same arrays draw_pools() builds. Picklable (checkpoint snapshots)."""
+
+    def __init__(self, seed: int, lo: float, hi: float):
+        self._rng = np.random.default_rng(seed)
+        self._lo, self._hi = lo, hi
+        self._vals = np.zeros(0)
+
+    def take(self, i: int) -> float:
+        if i >= len(self._vals):
+            grow = max(i + 1 - len(self._vals), 4096)
+            self._vals = np.concatenate(
+                [self._vals, self._rng.uniform(self._lo, self._hi, grow)])
+        return float(self._vals[i])
+
+
 def draw_pools(config: ResynthConfig, cap: int):
     """(pan, phase) draw pools of length `cap` for the batched tracker paths.
 
@@ -230,8 +257,10 @@ def track(peaks_per_frame, config: ResynthConfig, *, prefer_native: bool = True)
     """Run the pitch pipeline + tracking; returns (tracked_notes, frame_stats,
     n_dropped_noteon). Uses the C++ pipeline when built (native/pitchpipe.cpp);
     the pure-Python implementation below is the semantic reference."""
-    if prefer_native and config.harmonize_semantics == "reference":
+    if (prefer_native and config.harmonize_semantics == "reference"
+            and config.draw_indexing != "stable"):
         # the C++ pipeline implements only the reference probe semantics
+        # and sequential draw consumption
         from .. import native as nat
 
         if nat.available():
@@ -255,6 +284,11 @@ class PitchTracker:
             use_autotune=config.use_autotune, **config.autotune_kwargs
         )
         self._next_pan = _pan_draw_fn(config)
+        self._stable_draws = config.draw_indexing == "stable"
+        if self._stable_draws:
+            # position-keyed pools (see ResynthConfig.draw_indexing)
+            self._pan_pool = _LazyPool(config.seed, -1.0, 1.0)
+            self._phase_pool = _LazyPool(0, 0.0, 2.0)
         self.played: list[pp.PlayedNote] = []
         self.voices: dict[int, resynth_bank.TrackedNote] = {}
         self.next_noteid = 0
@@ -296,6 +330,7 @@ class PitchTracker:
         # note changes / ons, loudest first (synthesize_sounds,
         # rt.resynth.lib.cpp:265-382)
         active = sum(continue_playing)
+        on_rank = 0  # accepted note-ons this frame (stable draw key)
         for idx in order:
             pv = tuned[idx]
             new_freq = float(self.midi.midi_pitch_to_freq(pv.midipitch))
@@ -321,9 +356,17 @@ class PitchTracker:
                     continue
                 self.next_noteid += 1
                 active += 1
-                pan = config.stereo_spread * self._next_pan()
+                if self._stable_draws:
+                    di = frame_idx * config.max_voices + on_rank
+                    pan = config.stereo_spread * self._pan_pool.take(di)
+                    phase = self._phase_pool.take(di) % 2.0
+                else:
+                    pan = config.stereo_spread * self._next_pan()
+                    phase = None
+                on_rank += 1
                 self.voices[self.next_noteid] = resynth_bank.TrackedNote(
-                    frames=[(frame_idx, new_freq, volume)], pan=pan
+                    frames=[(frame_idx, new_freq, volume)], pan=pan,
+                    phase=phase
                 )
                 self.played.append(pp.PlayedNote(frame_idx, self.next_noteid,
                                                  pv.midipitch, new_freq, volume))
@@ -449,7 +492,8 @@ def resynthesize(signal, config: ResynthConfig, *, device_out: bool = False,
     if implementation == "native":
         from .. import native as nat
 
-        if nat.available():
+        # the fused C++ table builder consumes draws sequentially only
+        if nat.available() and config.draw_indexing != "stable":
             freq, mag = analyze_arrays(signal, config)
             n_frames = int(freq.shape[0])
             table = build_tables_native(np.asarray(freq), np.asarray(mag),

@@ -76,6 +76,9 @@ class TrackedNote:
     frames: list
     release_frame: int = NEVER_FRAME
     pan: float = 0.0
+    # start angle (rad/pi) assigned at NoteOn; None = draw from the slot
+    # packer's sequential pool (stable draw_indexing assigns it here)
+    phase: float | None = None
 
 
 @dataclass(frozen=True)
@@ -183,11 +186,14 @@ def _build_slot_tables(notes: list[TrackedNote], n_frames: int,
         gl, gr = np.cos(th), np.sin(th)
 
         # control trail across the note's frames
-        if phase_vals is not None and phase_i < len(phase_vals):
+        if note.phase is not None:
+            phase = float(note.phase) % 2.0  # stable draw_indexing
+        elif phase_vals is not None and phase_i < len(phase_vals):
             phase = float(phase_vals[phase_i]) % 2.0
+            phase_i += 1
         else:
             phase = rng.uniform(0.0, 2.0)  # DefaultStartPhase::Random
-        phase_i += 1
+            phase_i += 1
         i = 0
         cur_f, cur_v = note.frames[0][1], note.frames[0][2]
         prev_inc = 2.0 * cur_f / sr
@@ -335,8 +341,13 @@ def _render_slots(table, *, stride: int, n_channels: int, dtype: str,
             # so XLA never has to transpose the (T, 2) result into the
             # channel-major output layout it prefers (a ~1 ms whole-render
             # copy on a v5e)
+            # precision=HIGHEST: the default f32 matmul on TPU is bf16-grade
+            # and this is the FINAL op — it was injecting ~-53 dB into every
+            # render (round-4 isolation: CPU f32 kernel -127 dB vs f64, TPU
+            # same graph -53 dB until this fix)
             return jnp.einsum("ps,pc->cs", sig, gains,
-                              preferred_element_type=sig.dtype)
+                              preferred_element_type=sig.dtype,
+                              precision=jax.lax.Precision.HIGHEST)
         return oscillators.mixdown(sig, gains)
 
     # chunked map: lax.map alone would run n_frames tiny sequential device

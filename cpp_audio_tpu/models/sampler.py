@@ -122,7 +122,8 @@ def _render_sampler(buf, fp, ip, gains, *, n_samples: int, dtype: str):
     env = jnp.where(trm < 0, env_a,
                     top * (1.0 - jnp.clip((trm + 1.0) / jnp.maximum(R, 1.0), 0.0, 1.0)))
     out = amp * env * sig
-    return jnp.einsum("vt,vc->tc", out, gains.astype(wdt))
+    return jnp.einsum("vt,vc->tc", out, gains.astype(wdt),
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def render_notes(notes: list[Note], sample_map: SampleMap, n_samples: int,

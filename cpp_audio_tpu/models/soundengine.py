@@ -415,7 +415,8 @@ def _render_specs(fp, itp_codes, gains, t0, lut, lut_lo, lut_step,
     sig = jnp.where(active, amp * vol * lvol * env
                     * oscillators.freq_aliasing_multiplicator(inc)
                     * oscillators.sine(phase), 0.0)
-    seg = jnp.einsum("vl,vc->vlc", sig, gains.astype(wdt))
+    seg = jnp.einsum("vl,vc->vlc", sig, gains.astype(wdt),
+                     precision=jax.lax.Precision.HIGHEST)
 
     # overlap-add the spec segments: V block read-modify-writes (dynamic
     # slices) instead of an elementwise scatter — scatters lower to very slow

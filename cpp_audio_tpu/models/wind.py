@@ -189,6 +189,25 @@ def _cascade_dynamic(x, alpha, order, *, kind: str, stage_gain=None):
     return jax.lax.fori_loop(0, order, body, x)
 
 
+@functools.lru_cache(maxsize=8)
+def _pink_dev(sr: int, dtype: str):
+    """Device-resident pink table, cached per (sample_rate, dtype): the
+    table is a render CONSTANT (~MBs) and re-uploading it every call costs
+    a host->device transfer per render on remote-attached TPUs."""
+    return jnp.asarray(np.asarray(get_noise_tables(sr)["pink"]),
+                       jnp.dtype(dtype))
+
+
+@functools.lru_cache(maxsize=32)
+def _lut_dev(low_index: int, log_ratio: float, level: float, sr: int,
+             dtype: str):
+    """Device-resident loudness LUT + scalars, cached per config."""
+    lut_lo, lut_step, lut = _loudness_lut(low_index, log_ratio, level, sr)
+    dt = jnp.dtype(dtype)
+    return (jnp.asarray(lut, dt), jnp.asarray(lut_lo, dt),
+            jnp.asarray(lut_step, dt))
+
+
 def wind_long_walk_segments(table, start: int, n_steps: int, T: int,
                             prev0: float | None = None):
     """Segment decomposition of the long walk for DEVICE expansion: the
@@ -525,33 +544,32 @@ def render_program(program: VoiceProgram, n_samples: int, sample_rate: int = 441
     if n_channels == 1:
         gains = np.ones(1)
 
-    lut_lo, lut_step, lut = _loudness_lut(
-        p.loudness_ref_freq_index, p.loudness_compensation, p.loudness_level,
-        sample_rate,
-    )
+    lut_d, lut_lo_d, lut_step_d = _lut_dev(
+        int(p.loudness_ref_freq_index), float(p.loudness_compensation),
+        float(p.loudness_level), sample_rate, dtype)
     dt = np.dtype(dtype)
+    pink_d = _pink_dev(sample_rate, dtype)
     if use_seg:
         logmap = np.array([log_lo, log_hi, inv_f], np.float32)
         out = _render_wind_seg(
-            jnp.asarray(pink, dt), jnp.asarray(src_offset, dt),
+            pink_d, jnp.asarray(src_offset, dt),
             tuple(map(jnp.asarray, seg_tabs[0])),
             tuple(map(jnp.asarray, seg_tabs[1])),
             tuple(map(jnp.asarray, seg_tabs[2])),
             tuple(map(jnp.asarray, seg_tabs[3])),
             tuple(map(jnp.asarray, seg_tabs[4])),
             jnp.asarray(logmap), jnp.asarray(params, dt),
-            jnp.asarray(lut, dt), jnp.asarray(lut_lo, dt),
-            jnp.asarray(lut_step, dt), jnp.asarray(gains, dt),
+            lut_d, lut_lo_d, lut_step_d, jnp.asarray(gains, dt),
             T=n_samples, order=int(p.filter_order), dtype=dtype,
             n_steps=n_slow_long, itp_main=int(p.interpolation),
             lowpass_mode=lowpass_mode,
         )
         return np.asarray(out)
     out = _render_wind(
-        jnp.asarray(pink, dt), jnp.asarray(src_offset, dt),
+        pink_d, jnp.asarray(src_offset, dt),
         jnp.asarray(inc_main, dt), jnp.asarray(c1, dt), jnp.asarray(c2, dt),
         jnp.asarray(w1, dt), jnp.asarray(w2, dt), jnp.asarray(params, dt),
-        jnp.asarray(lut, dt), jnp.asarray(lut_lo, dt), jnp.asarray(lut_step, dt),
+        lut_d, lut_lo_d, lut_step_d,
         jnp.asarray(gains, dt),
         T=n_samples, order=int(p.filter_order),
         dtype=dtype, lowpass_mode=lowpass_mode,

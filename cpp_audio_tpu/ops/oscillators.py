@@ -199,6 +199,9 @@ def mixdown(signals, gains):
     Returns (T, C). This replaces the reference's serial
     `buffer[i] += voice.imag(j)` accumulation (gen.crtp.h:350-378).
     """
+    # precision=HIGHEST: TPU's default f32 matmul is bf16-grade — on the
+    # final mix bus that is an audible ~-50 dB noise floor (CLAUDE.md)
     return jnp.einsum(
-        "vt,vc->tc", signals, gains, preferred_element_type=signals.dtype
+        "vt,vc->tc", signals, gains, preferred_element_type=signals.dtype,
+        precision=jax.lax.Precision.HIGHEST
     )

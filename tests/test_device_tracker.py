@@ -531,3 +531,73 @@ def test_device_tracker_f64_sets_match_host_exactly(kind):
         np.testing.assert_allclose(
             np.float32(d), np.float32(h), rtol=3e-6, atol=1e-12,
             err_msg=f"frame {f} note multiset differs")
+
+
+def test_stable_draw_indexing_host_device_scan_agree():
+    """draw_indexing="stable" keys pan/phase by (frame*max_voices + on-rank)
+    so a flipped note decision perturbs only its own note instead of
+    shifting every later draw (the round-4 TPU-vs-host decorrelation,
+    docs/PERF_NOTES.md). Host python, device parallel, and device scan
+    paths must produce identical note multisets INCLUDING pan gains and
+    start phases."""
+    import jax.numpy as jnp
+
+    from cpp_audio_tpu.analysis.chain import (autotune_device_arrays,
+                                              tracker_config_kwargs)
+
+    rng = np.random.default_rng(7)
+    F, k = 30, 13
+    freq = np.full((F, k), np.nan)
+    mag = np.full((F, k), -np.inf)
+    for f in range(F):
+        nv = rng.integers(0, 6)
+        fs = np.sort(rng.uniform(80, 2000, nv))
+        for j, fv in enumerate(fs):
+            freq[f, j] = fv
+            mag[f, j] = rng.uniform(-40, -5)
+    cfg = resynth.ResynthConfig(sample_rate=44100, dtype="float64",
+                                analysis_volume=1.0, max_voices=12,
+                                min_volume=1e-3, draw_indexing="stable")
+    rcfg = resynth._render_config(cfg)
+    total = F + 8
+
+    peaks = [[(fv, mv) for fv, mv in zip(fr, mr) if np.isfinite(fv)]
+             for fr, mr in zip(freq, mag)]
+    notes, _, _ = resynth.track_python(peaks, cfg)
+    th = np.asarray(resynth_bank._build_slot_tables(notes, total, rcfg))
+
+    li = loudness.phons_to_index(60.0)
+    cap = F * cfg.max_voices + 16
+    pan, phase = resynth.draw_pools(cfg, cap)
+    _kind, at_arrays = autotune_device_arrays(cfg, jnp.float64)
+    kw = tracker_config_kwargs(cfg, rcfg)
+
+    def dev_tables(force_scan):
+        td, _ = device_tracker.build_tables_device(
+            np.asarray(freq, np.float64), np.asarray(mag, np.float64),
+            np.asarray(loudness.PITCHES, np.float64),
+            np.asarray(loudness.ELVS[li], np.float64), pan, phase,
+            total_frames=total, stride=rcfg.stride,
+            sample_rate=float(cfg.sample_rate), autotune_arrays=at_arrays,
+            _force_scan=force_scan, **kw)
+        return np.asarray(td)
+
+    C = (resynth_bank._F_INC, resynth_bank._F_VTGT, resynth_bank._F_VB,
+         resynth_bank._F_PHB, resynth_bank._F_GL, resynth_bank._F_GR)
+
+    def msets(t):
+        out = []
+        for f in range(t.shape[0]):
+            act = (t[f, :, C[1]] != 0) | (t[f, :, C[2]] != 0)
+            rows = np.stack([t[f, np.nonzero(act)[0], c] for c in C], -1)
+            out.append(rows[np.lexsort(rows.T)])
+        return out
+
+    mh = msets(th)
+    for force_scan in (False, True):
+        md = msets(dev_tables(force_scan))
+        for f, (a, b) in enumerate(zip(mh, md)):
+            assert a.shape == b.shape, f"frame {f}: {a.shape} vs {b.shape}"
+            np.testing.assert_allclose(
+                np.float32(b), np.float32(a), rtol=3e-6, atol=1e-12,
+                err_msg=f"frame {f} (force_scan={force_scan})")
