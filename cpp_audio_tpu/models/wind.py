@@ -222,28 +222,30 @@ def wind_long_walk_segments(table, start: int, n_steps: int, T: int,
     tab = np.abs(np.asarray(table, np.float32))
     m = len(tab)
     n_steps = max(1, int(n_steps))
-    starts, prevs, curs, rates = [], [], [], []
-    k = 0
+    # fully vectorized (short-step programs produce ~1e5 segments per
+    # minute — a python per-segment loop costs seconds): the read sequence
+    # is just consecutive table entries, lengths follow from the
+    # ascend/descend rate, starts are the exclusive cumsum
+    lmin = -(-n_steps // 3)
+    n_max = -(-T // lmin) + 2
+    pos0 = int(start) % m
     if prev0 is None:
-        pos = int(start) % m
-        prev = tab[pos]
-        pos = (pos + 1) % m
+        first_prev = tab[pos0]
+        pos0 = (pos0 + 1) % m
     else:
-        pos = int(start) % m
-        prev = np.float32(prev0)
-    while k < T:
-        cur = tab[pos]
-        rate = 1 if prev > cur else 3
-        seg = -(-n_steps // rate)
-        starts.append(k)
-        prevs.append(prev)
-        curs.append(cur)
-        rates.append(rate)
-        k += min(seg, T - k)
-        prev = cur
-        pos = (pos + 1) % m
-    return (np.asarray(starts, np.int32), np.asarray(prevs, np.float32),
-            np.asarray(curs, np.float32), np.asarray(rates, np.float32))
+        first_prev = np.float32(prev0)
+    idx = (pos0 + np.arange(n_max, dtype=np.int64)) % m
+    curs = tab[idx]
+    prevs = np.empty(n_max, np.float32)
+    prevs[0] = first_prev
+    prevs[1:] = curs[:-1]
+    rates = np.where(prevs > curs, 1, 3).astype(np.int64)
+    lens = -(-n_steps // rates)
+    starts = np.zeros(n_max, np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    keep = starts < T
+    return (starts[keep].astype(np.int32), prevs[keep], curs[keep],
+            rates[keep].astype(np.float32))
 
 
 def _copy_scan(vals, flag):
