@@ -182,12 +182,15 @@ def main():
     try:
         import hashlib
 
+        import jaxlib
+
+        salt = getattr(jaxlib, "__version__", "?")  # see tests/conftest.py
         try:
             with open("/proc/cpuinfo") as f:
                 flags = next((ln for ln in f if ln.startswith("flags")), "")
-            tag = hashlib.sha1(flags.encode()).hexdigest()[:10]
+            tag = hashlib.sha1((salt + flags).encode()).hexdigest()[:10]
         except OSError:
-            tag = "nocpuinfo"
+            tag = "nocpuinfo" + salt
         jax.config.update("jax_compilation_cache_dir",
                           f"/tmp/jax_cache_bench_{tag}")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

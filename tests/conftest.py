@@ -40,16 +40,24 @@ jax.config.update("jax_enable_x64", True)
 def _machine_cache_dir(base: str) -> str:
     import hashlib
 
+    import jaxlib
+
+    # key by CPU flags AND the jaxlib build: entries compiled by a
+    # different jaxlib carry LLVM tuning attrs (+prefer-no-gather/scatter)
+    # the loader rejects with "could lead to ... SIGILL" — and sometimes
+    # doesn't reject (the residual random xdist worker segfaults)
+    salt = getattr(jaxlib, "__version__", "?")
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
                 if line.startswith("flags"):
-                    tag = hashlib.sha1(line.encode()).hexdigest()[:10]
+                    tag = hashlib.sha1((salt + line).encode()
+                                       ).hexdigest()[:10]
                     break
             else:
-                tag = "noflags"
+                tag = "noflags" + salt
     except OSError:
-        tag = "nocpuinfo"
+        tag = "nocpuinfo" + salt
     return f"{base}_{tag}"
 
 

@@ -15,14 +15,20 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def machine_cache_dir(base: str = "/tmp/jax_cache") -> str:
+    import jaxlib
+
+    # salt with the jaxlib build: cross-build AOT entries carry LLVM tuning
+    # attrs the loader may mis-handle (SIGILL class; see tests/conftest.py)
+    salt = getattr(jaxlib, "__version__", "?")
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
                 if line.startswith("flags"):
-                    return f"{base}_{hashlib.sha1(line.encode()).hexdigest()[:10]}"
-        return f"{base}_noflags"
+                    tag = hashlib.sha1((salt + line).encode()).hexdigest()
+                    return f"{base}_{tag[:10]}"
+        return f"{base}_noflags{salt}"
     except OSError:
-        return f"{base}_nocpuinfo"
+        return f"{base}_nocpuinfo{salt}"
 
 
 def setup_cpu(x64: bool = True) -> None:
