@@ -35,6 +35,17 @@ jax.config.update("jax_enable_x64", True)
 # to execution errors such as SIGILL" right before the crash). This was the
 # round-2 "xdist worker crash": full-suite runs crashed at whichever test
 # first loaded a stale-machine entry; fresh-cache runs passed.
+#
+# ROUND-4 RESIDUAL: even with the cache key salted by jaxlib build (below)
+# and a freshly wiped cache, rare paired worker crashes remain — and they
+# CORRELATE WITH AXON TUNNEL OUTAGE WINDOWS (both observed full-suite
+# crashes happened while a concurrent bench run was logging backend-probe
+# timeouts; the same tests pass standalone immediately after). The
+# environment's sitecustomize imports jax (registering the axon plugin) at
+# every worker interpreter start, and plain `python -c` startup is known to
+# hang intermittently during outages (CLAUDE.md) — an environmental hazard,
+# not a logic failure. Workers inherit JAX_PLATFORMS=cpu from this master
+# process, which minimizes but does not eliminate the exposure.
 
 
 def _machine_cache_dir(base: str) -> str:
