@@ -292,7 +292,10 @@ def run_offline_chain(bank: voicebank.VoiceBank, n_samples: int,
     mag_h = np.asarray(mag)
     n_frames = int(freq_h.shape[0])
     rcfg = resynth_mod._render_config(rconfig)
-    if nat.available() and rconfig.draw_indexing != "stable":
+    native_sem_ok = (rconfig.harmonize_semantics == "reference"
+                     or (rconfig.pitch_harmonize_pre_autotune == 0.0
+                         and rconfig.pitch_harmonize_post_autotune == 0.0))
+    if nat.available() and rconfig.draw_indexing != "stable" and native_sem_ok:
         table = resynth_mod.build_tables_native(freq_h, mag_h, rconfig,
                                                 n_frames + 8, rcfg)
         stereo = resynth_bank.render_table(table, rcfg, device_out=True)

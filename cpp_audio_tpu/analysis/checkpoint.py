@@ -37,7 +37,7 @@ from . import offline_job as oj
 from .presets_json import OfflineJobConfig, ResynthPreset
 from .streaming import LiveResynth, StreamingVocoder
 
-_MAGIC = "cpp_audio_tpu-render-checkpoint-v1"
+_MAGIC = "cpp_audio_tpu-render-checkpoint-v2"
 
 
 def _fingerprint(preset: ResynthPreset, voice, carrier, sample_rate: int,
@@ -224,27 +224,27 @@ def run_offline_streaming(preset: ResynthPreset, voice: np.ndarray | None,
                 state.out[lo:hi, 0] += preset.vocoder_volume * v_blk
                 state.out[lo:hi, 1] += preset.vocoder_volume * v_blk
             if state.fb_mono is not None:
+                # feed back the published output: the post-processed L+R sum
+                # of the FULL mix, all legs included (the reference publishes
+                # the mixed output buffer, rt.resynth.lib.cpp:1263-1273);
+                # post=="none" is the same mix without the limiter.
+                mix = np.zeros((hi - lo, 2))
+                if r_blk is not None:
+                    mix += r_blk
+                if v_blk is not None:
+                    mix[:, 0] += preset.vocoder_volume * v_blk
+                    mix[:, 1] += preset.vocoder_volume * v_blk
+                if preset.voice_volume != 0.0:
+                    mix[:, 0] += preset.voice_volume * voice[lo:hi]
+                    mix[:, 1] += preset.voice_volume * voice[lo:hi]
+                if preset.carrier_volume != 0.0:
+                    mix[:, 0] += preset.carrier_volume * carrier[lo:hi]
+                    mix[:, 1] += preset.carrier_volume * carrier[lo:hi]
                 if post == "limit":
-                    # feed back the published output: the post-processed
-                    # (limited) L+R sum of the FULL mix, all legs included
-                    mix = np.zeros((hi - lo, 2))
-                    if r_blk is not None:
-                        mix += r_blk
-                    if v_blk is not None:
-                        mix[:, 0] += preset.vocoder_volume * v_blk
-                        mix[:, 1] += preset.vocoder_volume * v_blk
-                    if preset.voice_volume != 0.0:
-                        mix[:, 0] += preset.voice_volume * voice[lo:hi]
-                        mix[:, 1] += preset.voice_volume * voice[lo:hi]
-                    if preset.carrier_volume != 0.0:
-                        mix[:, 0] += preset.carrier_volume * carrier[lo:hi]
-                        mix[:, 1] += preset.carrier_volume * carrier[lo:hi]
-                    limited, state.lim_peak = lim.limit_streaming(
+                    mix, state.lim_peak = lim.limit_streaming(
                         mix, getattr(state, "lim_peak", 0.0),
                         sample_rate=sample_rate)
-                    state.fb_mono[lo:hi] = limited.sum(axis=1)
-                elif r_blk is not None:
-                    state.fb_mono[lo:hi] = r_blk.sum(axis=1)
+                state.fb_mono[lo:hi] = mix.sum(axis=1)
             state.pos = hi
         if checkpoint_path:
             save_checkpoint(checkpoint_path, state)

@@ -433,8 +433,10 @@ def render_program(program: VoiceProgram, n_samples: int, sample_rate: int = 441
     render) — the serving path for TPU rigs where host->device bandwidth
     matters. Requires a zero short-wobble amplitude (all factory WIND
     programs with spec_short_amp == 0; others fall back to host walks).
-    Device easing runs in f32 (host walks interpolate in f64): walk values
-    match to ~1e-7 relative, pinned by tests/test_wind_noise.py."""
+    The device expansion is pinned BIT-EXACT against the host walk's f32
+    outputs (tests/test_wind_noise.py::TestDeviceControlExpansion uses
+    assert_array_equal): segment params scatter exactly and the eased
+    interpolation evaluates the same f32 curve expressions as the host."""
     p = program
     assert p.mode is Mode.WIND
     rng = np.random.default_rng(seed)
