@@ -25,11 +25,17 @@ sample-by-sample duplex loop.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# df32 analysis implementation: "hybrid" (f32-select + MXU direct-DFT df32
+# re-eval, ops/dfft_hybrid.py) or "ladder" (full df32 Stockham FFT,
+# ops/dfft.py). Env override for on-hardware A/B.
+DF_ANALYSIS_MODE = os.environ.get("CPP_AUDIO_DF_ANALYSIS", "hybrid")
 
 from ..models import resynth_bank, voicebank
 from ..ops import stft as stft_ops
@@ -94,7 +100,7 @@ def _fused_analyze_vocode(fp, ip, up, gains, codes, window, carrier, edges,
     "window_size", "stride", "fft_len", "k", "sample_rate",
     "mod_window", "voc_stride", "car_fft", "n_mod_frames",
     "vol_mod", "vol_car", "vol_voc", "use_matmul_dft", "edges_t",
-    "mod_mode", "mod_shape"))
+    "mod_mode", "mod_shape", "df_mode"))
 def _fused_analyze_vocode_df(fp, ip, up, gains, codes, whi, wlo, shi, slo,
                              carrier, edges, bm_car, rows, *, n: int,
                              block_size: int, n_blocks: int, a_itp, d_itp,
@@ -104,14 +110,18 @@ def _fused_analyze_vocode_df(fp, ip, up, gains, codes, whi, wlo, shi, slo,
                              n_mod_frames: int, vol_mod: float,
                              vol_car: float, vol_voc: float,
                              use_matmul_dft: bool = False, edges_t=None,
-                             mod_mode=None, mod_shape: str = "gaussian"):
+                             mod_mode=None, mod_shape: str = "gaussian",
+                             df_mode: str = "hybrid"):
     """df32-analysis variant of _fused_analyze_vocode: the synth renders and
     the vocoder runs in f32 (already ~-130 dB vs f64 —
-    tools/fidelity_budget.py), while the STFT + QIFFT peaks run in
-    compensated double-f32 (ops/dfft.py, ops/stft._top_peaks_df) so the
-    tracker's inputs match the host f64 pipeline to ~1e-11 relative.
+    tools/fidelity_budget.py), while the STFT + QIFFT peaks are double-grade:
+    df_mode="hybrid" (default) selects peaks from the f32 rfft spectrum and
+    re-evaluates only the selected bins in compensated double-f32
+    (ops/dfft_hybrid.py — MXU direct DFT, ~3x cheaper than the ladder);
+    df_mode="ladder" computes the full df32 STFT (ops/dfft.py,
+    ops/stft._top_peaks_df, ~1e-11 relative vs host f64).
     Returns ((freq_hi, freq_lo, mag_hi, mag_lo), vocoder_mix)."""
-    from ..ops import dfft
+    from ..ops import dfft, dfft_hybrid
 
     if fp.ndim == 3:
         out = voicebank.voicebank_blocks_compact_impl(
@@ -125,11 +135,16 @@ def _fused_analyze_vocode_df(fp, ip, up, gains, codes, whi, wlo, shi, slo,
             out_dtype="float32")
     mono = out.reshape(-1, out.shape[-1])[:n].sum(axis=1)
 
-    sq = dfft.stft_sqmag_df32_arrays(mono, whi, wlo, shi, slo,
-                                     window_size=window_size, stride=stride,
-                                     fft_length=fft_len)
-    freq4 = stft_ops._top_peaks_df(sq[0], sq[1], sample_rate=sample_rate,
-                                   fft_length=fft_len, k=k)
+    if df_mode == "hybrid":
+        freq4 = dfft_hybrid.hybrid_peaks_df32(
+            mono, whi, wlo, shi, slo, window_size=window_size, stride=stride,
+            fft_length=fft_len, sample_rate=sample_rate, k=k)
+    else:
+        sq = dfft.stft_sqmag_df32_arrays(mono, whi, wlo, shi, slo,
+                                         window_size=window_size,
+                                         stride=stride, fft_length=fft_len)
+        freq4 = stft_ops._top_peaks_df(sq[0], sq[1], sample_rate=sample_rate,
+                                       fft_length=fft_len, k=k)
 
     amps = vocoder_mod._modulator_band_amps_fast(
         mono, edges if edges_t is None else edges_t, window=mod_window,
@@ -384,7 +399,8 @@ def _fused_single_dispatch(fp, ip, up, gains, codes, window, carrier, edges,
     "window_size", "stride", "fft_len", "k", "sample_rate",
     "mod_window", "voc_stride", "car_fft", "n_mod_frames",
     "vol_mod", "vol_car", "vol_voc", "use_matmul_dft", "edges_t", "mod_mode",
-    "mod_shape", "render_stride", "start_sample") + _TRACKER_STATICS)
+    "mod_shape", "render_stride", "start_sample",
+    "df_mode") + _TRACKER_STATICS)
 def _fused_single_dispatch_df(fp, ip, up, gains, codes, whi, wlo, shi, slo,
                               carrier, edges, bm_car, rows,
                               lp_hi, lp_lo, ls_hi, ls_lo, pan_draws,
@@ -407,7 +423,8 @@ def _fused_single_dispatch_df(fp, ip, up, gains, codes, whi, wlo, shi, slo,
             "mod_window", "voc_stride", "car_fft", "n_mod_frames", "vol_mod",
             "vol_car", "vol_voc", "use_matmul_dft") if f in kw},
         edges_t=kw.get("edges_t"), mod_mode=kw.get("mod_mode"),
-        mod_shape=kw.get("mod_shape", "gaussian"))
+        mod_shape=kw.get("mod_shape", "gaussian"),
+        df_mode=kw.get("df_mode", "hybrid"))
     tk = _tracker_call_kwargs(kw, None)
     tk.pop("autotune_arrays")
     table, dropped = device_tracker.build_tables_device_df(
@@ -516,6 +533,7 @@ def prepare_offline_chain_device(bank: voicebank.VoiceBank, n_samples: int,
             use_matmul_dft=stft_ops.use_matmul_dft_default(wdt),
             edges_t=tuple(float(e) for e in edges), mod_mode=mod_mode,
             mod_shape=vparams.modulator_window_shape,
+            df_mode=DF_ANALYSIS_MODE,
             total_frames=total_frames, render_stride=rcfg.stride,
             start_sample=rcfg.start_sample,
             **tracker_config_kwargs(rconfig, rcfg), **statics)
@@ -597,7 +615,8 @@ def df32_analysis_peaks(bank: voicebank.VoiceBank, n_samples: int,
         vol_voc=float(vparams.volume_vocoded),
         use_matmul_dft=stft_ops.use_matmul_dft_default(jnp.float32),
         edges_t=tuple(float(e) for e in edges),
-        mod_shape=vparams.modulator_window_shape, **statics)
+        mod_shape=vparams.modulator_window_shape,
+        df_mode=DF_ANALYSIS_MODE, **statics)
     fh, fl, mh, ml = (np.asarray(x, np.float64) for x in freq4)
     return fh + fl, mh + ml
 

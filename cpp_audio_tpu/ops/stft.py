@@ -260,6 +260,45 @@ def _radix_top_select(s2, f2, k: int):
     return out[..., 0], out_db
 
 
+def _top_bins(sq, *, sample_rate: int, fft_length: int, k: int):
+    """f32 top-k peak SELECTION: returns (bins (F, k) int32 ascending,
+    mag_db (F, k) f32 with -inf padding). Same is_peak/score/top-k semantics
+    as `_top_peaks`, but carrying the integer bin index instead of the QIFFT
+    frequency — the selection front end of the hybrid df32 analysis
+    (ops/dfft_hybrid.py), which re-evaluates only the selected bins'
+    3-bin neighborhoods in compensated double-f32."""
+    is_peak, _freq, mag_db = _peaks(sq, sample_rate=sample_rate,
+                                    fft_length=fft_length)
+    score = jnp.where(is_peak, mag_db, -jnp.inf)
+    lane = jnp.broadcast_to(
+        jnp.arange(score.shape[-1], dtype=score.dtype)[None, :], score.shape)
+    pad = (-score.shape[-1]) % 2
+    if pad:
+        score = jnp.pad(score, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        lane = jnp.pad(lane, ((0, 0), (0, pad)))
+    se, so = score[:, ::2], score[:, 1::2]
+    pick = se >= so
+    s2 = jnp.where(pick, se, so)
+    b2 = jnp.where(pick, lane[:, ::2], lane[:, 1::2])
+    if USE_RADIX_TOP_SELECT and s2.dtype == jnp.float32 and k < s2.shape[-1]:
+        bins_f, top_db = _radix_top_select(s2, b2, k)
+    else:
+        kk = min(k, s2.shape[-1])
+        s_neg, s_bin = jax.lax.sort((-s2, b2), dimension=-1, num_keys=1)
+        top_db = -s_neg[:, :kk]
+        top_bin = s_bin[:, :kk]
+        if kk < k:
+            top_db = jnp.pad(top_db, ((0, 0), (0, k - kk)),
+                             constant_values=-jnp.inf)
+            top_bin = jnp.pad(top_bin, ((0, 0), (0, k - kk)))
+        key = jnp.where(jnp.isfinite(top_db), top_bin, jnp.inf)
+        _, bins_f, top_db = jax.lax.sort((key, top_bin, top_db), dimension=-1,
+                                         num_keys=1)
+    fin = jnp.isfinite(top_db)
+    bins = jnp.where(fin, bins_f, 0.0).astype(jnp.int32)
+    return bins, top_db
+
+
 @functools.partial(jax.jit, static_argnames=("sample_rate", "fft_length", "k"))
 def _top_peaks_df(sq_hi, sq_lo, *, sample_rate: int, fft_length: int, k: int):
     """df32 top-k peak extraction: same pipeline as `_top_peaks`, but QIFFT
@@ -343,6 +382,25 @@ def _top_peaks_df(sq_hi, sq_lo, *, sample_rate: int, fft_length: int, k: int):
     fin = jnp.isfinite(top_s)
 
     # df32 QIFFT at the selected triples
+    return _qifft_df(bin_i, (sp_hi, sp_lo), (sc_hi, sc_lo), (sn_hi, sn_lo),
+                     fin, nb=nb, sample_rate=sample_rate,
+                     fft_length=fft_length)
+
+
+def _qifft_df(bin_i, sp, sc, sn, fin, *, nb: int, sample_rate: int,
+              fft_length: int):
+    """df32 QIFFT refinement at selected bins: parabola through the dB values
+    of the (prev, center, next) df32 sqmag triples, mirroring the f64 host
+    pipeline (`_peaks`) term for term in compensated double-f32.
+
+    bin_i: (F, k) f32 integer-valued center bins; sp/sc/sn: df32 pairs of the
+    sqmag at bins (b-1, b, b+1); fin: validity mask (False lanes -> -inf mag).
+    Returns (freq_hi, freq_lo, mag_db_hi, mag_db_lo)."""
+    from . import df32
+
+    eps = 1e-30
+    sc_hi = sc[0]
+
     def db_df(pair):
         guarded = df32.where(pair[0] > eps, pair,
                              (jnp.full_like(pair[0], eps),
@@ -352,9 +410,9 @@ def _top_peaks_df(sq_hi, sq_lo, *, sample_rate: int, fft_length: int, k: int):
     at0 = bin_i == 0
     atl = bin_i == nb - 1
     neg600 = (jnp.full_like(sc_hi, -600.0), jnp.zeros_like(sc_hi))
-    dbp = df32.where(at0, neg600, db_df((sp_hi, sp_lo)))
-    dbc = db_df((sc_hi, sc_lo))
-    dbn = df32.where(atl, neg600, db_df((sn_hi, sn_lo)))
+    dbp = df32.where(at0, neg600, db_df(sp))
+    dbc = db_df(sc)
+    dbn = df32.where(atl, neg600, db_df(sn))
     denom = df32.add(df32.sub(dbp, df32.scale_pow2(dbc, np.float32(2.0))),
                      dbn)
     pmn = df32.sub(dbp, dbn)
