@@ -453,7 +453,10 @@ def _modulator_band_amps(signal, band_mat, *, window: int, stride: int,
     # under any window, independent of the pow2 padding
     scale = 2.0 / np.sqrt(fft_len * float((win * win).sum()))
     sq = jnp.abs(spec) ** 2 * scale**2
-    return jnp.sqrt(sq @ band_mat)
+    # precision=HIGHEST: TPU's default f32 matmul is bf16-grade; these are
+    # VALUE-carrying energy sums (the -53 dB mixdown class, CLAUDE.md)
+    return jnp.sqrt(jnp.matmul(sq, band_mat,
+                               precision=jax.lax.Precision.HIGHEST))
 
 
 @functools.partial(jax.jit, static_argnames=("stride", "fft_len", "use_matmul_dft"))
@@ -468,8 +471,12 @@ def _carrier_vocode(carrier, band_amps, band_mat_full, *, stride: int, fft_len: 
     n = carrier.shape[0]
     n_frames = max(0, (n - window) // stride + 1)
     frames = stft_ops.frame_signal(carrier, window, stride, n_frames)
-    # per-bin gain from that frame's band amplitudes (modulate_bands)
-    gains = band_amps @ band_mat_full.T  # (n_frames, n_bins)
+    # per-bin gain from that frame's band amplitudes (modulate_bands).
+    # precision=HIGHEST: value-carrying — the TPU default's bf16-grade
+    # products truncate every gain to ~0.4% (measured -56 dB on the vocoded
+    # leg, round-5 fix; band_mat_full is 0/1 so HIGHEST makes this exact)
+    gains = jnp.matmul(band_amps, band_mat_full.T,
+                       precision=jax.lax.Precision.HIGHEST)  # (frames, bins)
     if use_matmul_dft:
         from ..ops import dft
 
