@@ -321,6 +321,41 @@ def main():
                 extra["fidelity_db_vocoded"] = round(
                     rms_db(dev_voc[:mv] - e2e["vocoded"][:mv],
                            e2e["vocoded"][:mv]), 1)
+
+            # ---- AFFIRMATIVE note-level e2e row (VERDICT r4 weak #3) ----
+            # Full TPU df32 run vs full host f64 run, scored on what the
+            # pipeline is FOR: note sets (volume-weighted F1), matched-note
+            # pitch (cents RMS) and volume (dB RMS). Robust to the
+            # noise-floor local-maxima churn that invalidates the raw
+            # sample-level e2e comparison. Bars stated in
+            # tools/note_metrics.py.
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tools"))
+            import note_metrics
+
+            table_dev = chain_mod.df32_chain_table(
+                fbank, fn, fcfg, vparams, carrier[:fn],
+                block_size=fscfg.block_size)
+            table_npz = os.path.join(td, "hosttable.npz")
+            r = subprocess.run(
+                [sys.executable, helper, "table", str(fsec), table_npz],
+                env=env_cpu, capture_output=True, text=True,
+                timeout=max(600.0, _budget_left()))
+            if r.returncode != 0:
+                raise RuntimeError("table subprocess: "
+                                   + r.stderr.strip()[-300:])
+            table_host = np.load(table_npz)["table"]
+            nm = note_metrics.note_level_metrics(table_dev, table_host, sr)
+            extra["note_f1_weighted"] = nm["f1_weighted"]
+            extra["note_f1"] = nm["f1"]
+            extra["note_freq_rms_cents"] = nm["freq_rms_cents"]
+            extra["note_vol_rms_db"] = nm["vol_rms_db"]
+            extra["note_counts"] = [nm["n_notes_a"], nm["n_notes_b"],
+                                    nm["n_matched"]]
+            extra["note_e2e_pass"] = bool(
+                nm["f1_weighted"] >= 0.98
+                and nm["freq_rms_cents"] <= 1.0
+                and nm["vol_rms_db"] <= 0.25)
     except Exception as e:
         extra["fidelity_error"] = f"{type(e).__name__}: {e}"[:300]
 

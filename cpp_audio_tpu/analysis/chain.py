@@ -400,7 +400,7 @@ def _fused_single_dispatch(fp, ip, up, gains, codes, window, carrier, edges,
     "mod_window", "voc_stride", "car_fft", "n_mod_frames",
     "vol_mod", "vol_car", "vol_voc", "use_matmul_dft", "edges_t", "mod_mode",
     "mod_shape", "render_stride", "start_sample",
-    "df_mode") + _TRACKER_STATICS)
+    "df_mode", "emit") + _TRACKER_STATICS)
 def _fused_single_dispatch_df(fp, ip, up, gains, codes, whi, wlo, shi, slo,
                               carrier, edges, bm_car, rows,
                               lp_hi, lp_lo, ls_hi, ls_lo, pan_draws,
@@ -433,6 +433,10 @@ def _fused_single_dispatch_df(fp, ip, up, gains, codes, whi, wlo, shi, slo,
                             (at_scale_hi, at_scale_lo),
                             (at_equid_hi, at_equid_lo),
                             (at_allowed_hi, at_allowed_lo)), **tk)
+    if kw.get("emit") == "table":
+        # note-level e2e metric path (tools/note_metrics.py): expose the
+        # tracker's slot control table instead of rendering it
+        return table, mix, dropped
     out = resynth_bank._render_slots(table, stride=kw["render_stride"],
                                      n_channels=2, dtype="float32",
                                      channel_major=True)
@@ -450,7 +454,7 @@ def prepare_offline_chain_device(bank: voicebank.VoiceBank, n_samples: int,
                                  rconfig: resynth_mod.ResynthConfig,
                                  vparams: vocoder_mod.VocoderParams, carrier,
                                  *, block_size: int = 1 << 15, draws=None,
-                                 mod_mode=None):
+                                 mod_mode=None, emit: str = "render"):
     """Build the device-resident argument set for the single-dispatch chain
     and return (step, n_frames): `step()` dispatches ONE fused device program
     (synth -> STFT -> peaks -> tracker -> render + vocoder) over the
@@ -533,7 +537,7 @@ def prepare_offline_chain_device(bank: voicebank.VoiceBank, n_samples: int,
             use_matmul_dft=stft_ops.use_matmul_dft_default(wdt),
             edges_t=tuple(float(e) for e in edges), mod_mode=mod_mode,
             mod_shape=vparams.modulator_window_shape,
-            df_mode=DF_ANALYSIS_MODE,
+            df_mode=DF_ANALYSIS_MODE, emit=emit,
             total_frames=total_frames, render_stride=rcfg.stride,
             start_sample=rcfg.start_sample,
             **tracker_config_kwargs(rconfig, rcfg), **statics)
@@ -619,6 +623,77 @@ def df32_analysis_peaks(bank: voicebank.VoiceBank, n_samples: int,
         df_mode=DF_ANALYSIS_MODE, **statics)
     fh, fl, mh, ml = (np.asarray(x, np.float64) for x in freq4)
     return fh + fl, mh + ml
+
+
+def df32_chain_table(bank: voicebank.VoiceBank, n_samples: int,
+                     rconfig: resynth_mod.ResynthConfig,
+                     vparams: vocoder_mod.VocoderParams, carrier,
+                     *, block_size: int = 1 << 15, draws=None) -> np.ndarray:
+    """The df32 chain's TRACKER OUTPUT: the (total_frames, n_slots, 16) slot
+    control table the renderer consumes — the note-level ground truth of a
+    device run, for tools/note_metrics.py's affirmative e2e comparison
+    against the host f64 pipeline's table."""
+    assert rconfig.dtype == "df32"
+    step, _n_frames = prepare_offline_chain_device(
+        bank, n_samples, rconfig, vparams, carrier, block_size=block_size,
+        draws=draws, emit="table")
+    table, _mix, _dropped = step()
+    return np.asarray(table, np.float64)
+
+
+def host_chain_table(bank: voicebank.VoiceBank, n_samples: int,
+                     rconfig: resynth_mod.ResynthConfig,
+                     vparams: vocoder_mod.VocoderParams, carrier,
+                     *, block_size: int = 1 << 15) -> np.ndarray:
+    """The host pipeline's slot table for the same workload: synth render ->
+    analysis peaks -> host tracker -> slot table (the front of
+    run_offline_chain without the render dispatch)."""
+    from .. import native as nat
+
+    sr = rconfig.sample_rate
+    dtype = rconfig.dtype
+    args, statics = voicebank.prepare_bank_arrays(bank, n_samples, block_size,
+                                                  dtype)
+    args, statics = voicebank.compact_block_args(args, statics)
+    window = stft_ops.gaussian_window(rconfig.window_size, sigmas=4.0)
+    fft_len = stft_ops.fft_length_for(rconfig.window_size)
+    k = rconfig.max_voices + 1
+    S = vparams.stride
+    W = vparams.modulator_window
+    car_fft = stft_ops.fft_length_for(2 * S)
+    edges = vparams.band_freqs()
+    bm_car = vocoder_mod._band_matrix(edges, car_fft // 2 + 1, sr / car_fft)
+    n_mod_frames = max(0, (n_samples - W) // S + 1)
+    n_car_frames = max(0, (n_samples - 2 * S) // S + 1)
+    offset = max(0, -(-(W - 2 * S) // S))
+    rows = np.clip(np.arange(n_car_frames) - offset, 0,
+                   max(n_mod_frames - 1, 0))
+    wdt = jnp.float32 if dtype == "float32" else jnp.float64
+    freq, mag, _voc = _fused_analyze_vocode(
+        *args, jnp.asarray(window, wdt),
+        jnp.asarray(carrier, wdt)[:n_samples], jnp.asarray(edges, wdt),
+        jnp.asarray(bm_car, wdt), jnp.asarray(rows), n=n_samples, dtype=dtype,
+        window_size=rconfig.window_size, stride=rconfig.stride,
+        fft_len=fft_len, k=k, sample_rate=sr, mod_window=W, voc_stride=S,
+        car_fft=car_fft, n_mod_frames=n_mod_frames,
+        vol_mod=float(vparams.volume_modulator),
+        vol_car=float(vparams.volume_carrier),
+        vol_voc=float(vparams.volume_vocoded),
+        use_matmul_dft=stft_ops.use_matmul_dft_default(wdt),
+        edges_t=tuple(float(e) for e in edges),
+        mod_shape=vparams.modulator_window_shape, **statics)
+    freq_h = np.asarray(freq, np.float64)
+    mag_h = np.asarray(mag, np.float64)
+    n_frames = int(freq_h.shape[0])
+    rcfg = resynth_mod._render_config(rconfig)
+    if nat.available() and rconfig.draw_indexing != "stable":
+        return np.asarray(resynth_mod.build_tables_native(
+            freq_h, mag_h, rconfig, n_frames + 8, rcfg), np.float64)
+    peaks = stft_ops.top_peaks_to_lists(freq_h, mag_h)
+    notes, _stats, _dropped = resynth_mod.track(peaks, rconfig,
+                                                prefer_native=False)
+    return np.asarray(resynth_bank._build_slot_tables(
+        notes, n_frames + 8, rcfg), np.float64)
 
 
 def run_offline_chain_device(bank: voicebank.VoiceBank, n_samples: int,

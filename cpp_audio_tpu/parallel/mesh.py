@@ -360,6 +360,14 @@ def make_sharded_chain(mesh: Mesh, n_samples: int, rconfig, vparams,
         def step():
             return jfn(*args, *fixed, carrier_dev, *consts)
 
+        # expose the compiled HLO so callers (dryrun_multichip) can assert
+        # the collective SCHEDULE hasn't silently grown: one psum mixdown +
+        # the peak/stereo all_gathers, nothing per-frame or per-voice
+        def compiled_text():
+            return jfn.lower(*args, *fixed, carrier_dev,
+                             *consts).compile().as_text()
+
+        step.compiled_text = compiled_text
         return step
 
     return build

@@ -69,12 +69,33 @@ def run_peaks(peaks_path: str, out_path: str) -> None:
     np.savez(out_path, resynth=np.asarray(stereo))
 
 
+def run_table(seconds: float, out_path: str) -> None:
+    """Host f64 pipeline's slot control table on the bench workload (the
+    note-level e2e reference for tools/note_metrics.py)."""
+    import bench
+    from cpp_audio_tpu.analysis import chain, resynth, vocoder
+    from cpp_audio_tpu.models import sine_synth
+
+    n = int(SR * seconds)
+    sch, cfg = bench.make_synth_workload(SR, n)
+    bank = sine_synth.bank_from_schedule(sch, cfg)
+    r64 = resynth.ResynthConfig(sample_rate=SR, analysis_volume=1.0,
+                                dtype="float64")
+    vparams = vocoder.VocoderParams(sample_rate=SR)
+    carrier = np.sign(np.sin(2 * np.pi * 110.0 * np.arange(n) / SR))
+    table = chain.host_chain_table(bank, n, r64, vparams, carrier,
+                                   block_size=cfg.block_size)
+    np.savez(out_path, table=table)
+
+
 def main():
     mode = sys.argv[1]
     if mode == "chain":
         run_chain(float(sys.argv[2]), sys.argv[3])
     elif mode == "peaks":
         run_peaks(sys.argv[2], sys.argv[3])
+    elif mode == "table":
+        run_table(float(sys.argv[2]), sys.argv[3])
     else:  # backwards compatible: bare "<seconds> <out>" = chain mode
         run_chain(float(sys.argv[1]), sys.argv[2])
 
