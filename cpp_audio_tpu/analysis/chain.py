@@ -545,6 +545,13 @@ def prepare_offline_chain_device(bank: voicebank.VoiceBank, n_samples: int,
         def step():
             return _fused_single_dispatch_df(*all_args, **kw)
 
+        def cost_analysis():
+            """XLA cost analysis of the compiled fused program (flops /
+            bytes accessed), for bench.py's MFU rows."""
+            return _fused_single_dispatch_df.lower(
+                *all_args, **kw).compile().cost_analysis()
+
+        step.cost_analysis = cost_analysis
         return step, n_frames
 
     _at_kind, at_arrays = autotune_device_arrays(rconfig, wdt)
@@ -572,6 +579,11 @@ def prepare_offline_chain_device(bank: voicebank.VoiceBank, n_samples: int,
     def step():
         return _fused_single_dispatch(*all_args, **kw)
 
+    def cost_analysis():
+        return _fused_single_dispatch.lower(
+            *all_args, **kw).compile().cost_analysis()
+
+    step.cost_analysis = cost_analysis
     return step, n_frames
 
 
