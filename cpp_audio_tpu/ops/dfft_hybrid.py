@@ -54,6 +54,7 @@ device cost.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -63,6 +64,9 @@ from . import df32
 from . import stft as stft_ops
 
 _HI = jax.lax.Precision.HIGHEST
+
+# "lean" (default) or "compensated" — see dft_bins_df
+DEFAULT_VARIANT = os.environ.get("CPP_AUDIO_HYBRID_VARIANT", "lean")
 
 
 def _df_planes(x64):
@@ -127,17 +131,29 @@ def _pair_reduce(x):
     return x.sum(-1)
 
 
-def dft_bins_df(fw, bins, *, N: int, CH: int = 128):
+def dft_bins_df(fw, bins, *, N: int, CH: int = 128,
+                variant: str = "lean"):
     """df32-grade DFT values at selected bins.
 
     fw: df32 pair (hi, lo) of (F, W) real windowed frames (W <= N);
     bins: (F, J) int32 in [0, N//2]. Returns (Xre, Xim) df32 pairs (F, J).
+
+    variant="compensated" carries first-order correction channels for the
+    fw lo limb, the twiddle tables' lo limbs and the outer twiddle residual
+    (peak values ~1e-9 relative of host f64). variant="lean" drops them:
+    each is a ~1e-7-relative systematic term, an order under the ~1.2e-6
+    QIFFT budget, while the dropped channels cost ~2x the matmul FLOPs and
+    ~2.5x the HBM traffic of the whole re-evaluation (the v1 hybrid was
+    HBM-bound at ladder speed on a v5e because of them). The chunked
+    accumulation structure — the part that matters at any precision — is
+    identical: CH-sample MXU chunks + two-level pairwise outer reduce.
     """
     fwh, fwl = fw
     F, W = fwh.shape
     CH = min(CH, N)
     t = _ct_tables(N, CH)
     A = t["A"]
+    lean = variant == "lean"
     if W < N:
         fwh = jnp.pad(fwh, ((0, 0), (0, N - W)))
         fwl = jnp.pad(fwl, ((0, 0), (0, N - W)))
@@ -150,42 +166,45 @@ def dft_bins_df(fw, bins, *, N: int, CH: int = 128):
     oh_r = _onehot(r, A)
 
     u_rh = _sel(oh_q, t["U"][0])
-    u_rl = _sel(oh_q, t["U"][1])
     u_ih = _sel(oh_q, t["U"][2])
-    u_il = _sel(oh_q, t["U"][3])
     v_rh = _sel(oh_r, t["V"][0])
-    v_rl = _sel(oh_r, t["V"][1])
     v_ih = _sel(oh_r, t["V"][2])
-    v_il = _sel(oh_r, t["V"][3])
 
-    # inner twiddle In = U*V in plain f32, plus the first-order residual from
-    # the tables' lo limbs (recovers df32-grade twiddle VALUES; the single
-    # f32 rounding per product is random across lanes and averages out in
-    # the coherent bin sums — see module docstring budget)
+    # inner twiddle In = U*V in plain f32 (one rounding per lane, random
+    # across lanes — averages out in the coherent bin sums)
     in_rh = u_rh * v_rh - u_ih * v_ih
     in_ih = u_rh * v_ih + u_ih * v_rh
-    din_r = (u_rh * v_rl - u_ih * v_il) + (u_rl * v_rh - u_il * v_ih)
-    din_i = (u_rh * v_il + u_ih * v_rl) + (u_rl * v_ih + u_il * v_rh)
 
-    # chunked inner contraction over n0 (6 MXU matmuls); the fw lo limb and
-    # the twiddle residual ride the correction channel
     def inner(sig, tw):
         return jnp.einsum("fac,fjc->fja", sig, tw, precision=_HI)
 
     m_re = inner(fwh, in_rh)
     m_im = inner(fwh, in_ih)
-    c_re = inner(fwl, in_rh) + inner(fwh, din_r)
-    c_im = inner(fwl, in_ih) + inner(fwh, din_i)
 
-    # outer chunk twiddle rows (exact one-hot selection), then per-lane f32
-    # complex products with the correction channel carried separately
     o_rh = _sel(oh_r, t["OT"][0])
-    o_rl = _sel(oh_r, t["OT"][1])
     o_ih = _sel(oh_r, t["OT"][2])
-    o_il = _sel(oh_r, t["OT"][3])
 
     pm_re = o_rh * m_re - o_ih * m_im
     pm_im = o_rh * m_im + o_ih * m_re
+
+    if lean:
+        zre = _pair_reduce(pm_re)
+        zim = _pair_reduce(pm_im)
+        return ((zre, jnp.zeros_like(zre)), (zim, jnp.zeros_like(zim)))
+
+    u_rl = _sel(oh_q, t["U"][1])
+    u_il = _sel(oh_q, t["U"][3])
+    v_rl = _sel(oh_r, t["V"][1])
+    v_il = _sel(oh_r, t["V"][3])
+    din_r = (u_rh * v_rl - u_ih * v_il) + (u_rl * v_rh - u_il * v_ih)
+    din_i = (u_rh * v_il + u_ih * v_rl) + (u_rl * v_ih + u_il * v_rh)
+
+    c_re = inner(fwl, in_rh) + inner(fwh, din_r)
+    c_im = inner(fwl, in_ih) + inner(fwh, din_i)
+
+    o_rl = _sel(oh_r, t["OT"][1])
+    o_il = _sel(oh_r, t["OT"][3])
+
     pc_re = (o_rh * c_re - o_ih * c_im) + (o_rl * m_re - o_il * m_im)
     pc_im = (o_rh * c_im + o_ih * c_re) + (o_rl * m_im + o_il * m_re)
 
@@ -225,7 +244,8 @@ def hybrid_peaks_df32(signal_f32, whi, wlo, shi, slo, *, window_size: int,
     bins3 = jnp.stack([jnp.maximum(b - 1, 0), b,
                        jnp.minimum(b + 1, nb - 1)], axis=-1)
     F = bins3.shape[0]
-    xre, xim = dft_bins_df(fw, bins3.reshape(F, -1), N=fft_length)
+    xre, xim = dft_bins_df(fw, bins3.reshape(F, -1), N=fft_length,
+                           variant=DEFAULT_VARIANT)
     sq = df32.add(df32.mul(xre, xre), df32.mul(xim, xim))
     sq = df32.mul(sq, (shi, slo))
     sq3h = sq[0].reshape(F, k, 3)
