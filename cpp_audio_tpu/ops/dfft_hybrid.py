@@ -105,18 +105,19 @@ def _ct_tables(N: int, CH: int):
     ot_re = _df_planes(np.cos(ang))
     ot_im = _df_planes(np.sin(ang))
     OT = (ot_re[0], ot_re[1], ot_im[0], ot_im[1])
-    return {"U": U, "V": V, "OT": OT, "A": A, "Q": Q}
+    # plane-stacked variants: one selection einsum per TABLE (the one-hot
+    # operand is read once; 2 planes ride as a trailing axis)
+    stack = lambda t: (np.stack([t[0], t[2]], axis=-1),
+                       np.stack([t[1], t[3]], axis=-1))
+    return {"U": U, "V": V, "OT": OT, "A": A, "Q": Q,
+            "Uh": stack(U)[0], "Ul": stack(U)[1],
+            "Vh": stack(V)[0], "Vl": stack(V)[1],
+            "OTh": stack(OT)[0], "OTl": stack(OT)[1]}
 
 
 def _onehot(idx, width):
     return (idx[..., None] == jnp.arange(width, dtype=idx.dtype)
             ).astype(jnp.float32)
-
-
-def _sel(oh, plane):
-    """Exact table-row selection as a one-hot matmul (MXU; HIGHEST keeps the
-    1.0 * value products exact)."""
-    return jnp.einsum("fjr,rn->fjn", oh, jnp.asarray(plane), precision=_HI)
 
 
 def _pair_reduce(x):
@@ -165,10 +166,16 @@ def dft_bins_df(fw, bins, *, N: int, CH: int = 128,
     oh_q = _onehot(q, t["Q"])
     oh_r = _onehot(r, A)
 
-    u_rh = _sel(oh_q, t["U"][0])
-    u_ih = _sel(oh_q, t["U"][2])
-    v_rh = _sel(oh_r, t["V"][0])
-    v_ih = _sel(oh_r, t["V"][2])
+    def sel2(oh, tab3):
+        # one einsum per table: (F,J,rows) x (rows,CH,2) — the one-hot is
+        # read once, re/im planes ride the trailing axis
+        return jnp.einsum("fjr,rnp->fjnp", oh, jnp.asarray(tab3),
+                          precision=_HI)
+
+    u_h = sel2(oh_q, t["Uh"])
+    v_h = sel2(oh_r, t["Vh"])
+    u_rh, u_ih = u_h[..., 0], u_h[..., 1]
+    v_rh, v_ih = v_h[..., 0], v_h[..., 1]
 
     # inner twiddle In = U*V in plain f32 (one rounding per lane, random
     # across lanes — averages out in the coherent bin sums)
@@ -181,8 +188,8 @@ def dft_bins_df(fw, bins, *, N: int, CH: int = 128,
     m_re = inner(fwh, in_rh)
     m_im = inner(fwh, in_ih)
 
-    o_rh = _sel(oh_r, t["OT"][0])
-    o_ih = _sel(oh_r, t["OT"][2])
+    o_h = sel2(oh_r, t["OTh"])
+    o_rh, o_ih = o_h[..., 0], o_h[..., 1]
 
     pm_re = o_rh * m_re - o_ih * m_im
     pm_im = o_rh * m_im + o_ih * m_re
@@ -192,18 +199,18 @@ def dft_bins_df(fw, bins, *, N: int, CH: int = 128,
         zim = _pair_reduce(pm_im)
         return ((zre, jnp.zeros_like(zre)), (zim, jnp.zeros_like(zim)))
 
-    u_rl = _sel(oh_q, t["U"][1])
-    u_il = _sel(oh_q, t["U"][3])
-    v_rl = _sel(oh_r, t["V"][1])
-    v_il = _sel(oh_r, t["V"][3])
+    u_l = sel2(oh_q, t["Ul"])
+    v_l = sel2(oh_r, t["Vl"])
+    u_rl, u_il = u_l[..., 0], u_l[..., 1]
+    v_rl, v_il = v_l[..., 0], v_l[..., 1]
     din_r = (u_rh * v_rl - u_ih * v_il) + (u_rl * v_rh - u_il * v_ih)
     din_i = (u_rh * v_il + u_ih * v_rl) + (u_rl * v_ih + u_il * v_rh)
 
     c_re = inner(fwl, in_rh) + inner(fwh, din_r)
     c_im = inner(fwl, in_ih) + inner(fwh, din_i)
 
-    o_rl = _sel(oh_r, t["OT"][1])
-    o_il = _sel(oh_r, t["OT"][3])
+    o_l = sel2(oh_r, t["OTl"])
+    o_rl, o_il = o_l[..., 0], o_l[..., 1]
 
     pc_re = (o_rh * c_re - o_ih * c_im) + (o_rl * m_re - o_il * m_im)
     pc_im = (o_rh * c_im + o_ih * c_re) + (o_rl * m_im + o_il * m_re)
