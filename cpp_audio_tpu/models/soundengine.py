@@ -575,8 +575,8 @@ def _render_specs_batch(fp, itp_codes, gains, t0, lut, lut_lo, lut_step,
 def render_program_batch(program: VoiceProgram, base_freq: float,
                          n_samples: int, sample_rate: int = 44100, *,
                          seeds, velocity: float = 1.0, pans=None,
-                         n_channels: int = 2,
-                         dtype: str = "float32") -> np.ndarray:
+                         n_channels: int = 2, dtype: str = "float32",
+                         device_out: bool = False) -> np.ndarray:
     """Serve B independent SoundEngine renders (same program, different
     seeds) in ONE device dispatch (reference framing: one engine instance
     per call, main.birds.cpp:82-83 — this is the TPU-first many-instance
@@ -648,4 +648,5 @@ def render_program_batch(program: VoiceProgram, base_freq: float,
         jnp.asarray(lut, dt), jnp.asarray(lut_lo, dt),
         jnp.asarray(lut_step, dt),
         L=L, F_T=F_T, n_channels=n_channels, dtype=dtype)
-    return np.asarray(out)[:, :n_samples]
+    out = out[:, :n_samples]
+    return out if device_out else np.asarray(out)

@@ -579,3 +579,127 @@ def render_program(program: VoiceProgram, n_samples: int, sample_rate: int = 441
         dtype=dtype, lowpass_mode=lowpass_mode,
     )
     return np.asarray(out)
+
+
+# ---- batched multi-instance serving (VERDICT r4 weak #4) ----
+
+@functools.partial(jax.jit, static_argnames=("T", "order", "dtype",
+                                             "n_steps", "itp_main",
+                                             "lowpass_mode"))
+def _render_wind_seg_batch(pink, src_offset, seg_main, seg_c1, seg_c2,
+                           seg_w1, seg_w2, logmap, params, lut, lut_lo,
+                           lut_step, gains, *, T: int, order: int,
+                           dtype: str, n_steps: int, itp_main: int,
+                           lowpass_mode: str = "control"):
+    """vmap of the device-controls wind render over B independent instances
+    (same program => shared statics/LUT/noise table; per-instance segment
+    tables, params and pan gains). One dispatch serves the whole batch —
+    the per-render dispatch tax (~70 sequential kernels over a remote link)
+    amortizes B-fold, and the scans/cascades batch as extra lanes."""
+    def one(sm, sc1, sc2, sw1, sw2, prm, gn):
+        return _render_wind_seg.__wrapped__(
+            pink, src_offset, sm, sc1, sc2, sw1, sw2, logmap, prm, lut,
+            lut_lo, lut_step, gn, T=T, order=order, dtype=dtype,
+            n_steps=n_steps, itp_main=itp_main, lowpass_mode=lowpass_mode)
+
+    return jax.vmap(one)(seg_main, seg_c1, seg_c2, seg_w1, seg_w2, params,
+                         gains)
+
+
+def render_program_batch(program: VoiceProgram, n_samples: int,
+                         sample_rate: int = 44100, *, seeds,
+                         velocity: float = 1.0, pans=None,
+                         n_channels: int = 2, dtype: str = "float32",
+                         lowpass_mode: str = "control",
+                         device_out: bool = False) -> np.ndarray:
+    """Serve B independent WIND renders (same program, different seeds) in
+    ONE device dispatch -> (B, n_samples, C) numpy.
+
+    Per-instance host work is only the KB-sized segment tables (the
+    device-controls path); requires spec_short_amp == 0 like
+    render_program(device_controls=True). Instance b is bit-comparable to
+    render_program(program, ..., seed=seeds[b], device_controls=True) up to
+    scan chunk-boundary roundoff (tests/test_wind_noise.py)."""
+    p = program
+    assert p.mode is Mode.WIND
+    from .voice_presets import effective_engine_config
+    eff = effective_engine_config(p, sample_rate)
+    assert float(eff["spec_short_amp"]) == 0.0, \
+        "batched serving needs the device-controls path (zero short wobble)"
+    tables = get_noise_tables(sample_rate)
+    pink = tables["pink"]
+    pink32 = np.asarray(pink, np.float32)
+    inv_approx = 1.0 / (2.0 * tables["pink_abs_mean"])
+    inc_lo, inc_hi = eff["center_inc_range"]
+    n_slow_long = eff["n_slow_steps_long"]
+    xfade = eff["env_charac_time"]
+    log_lo, log_hi = np.float32(np.log(inc_lo)), np.float32(np.log(inc_hi))
+    logmap = np.array([log_lo, log_hi, np.float32(inv_approx)], np.float32)
+
+    B = len(seeds)
+    all_tabs = []
+    all_gains = np.zeros((B, n_channels))
+    params = np.zeros((B, 8))
+    for bi, seed in enumerate(seeds):
+        rng = np.random.default_rng(seed)
+
+        def walk_start():
+            a = int(rng.integers(0, len(pink) - 1))
+            b = int(rng.integers(0, len(pink) - 1))
+            return a, b
+
+        def long_segs():
+            a, b = walk_start()
+            return wind_long_walk_segments(pink32, b, n_slow_long,
+                                           n_samples,
+                                           prev0=float(np.abs(pink32[a])))
+
+        seg_main = long_segs()
+        walk_start()  # wobble draws consumed (amp == 0)
+        seg_c1 = long_segs()
+        seg_w1 = long_segs()
+        seg_c2 = long_segs()
+        seg_w2 = long_segs()
+        all_tabs.append((seg_main, seg_c1, seg_c2, seg_w1, seg_w2))
+        pan = (float(pans[bi]) if pans is not None and pans[bi] is not None
+               else float(rng.uniform(-1.0, 1.0)))
+        th = 0.25 * np.pi * (pan + 1.0)
+        g = (np.array([np.cos(th), np.sin(th)])[:n_channels]
+             if n_channels > 1 else np.ones(1))
+        all_gains[bi] = g
+        params[bi] = [eff["width_range"][0], eff["width_range"][1],
+                      eff["gains"][0], eff["gains"][1], eff["gains"][2],
+                      eff["gains"][3], xfade, velocity * p.gain]
+
+    # common pow2 cap across every walk of every instance (one compile
+    # bucket per batch; padding rows scatter at index n_samples -> dropped)
+    ns_max = max(len(s5[0]) for tabs in all_tabs for s5 in tabs)
+    cap = max(1024, 1 << int(np.ceil(np.log2(max(ns_max, 1)))))
+
+    def pad_seg(seg):
+        s, pv, cu, ra = seg
+        padn = cap - len(s)
+        return (np.concatenate([s, np.full(padn, n_samples, np.int32)]),
+                np.concatenate([pv, np.zeros(padn, np.float32)]),
+                np.concatenate([cu, np.zeros(padn, np.float32)]),
+                np.concatenate([ra, np.ones(padn, np.float32)]))
+
+    def stack_walk(wi):
+        padded = [pad_seg(tabs[wi]) for tabs in all_tabs]
+        return tuple(jnp.asarray(np.stack([pj[c] for pj in padded]))
+                     for c in range(4))
+
+    src_offset = int(len(pink) * 0.5 + 0.5)
+    dt = np.dtype(dtype)
+    lut_d, lut_lo_d, lut_step_d = _lut_dev(
+        int(p.loudness_ref_freq_index), float(p.loudness_compensation),
+        float(p.loudness_level), sample_rate, dtype)
+    out = _render_wind_seg_batch(
+        _pink_dev(sample_rate, dtype), jnp.asarray(src_offset, dt),
+        stack_walk(0), stack_walk(1), stack_walk(2), stack_walk(3),
+        stack_walk(4), jnp.asarray(logmap), jnp.asarray(params, dt),
+        lut_d, lut_lo_d, lut_step_d, jnp.asarray(all_gains, dt),
+        T=n_samples, order=int(p.filter_order), dtype=dtype,
+        n_steps=n_slow_long, itp_main=int(p.interpolation),
+        lowpass_mode=lowpass_mode)
+    return out if device_out else np.asarray(out)
