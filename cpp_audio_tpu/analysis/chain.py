@@ -551,7 +551,12 @@ def prepare_offline_chain_device(bank: voicebank.VoiceBank, n_samples: int,
             return _fused_single_dispatch_df.lower(
                 *all_args, **kw).compile().cost_analysis()
 
+        def compiled_text():
+            return _fused_single_dispatch_df.lower(
+                *all_args, **kw).compile().as_text()
+
         step.cost_analysis = cost_analysis
+        step.compiled_text = compiled_text
         return step, n_frames
 
     _at_kind, at_arrays = autotune_device_arrays(rconfig, wdt)

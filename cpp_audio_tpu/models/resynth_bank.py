@@ -294,18 +294,37 @@ def _render_slots(table, *, stride: int, n_channels: int, dtype: str,
 
             inclo = col(16)
             # adv = incf*(k+1)*(1 + x*h(x)), x = lam*(k+1): the linear part
-            # runs in df32 mod 2 (it spans up to ~hundreds of cycles); the
-            # glide correction term is small (<= a few cycles) and runs in
-            # f32. h(x) = (expm1(x)/x - 1)/x as a degree-8 series — glide
-            # ratios are bounded by the tracker's max_track_pitches.
-            lin = dfm.mod2(dfm.mul_f32((incf, inclo), k + 1.0))
+            # (k+1)*INC spans up to ~hundreds of cycles and needs df32 mod-2
+            # — but NOT per sample. Split k+1 = B1*k1 + (k0+1): the coarse
+            # advance B1*k1*INC runs in df32 mod 2 on the B1x-decimated
+            # (P, n1) grid (a ~55-flop df32 mod per COARSE lane instead of
+            # per sample — this elementwise block was the df32 chain's
+            # single largest fusion, 4.6 ms vs the f32 chain's 2.4 on a
+            # v5e); the fine advance (k0+1)*INC stays under ~B1 cycles, so
+            # plain f32 keeps its absolute error below ~2^-24*B1*inc
+            # (~3e-6 rad/pi worst at Nyquist-grade increments, -100 dB-class
+            # on rendered audio). The glide correction term is small
+            # (<= a few cycles) and runs in f32: h(x) = (expm1(x)/x - 1)/x
+            # as a degree-8 series — glide ratios are bounded by the
+            # tracker's max_track_pitches.
+            B1 = 63 if S % 63 == 0 else 64
+            n1 = -(-S // B1)
+            k1i = jnp.arange(n1, dtype=wdt)[None, :]
+            ch_, cl_ = dfm.mod2(dfm.mul_f32((incf, inclo),
+                                            jnp.float32(B1) * k1i))
+            k0i = jnp.arange(B1, dtype=wdt)[None, None, :]
+            fine3 = ((k0i + 1.0) * incf[:, :, None]
+                     + (k0i + 1.0) * inclo[:, :, None])
+            ph3 = (phb[:, :, None] + ch_[:, :, None]
+                   + (cl_[:, :, None] + fine3))
+            lin_flat = ph3.reshape(ph3.shape[0], n1 * B1)[:, :S]
             x = lam * (k + 1.0)
             h32 = (0.5 + x * (1.0 / 6.0 + x * (1.0 / 24.0 + x * (
                 1.0 / 120.0 + x * (1.0 / 720.0 + x * (1.0 / 5040.0 + x * (
                     1.0 / 40320.0 + x * (1.0 / 362880.0
                                          + x / 3628800.0))))))))
             corr = jnp.where(small, 0.0, incf * (k + 1.0) * (x * h32))
-            phases = oscillators.wrap_phase(phb + lin[0] + (lin[1] + corr))
+            phases = oscillators.wrap_phase(lin_flat + corr)
         else:
             if df_phase:
                 incf = incf + col(16)  # f64 verification render of a df table
