@@ -478,6 +478,30 @@ def main():
             assert np.isfinite(out_h).all()
         except Exception as e:
             extra["rtf_wind_error"] = f"{type(e).__name__}: {e}"[:300]
+    # free the chain steps' device-resident argument sets before the L5a /
+    # streaming rows: the closures pin ~100 MB each plus XLA temp pools, and
+    # the round-5 run-1 L5a rows died RESOURCE_EXHAUSTED with all of them
+    # alive
+    import gc
+
+    try:
+        del step32
+    except NameError:
+        pass
+    try:
+        del step_df
+    except NameError:
+        pass
+    try:
+        del step127
+    except NameError:
+        pass
+    try:
+        del step_at
+    except NameError:
+        pass
+    gc.collect()
+
     # ---- batched L5a serving rows (VERDICT r4 weak #4): B independent
     # renders per dispatch; aggregate = B*seconds / wall. The TIMED call
     # uses FRESH seeds (warm call used different ones) — compile-bucket
