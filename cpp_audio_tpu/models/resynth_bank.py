@@ -282,14 +282,29 @@ def _render_slots(table, *, stride: int, n_channels: int, dtype: str,
 
     def one_frame(tab):
         tab = tab.astype(wdt)
-        col = lambda i: tab[:, i][:, None]
+        df = df_phase and wdt == jnp.float32
+        if df:
+            # 3-D (slot, k1, k0) lane layout (see the phase split below):
+            # EVERYTHING stays in this layout through the mixdown — an
+            # earlier flat-reshape variant broke XLA's render mega-fusion
+            # (a materialized phase tensor + a 510 MB layout copy before
+            # the mixdown dot, +2.5 ms on a v5e)
+            B1 = 63 if S % 63 == 0 else 64
+            n1 = -(-S // B1)
+            col = lambda i: tab[:, i][:, None, None]
+            k1i = jnp.arange(n1, dtype=wdt)[None, :, None]
+            k0i = jnp.arange(B1, dtype=wdt)[None, None, :]
+            kk = B1 * k1i + k0i
+        else:
+            col = lambda i: tab[:, i][:, None]
+            kk = k
         (incf, ratio, phb, vtgt, vb, alpha, tp0, tr0, top, A, H, D, sus, R) = (
             col(i) for i in range(14))
         gains = tab[:, _F_GL:_F_GR + 1]
 
         lam = ratio / S
         small = jnp.abs(ratio) < 1e-7
-        if df_phase and wdt == jnp.float32:
+        if df:
             from ..ops import df32 as dfm
 
             inclo = col(16)
@@ -297,49 +312,43 @@ def _render_slots(table, *, stride: int, n_channels: int, dtype: str,
             # (k+1)*INC spans up to ~hundreds of cycles and needs df32 mod-2
             # — but NOT per sample. Split k+1 = B1*k1 + (k0+1): the coarse
             # advance B1*k1*INC runs in df32 mod 2 on the B1x-decimated
-            # (P, n1) grid (a ~55-flop df32 mod per COARSE lane instead of
-            # per sample — this elementwise block was the df32 chain's
+            # (P, n1, 1) grid (a ~55-flop df32 mod per COARSE lane instead
+            # of per sample — this elementwise block was the df32 chain's
             # single largest fusion, 4.6 ms vs the f32 chain's 2.4 on a
             # v5e); the fine advance (k0+1)*INC stays under ~B1 cycles, so
             # plain f32 keeps its absolute error below ~2^-24*B1*inc
             # (~3e-6 rad/pi worst at Nyquist-grade increments, -100 dB-class
-            # on rendered audio). The glide correction term is small
+            # on rendered audio; measured -117.8 dB vs the f64 renderer on
+            # synthetic tables). The glide correction term is small
             # (<= a few cycles) and runs in f32: h(x) = (expm1(x)/x - 1)/x
             # as a degree-8 series — glide ratios are bounded by the
             # tracker's max_track_pitches.
-            B1 = 63 if S % 63 == 0 else 64
-            n1 = -(-S // B1)
-            k1i = jnp.arange(n1, dtype=wdt)[None, :]
             ch_, cl_ = dfm.mod2(dfm.mul_f32((incf, inclo),
                                             jnp.float32(B1) * k1i))
-            k0i = jnp.arange(B1, dtype=wdt)[None, None, :]
-            fine3 = ((k0i + 1.0) * incf[:, :, None]
-                     + (k0i + 1.0) * inclo[:, :, None])
-            ph3 = (phb[:, :, None] + ch_[:, :, None]
-                   + (cl_[:, :, None] + fine3))
-            lin_flat = ph3.reshape(ph3.shape[0], n1 * B1)[:, :S]
-            x = lam * (k + 1.0)
+            fine = (k0i + 1.0) * incf + (k0i + 1.0) * inclo
+            lin = phb + ch_ + (cl_ + fine)
+            x = lam * (kk + 1.0)
             h32 = (0.5 + x * (1.0 / 6.0 + x * (1.0 / 24.0 + x * (
                 1.0 / 120.0 + x * (1.0 / 720.0 + x * (1.0 / 5040.0 + x * (
                     1.0 / 40320.0 + x * (1.0 / 362880.0
                                          + x / 3628800.0))))))))
-            corr = jnp.where(small, 0.0, incf * (k + 1.0) * (x * h32))
-            phases = oscillators.wrap_phase(lin_flat + corr)
+            corr = jnp.where(small, 0.0, incf * (kk + 1.0) * (x * h32))
+            phases = oscillators.wrap_phase(lin + corr)
         else:
             if df_phase:
                 incf = incf + col(16)  # f64 verification render of a df table
             adv = jnp.where(
-                small, incf * (k + 1.0),
+                small, incf * (kk + 1.0),
                 (incf / jnp.where(small, 1.0, lam))
-                * jnp.expm1(lam * (k + 1.0)),
+                * jnp.expm1(lam * (kk + 1.0)),
             )
             phases = oscillators.wrap_phase(phb + adv)
         # power(1-alpha, k+1) lowers to exp((k+1)*log(1-alpha)) per ELEMENT;
         # the log operand is a per-slot scalar — hoist it so the lane loop
         # pays one exp, not exp+log, per slot-sample
-        vol = vtgt + (vb - vtgt) * jnp.exp((k + 1.0) * jnp.log1p(-alpha))
-        tp = tp0 + k
-        trm = tr0 + k
+        vol = vtgt + (vb - vtgt) * jnp.exp((kk + 1.0) * jnp.log1p(-alpha))
+        tp = tp0 + kk
+        trm = tr0 + kk
         va = jnp.clip((tp + 1.0) / A, 0.0, 1.0)
         vd = 1.0 + (sus - 1.0) * jnp.clip((tp - A - H + 1.0) / jnp.maximum(D, 1.0),
                                           0.0, 1.0)
@@ -364,9 +373,18 @@ def _render_slots(table, *, stride: int, n_channels: int, dtype: str,
             # and this is the FINAL op — it was injecting ~-53 dB into every
             # render (round-4 isolation: CPU f32 kernel -127 dB vs f64, TPU
             # same graph -53 dB until this fix)
+            if df:
+                # 3-D lanes contract directly (free dims a,b flatten inside
+                # the dot); only the small (C, n1*B1) RESULT reshapes
+                out = jnp.einsum("pab,pc->cab", sig, gains,
+                                 preferred_element_type=sig.dtype,
+                                 precision=jax.lax.Precision.HIGHEST)
+                return out.reshape(out.shape[0], -1)[:, :S]
             return jnp.einsum("ps,pc->cs", sig, gains,
                               preferred_element_type=sig.dtype,
                               precision=jax.lax.Precision.HIGHEST)
+        if df:
+            sig = sig.reshape(sig.shape[0], -1)[:, :S]
         return oscillators.mixdown(sig, gains)
 
     # chunked map: lax.map alone would run n_frames tiny sequential device
