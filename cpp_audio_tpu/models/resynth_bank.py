@@ -289,7 +289,10 @@ def _render_slots(table, *, stride: int, n_channels: int, dtype: str,
             # earlier flat-reshape variant broke XLA's render mega-fusion
             # (a materialized phase tensor + a 510 MB layout copy before
             # the mixdown dot, +2.5 ms on a v5e)
-            B1 = 63 if S % 63 == 0 else 64
+            # B1 = 128: the k0 axis is the MINOR dim of every lane tensor —
+            # it must fill the TPU's 128-lane tiles (B1 = 63 measured ~2x
+            # slower: half of every (8,128) tile padded dead)
+            B1 = 128
             n1 = -(-S // B1)
             col = lambda i: tab[:, i][:, None, None]
             k1i = jnp.arange(n1, dtype=wdt)[None, :, None]
