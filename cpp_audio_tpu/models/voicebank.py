@@ -27,6 +27,7 @@ the easing functions; per-voice curve arrays fall back to select-over-curves.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import jax
@@ -136,6 +137,13 @@ _F_AMP, _F_A, _F_H, _F_D, _F_R, _F_S, _F_TOP, _F_SKIP = range(8)
 N_FIELDS = 8
 
 
+# Block execution strategy: "vmap" renders all blocks as parallel lanes
+# (blocks are independent closed forms; the lax.map while-loop costs ~0.2 ms
+# per step of pure loop overhead); "map" restores the sequential loop for
+# memory-constrained shapes. Read at import/trace time.
+BLOCKS_VMAP = os.environ.get("CPP_AUDIO_SYNTH_BLOCKS", "vmap") == "vmap"
+
+
 def voicebank_blocks_impl(fp, ip, up, gains, codes,
                           *, block_size: int, n_blocks: int,
                           a_itp, d_itp, r_itp, out_dtype: str,
@@ -157,6 +165,11 @@ def voicebank_blocks_impl(fp, ip, up, gains, codes,
                              block_size=block_size, a_itp=a_itp, d_itp=d_itp,
                              r_itp=r_itp, out_dtype=out_dtype)
 
+    if BLOCKS_VMAP:
+        # blocks are independent (closed-form phases/envelopes): vmap runs
+        # them as parallel lanes instead of a sequential while loop whose
+        # per-step overhead (~0.2 ms) dominates at ~11 blocks per render
+        return jax.vmap(one_block)(jnp.arange(n_blocks))
     return jax.lax.map(one_block, jnp.arange(n_blocks))
 
 
@@ -280,6 +293,8 @@ def voicebank_blocks_compact_impl(fpb, ipb, upb, gainsb, codesb,
                              r_itp=r_itp, out_dtype=out_dtype)
 
     xs = (jnp.arange(n_blocks), fpb, ipb, upb, gainsb, codesb)
+    if BLOCKS_VMAP:
+        return jax.vmap(one)(xs)
     return jax.lax.map(one, xs)
 
 
