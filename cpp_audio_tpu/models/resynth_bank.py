@@ -349,7 +349,17 @@ def _render_slots(table, *, stride: int, n_channels: int, dtype: str,
         # power(1-alpha, k+1) lowers to exp((k+1)*log(1-alpha)) per ELEMENT;
         # the log operand is a per-slot scalar — hoist it so the lane loop
         # pays one exp, not exp+log, per slot-sample
-        vol = vtgt + (vb - vtgt) * jnp.exp((kk + 1.0) * jnp.log1p(-alpha))
+        if df:
+            # same range split as the phases: exp((k+1)c) =
+            # exp(B1*k1*c) * exp((k0+1)c) — two decimated exps + one
+            # multiply per lane instead of a transcendental per lane
+            lnap = jnp.log1p(-alpha)
+            e1 = jnp.exp((jnp.float32(B1) * k1i) * lnap)
+            e0 = jnp.exp((k0i + 1.0) * lnap)
+            vol = vtgt + (vb - vtgt) * (e1 * e0)
+        else:
+            vol = vtgt + (vb - vtgt) * jnp.exp((kk + 1.0)
+                                               * jnp.log1p(-alpha))
         tp = tp0 + kk
         trm = tr0 + kk
         va = jnp.clip((tp + 1.0) / A, 0.0, 1.0)
