@@ -220,6 +220,85 @@ def dft_bins_df(fw, bins, *, N: int, CH: int = 128,
     return xre, xim
 
 
+@functools.lru_cache(maxsize=None)
+def _mod_vectors(N: int):
+    """e^{-2pi i n/N} as f32 (cos, sin) host vectors — the +-1-bin signal
+    modulation of dft_bins3_df."""
+    ang = -2.0 * np.pi * np.arange(N, dtype=np.float64) / N
+    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+
+
+def dft_bins3_df(fw, bins, *, N: int, CH: int = 128):
+    """Lean 3-bin-neighborhood DFT: (Xm, Xc, Xp) = X at bins (b-1, b, b+1)
+    for each center bin b, as df32 pairs of (F, J) arrays.
+
+    Twiddles are built ONLY for the center bins (3x smaller one-hots /
+    selections / outer tensors than evaluating 3J bins directly); the
+    neighbors come from modulating the SIGNAL by e^{-+2pi i n/N}:
+    X[b+1] = DFT_{fw * e^{-2pi i n/N}}[b], and since fw is real the b-1
+    modulation is the conjugate — the four modulated inner matmuls serve
+    BOTH neighbors by sign. Total inner contractions: 6 (same matmul flops
+    as the direct 3J evaluation, at a third of the selection traffic).
+    Out-of-range neighbor bins (b=0 or b=N/2 edges) produce valid DFT
+    values at the aliased bins; the QIFFT edge guards (-600 dB sentinels)
+    make them unused, matching the host pipeline exactly.
+    """
+    fwh = fw[0]
+    F, W = fwh.shape
+    CH = min(CH, N)
+    t = _ct_tables(N, CH)
+    A = t["A"]
+    if W < N:
+        fwh = jnp.pad(fwh, ((0, 0), (0, N - W)))
+    mc, ms = _mod_vectors(N)
+    # _mod_vectors returns cos/sin of the NEGATIVE angle already:
+    # gp = fw * e^{-2pi i n/N} = fw*(mc + i*ms)
+    gpr = fwh * jnp.asarray(mc)[None, :]
+    gpi = fwh * jnp.asarray(ms)[None, :]
+    s0 = fwh.reshape(F, A, CH)
+    spr = gpr.reshape(F, A, CH)
+    spi = gpi.reshape(F, A, CH)
+
+    q = bins // A
+    r = bins % A
+    oh_q = _onehot(q, t["Q"])
+    oh_r = _onehot(r, A)
+
+    def sel2(oh, tab3):
+        return jnp.einsum("fjr,rnp->fjnp", oh, jnp.asarray(tab3),
+                          precision=_HI)
+
+    u_h = sel2(oh_q, t["Uh"])
+    v_h = sel2(oh_r, t["Vh"])
+    in_rh = u_h[..., 0] * v_h[..., 0] - u_h[..., 1] * v_h[..., 1]
+    in_ih = u_h[..., 0] * v_h[..., 1] + u_h[..., 1] * v_h[..., 0]
+
+    def inner(sig, tw):
+        return jnp.einsum("fac,fjc->fja", sig, tw, precision=_HI)
+
+    i0r = inner(s0, in_rh)
+    i0i = inner(s0, in_ih)
+    i1 = inner(spr, in_rh)
+    i2 = inner(spi, in_ih)
+    i3 = inner(spr, in_ih)
+    i4 = inner(spi, in_rh)
+
+    o_h = sel2(oh_r, t["OTh"])
+    o_rh, o_ih = o_h[..., 0], o_h[..., 1]
+
+    def outred(m_re, m_im):
+        p_re = o_rh * m_re - o_ih * m_im
+        p_im = o_rh * m_im + o_ih * m_re
+        zre = _pair_reduce(p_re)
+        zim = _pair_reduce(p_im)
+        return ((zre, jnp.zeros_like(zre)), (zim, jnp.zeros_like(zim)))
+
+    Xc = outred(i0r, i0i)
+    Xp = outred(i1 - i2, i3 + i4)
+    Xm = outred(i1 + i2, i3 - i4)
+    return Xm, Xc, Xp
+
+
 def hybrid_peaks_df32(signal_f32, whi, wlo, shi, slo, *, window_size: int,
                       stride: int, fft_length: int, sample_rate: int, k: int):
     """f32-select / df32-re-evaluate analysis: drop-in replacement for the
@@ -248,18 +327,29 @@ def hybrid_peaks_df32(signal_f32, whi, wlo, shi, slo, *, window_size: int,
 
     # evaluate the selected bins' 3-bin neighborhoods precisely
     b = bins
-    bins3 = jnp.stack([jnp.maximum(b - 1, 0), b,
-                       jnp.minimum(b + 1, nb - 1)], axis=-1)
-    F = bins3.shape[0]
-    xre, xim = dft_bins_df(fw, bins3.reshape(F, -1), N=fft_length,
-                           variant=DEFAULT_VARIANT)
-    sq = df32.add(df32.mul(xre, xre), df32.mul(xim, xim))
-    sq = df32.mul(sq, (shi, slo))
-    sq3h = sq[0].reshape(F, k, 3)
-    sq3l = sq[1].reshape(F, k, 3)
-    sp = (sq3h[..., 0], sq3l[..., 0])
-    sc = (sq3h[..., 1], sq3l[..., 1])
-    sn = (sq3h[..., 2], sq3l[..., 2])
+
+    def sqmag(xre, xim):
+        sq = df32.add(df32.mul(xre, xre), df32.mul(xim, xim))
+        return df32.mul(sq, (shi, slo))
+
+    if DEFAULT_VARIANT == "lean":
+        xm, xc, xp = dft_bins3_df(fw, b, N=fft_length)
+        sp = sqmag(*xm)
+        sc = sqmag(*xc)
+        sn = sqmag(*xp)
+    else:
+        bins3 = jnp.stack([jnp.maximum(b - 1, 0), b,
+                           jnp.minimum(b + 1, nb - 1)], axis=-1)
+        F = bins3.shape[0]
+        xre, xim = dft_bins_df(fw, bins3.reshape(F, -1), N=fft_length,
+                               variant=DEFAULT_VARIANT)
+        sq = df32.add(df32.mul(xre, xre), df32.mul(xim, xim))
+        sq = df32.mul(sq, (shi, slo))
+        sq3h = sq[0].reshape(F, k, 3)
+        sq3l = sq[1].reshape(F, k, 3)
+        sp = (sq3h[..., 0], sq3l[..., 0])
+        sc = (sq3h[..., 1], sq3l[..., 1])
+        sn = (sq3h[..., 2], sq3l[..., 2])
 
     return stft_ops._qifft_df(b.astype(jnp.float32), sp, sc, sn, fin,
                               nb=nb, sample_rate=sample_rate,
