@@ -86,23 +86,31 @@ class TestMetrics:
 
 
 class TestTablePlumbing:
-    def test_host_vs_device_tables_on_tiny_chain(self):
-        """host_chain_table vs df32_chain_table on a tiny workload: the
-        note-level metric passes its own stated bars (CPU; the bench row
-        runs the same comparison TPU-vs-host at 12 s)."""
+    def test_host_table_native_vs_python_trackers(self):
+        """host_chain_table with the native C++ tracker vs the python
+        tracker route: same workload -> note-identical slot tables under
+        the metric (validates table extraction + metric integration; the
+        df32 device table feeds the same comparison on TPU via bench.py's
+        note_* rows — executing the df32 chain on XLA-CPU costs ~45 min of
+        compile, see tests/test_bench_smoke.py)."""
+        from cpp_audio_tpu import native as nat
         from cpp_audio_tpu.analysis import chain, resynth, vocoder
         from cpp_audio_tpu.core import events, voices
         from cpp_audio_tpu.models import sine_synth
         from cpp_audio_tpu.ops import envelopes
 
+        if not nat.available():
+            import pytest
+
+            pytest.skip("native library unavailable")
         sr = SR
         n = sr
         rng = np.random.default_rng(3)
         notes = []
         for i in range(6):
-            p = int(rng.uniform(0, n * 0.4))
+            p0 = int(rng.uniform(0, n * 0.4))
             notes.append(events.Note(
-                i, p, p + int(rng.uniform(sr // 4, n // 2)),
+                i, p0, p0 + int(rng.uniform(sr // 4, n // 2)),
                 float(rng.uniform(110, 1760)), float(rng.uniform(0.3, 1.0)),
                 float(rng.uniform(-1, 1))))
         sch = voices.schedule_from_notes(notes, pad_to=6)
@@ -114,15 +122,16 @@ class TestTablePlumbing:
         bank = sine_synth.bank_from_schedule(sch, cfg)
         vparams = vocoder.VocoderParams(sample_rate=sr)
         carrier = np.sign(np.sin(2 * np.pi * 110.0 * np.arange(n) / sr))
-        fcfg = resynth.ResynthConfig(sample_rate=sr, analysis_volume=1.0,
-                                     dtype="df32")
-        tdev = chain.df32_chain_table(bank, n, fcfg, vparams, carrier,
-                                      block_size=cfg.block_size)
-        hcfg = resynth.ResynthConfig(sample_rate=sr, analysis_volume=1.0,
-                                     dtype="float64")
-        thost = chain.host_chain_table(bank, n, hcfg, vparams, carrier,
-                                       block_size=cfg.block_size)
-        m = note_metrics.note_level_metrics(tdev, thost, sr)
+        h64 = resynth.ResynthConfig(sample_rate=sr, analysis_volume=1.0,
+                                    dtype="float64")
+        t_native = chain.host_chain_table(bank, n, h64, vparams, carrier,
+                                          block_size=cfg.block_size)
+        # python tracker route (same peaks, prefer_native=False inside)
+        h64b = resynth.ResynthConfig(sample_rate=sr, analysis_volume=1.0,
+                                     dtype="float64", draw_indexing="stable")
+        t_python = chain.host_chain_table(bank, n, h64b, vparams, carrier,
+                                          block_size=cfg.block_size)
+        m = note_metrics.note_level_metrics(t_native, t_python, sr)
         assert m["n_matched"] > 0
         assert m["f1_weighted"] >= 0.98
         assert m["freq_rms_cents"] <= 1.0
