@@ -520,7 +520,7 @@ def main():
                                               voice_presets)
 
             bprog = voice_presets.PROGRAMS[voice_presets.Mode.BIRDS][0]
-            for B in (64, 32, 16):
+            for B in (64, 32, 16, 8):
                 try:
                     se.render_program_batch(bprog, 440.0, n, sr,
                                             seeds=list(range(100, 100 + B)),
@@ -553,7 +553,7 @@ def main():
 
             wprog = voice_presets.get_program(voice_presets.Mode.WIND,
                                               "Heavy rain")
-            for B in (64, 32, 16):
+            for B in (64, 32, 16, 8):
                 try:
                     wind_mod.render_program_batch(
                         wprog, n, sr, seeds=list(range(100, 100 + B)),
