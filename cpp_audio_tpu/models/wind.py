@@ -248,16 +248,51 @@ def wind_long_walk_segments(table, start: int, n_steps: int, T: int,
             rates[keep].astype(np.float32))
 
 
-def _copy_scan(vals, flag):
+def _copy_scan(vals, flag, chunk: int = 16):
     """Piecewise-constant forward fill: vals at flagged positions propagate
-    to every later position (associative, arithmetic-free — exact)."""
-    def combine(a, b):
-        va, fa = a
-        vb, fb = b
-        return jnp.where(fb, vb, va), fa | fb
+    to every later position (positions before any flag keep 0 — the
+    scattered-into-zeros convention of _expand_long_walk_dev). EXACT.
 
-    out, _ = jax.lax.associative_scan(combine, (vals, flag))
-    return out
+    Formulation: chunked segment-id one-hot matmul instead of a
+    lax.associative_scan — the scan unrolls into log2(T)~22 full-length
+    slice/concat stages whose HLO chokes compilers at audio lengths (the
+    vmapped batch variant never finished a 50-minute remote compile).
+    Within a chunk, position i takes the value of THE flagged j with the
+    same inclusive flag-count (exact one-hot since ids are unique per
+    flagged j); chunk carries forward-fill by a log-depth doubling loop
+    over the TINY (n_chunks,) arrays.
+    """
+    T = vals.shape[-1]
+    pad = (-T) % chunk
+    v = jnp.pad(vals, [(0, 0)] * (vals.ndim - 1) + [(0, pad)])
+    f = jnp.pad(flag, [(0, 0)] * (flag.ndim - 1) + [(0, pad)])
+    nc = (T + pad) // chunk
+    v2 = v.reshape(*v.shape[:-1], nc, chunk)
+    f2 = f.reshape(*f.shape[:-1], nc, chunk)
+    vdt = v2.dtype
+    vf = v2.astype(jnp.float32)
+    cid = jnp.cumsum(f2.astype(jnp.int32), axis=-1)
+    oh = ((cid[..., :, None] == cid[..., None, :])
+          & f2[..., :, None]).astype(jnp.float32)          # (..., nc, j, i)
+    within = jnp.einsum("...ji,...j->...i", oh, vf,
+                        precision=jax.lax.Precision.HIGHEST)
+    # carry = the fill at each chunk's last position; forward-fill carries
+    # across chunks by doubling (log2(nc) stages on (..., nc) arrays)
+    cv = within[..., -1]
+    cf = cid[..., -1] > 0
+    step = 1
+    while step < nc:
+        z = jnp.zeros_like(cv[..., :step])
+        cv_s = jnp.concatenate([z, cv[..., :-step]], -1)
+        zf = jnp.zeros_like(cf[..., :step])
+        cf_s = jnp.concatenate([zf, cf[..., :-step]], -1)
+        cv = jnp.where(cf, cv, cv_s)
+        cf = cf | cf_s
+        step *= 2
+    carry_prev = jnp.concatenate(
+        [jnp.zeros_like(cv[..., :1]), cv[..., :-1]], -1)
+    out = jnp.where(cid > 0, within, carry_prev[..., None])
+    return out.reshape(*v.shape[:-1], nc * chunk)[..., :T].astype(vdt)
 
 
 def _expand_long_walk_dev(starts, prevs, curs, rates, *, n_steps: int,
