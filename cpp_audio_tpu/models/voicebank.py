@@ -137,11 +137,15 @@ _F_AMP, _F_A, _F_H, _F_D, _F_R, _F_S, _F_TOP, _F_SKIP = range(8)
 N_FIELDS = 8
 
 
-# Block execution strategy: "vmap" renders all blocks as parallel lanes
-# (blocks are independent closed forms; the lax.map while-loop costs ~0.2 ms
-# per step of pure loop overhead); "map" restores the sequential loop for
-# memory-constrained shapes. Read at import/trace time.
-BLOCKS_VMAP = os.environ.get("CPP_AUDIO_SYNTH_BLOCKS", "vmap") == "vmap"
+# Block execution strategy: "map" (default) runs blocks through a lax.map
+# loop; "vmap" renders all blocks as parallel lanes (blocks are independent
+# closed forms), saving ~0.2 ms/step of loop overhead (~0.8 ms on the df32
+# chain). vmap is NOT the default because the lane-batched program rounds
+# f32 differently from the per-block one, which breaks batch-vs-single
+# bit-parity in noise-floor regimes (min_volume=0 note churn,
+# tests/test_device_tracker_autotune.py::test_batch_chain_min_volume_zero
+# — found by the round-5 serial suite run). Read at import/trace time.
+BLOCKS_VMAP = os.environ.get("CPP_AUDIO_SYNTH_BLOCKS", "map") == "vmap"
 
 
 def voicebank_blocks_impl(fp, ip, up, gains, codes,
